@@ -198,35 +198,41 @@ class AudioFrame:
 
 @dataclass(frozen=True)
 class TranscriptionSegment:
-    """One recognized segment (reference: ``types.rs:148-160``)."""
+    """One recognized segment (reference: ``types.rs:150-161``).
+
+    Timing is in **milliseconds** on the wire, matching the reference.
+    """
 
     text: str
-    start_us: int = 0
-    end_us: int = 0
+    start_time_ms: int = 0
+    end_time_ms: int = 0
     confidence: Optional[float] = None
-
-    def to_json(self) -> dict:
-        d = {"text": self.text, "start_us": self.start_us, "end_us": self.end_us}
-        if self.confidence is not None:
-            d["confidence"] = self.confidence
-        return d
-
-
-@dataclass(frozen=True)
-class TranscriptionData:
-    """STT output payload (reference: ``types.rs:148-175``)."""
-
-    text: str
-    language: Optional[str] = None
-    segments: tuple = ()
-    is_final: bool = True
 
     def to_json(self) -> dict:
         return {
             "text": self.text,
-            "language": self.language,
+            "start_time_ms": self.start_time_ms,
+            "end_time_ms": self.end_time_ms,
+            "confidence": self.confidence,
+        }
+
+
+@dataclass(frozen=True)
+class TranscriptionData:
+    """STT output payload (reference: ``types.rs:163-175``)."""
+
+    text: str
+    segments: tuple = ()
+    language: Optional[str] = None
+    metadata: Optional["PacketMetadata"] = None
+    is_final: bool = True  # extension: partial-transcript support
+
+    def to_json(self) -> dict:
+        return {
+            "text": self.text,
             "segments": [s.to_json() for s in self.segments],
-            "is_final": self.is_final,
+            "language": self.language,
+            "metadata": self.metadata.to_json() if self.metadata else None,
         }
 
 
@@ -332,6 +338,46 @@ class Packet:
             binary_metadata=self.binary_metadata,
         )
         return p
+
+    def to_reference_json(self) -> dict:
+        """Serialize to the reference's externally-tagged Packet JSON
+        (``types.rs:93-120`` serde shape) — used by ``core::json_serialize``
+        and the telemetry wire format so clients see identical payloads."""
+        import base64
+
+        meta = self.metadata.to_json() or None if self.metadata else None
+        if self.kind is _PayloadKind.AUDIO:
+            assert self.audio is not None
+            return {
+                "Audio": {
+                    "sample_rate": self.audio.format.sample_rate,
+                    "channels": self.audio.format.channels,
+                    "samples": [float(s) for s in self.audio.samples],
+                    "metadata": meta,
+                }
+            }
+        if self.kind is _PayloadKind.TEXT:
+            return {"Text": self.text}
+        if self.kind is _PayloadKind.TRANSCRIPTION:
+            assert self.transcription is not None
+            return {"Transcription": self.transcription.to_json()}
+        if self.kind is _PayloadKind.CUSTOM:
+            assert self.custom is not None
+            return {
+                "Custom": {
+                    "type_id": self.custom.type_id,
+                    "encoding": "json",
+                    "data": self.custom.data,
+                    "metadata": meta,
+                }
+            }
+        return {
+            "Binary": {
+                "data": base64.b64encode(self.binary or b"").decode(),
+                "content_type": self.content_type,
+                "metadata": meta,
+            }
+        }
 
     def clone(self) -> "Packet":
         """Cheap clone: audio buffers are shared, not copied."""

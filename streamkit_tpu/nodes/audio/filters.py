@@ -1,0 +1,313 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Audio filter nodes: gain, resampler, mixer — device-computed.
+
+Parity targets:
+* ``audio::gain`` — ``nodes/src/audio/filters/gain.rs`` (COW in-place f32
+  multiply, live-tunable 0–4 via UpdateParams)
+* ``audio::resampler`` — ``nodes/src/audio/filters/resampler.rs`` (fixed
+  chunk_frames, exact Opus output frame sizes, stream-state init on first
+  frame, hard error on mid-stream format change)
+* ``audio::mixer`` — ``nodes/src/audio/filters/mixer.rs`` broadcast-sync
+  mode (one frame per input per round, missing/EOF pins → silence/retired,
+  channel up/down-mix); the clocked mode lives in the dynamic engine.
+
+The actual sample math runs through :mod:`streamkit_tpu.ops` jitted kernels —
+on TPU these batch across sessions; the per-node host loop is only packet
+plumbing.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ...core import (
+    AudioFormat,
+    AudioFrame,
+    ChannelClosed,
+    ChannelFull,
+    ConfigurationError,
+    InputPin,
+    NodeContext,
+    NodeStatsTracker,
+    OutputPin,
+    Packet,
+    PacketMetadata,
+    PacketType,
+    PinCardinality,
+    ProcessorNode,
+    RuntimeNodeError,
+    parse_config_optional,
+    require_param,
+)
+from ...core.state import NodeState, StopReason
+from ...ops import apply_gain, mix_frames
+from ...ops.resample import LinearResampler
+
+VALID_OPUS_FRAME_SIZES = (120, 240, 480, 960, 1920, 2880)
+
+
+class GainNode(ProcessorNode):
+    """Multiplies samples by a tunable gain (``audio::gain``)."""
+
+    KIND = "audio::gain"
+
+    def __init__(self, params: Optional[dict]) -> None:
+        cfg = parse_config_optional(params, {"gain": 1.0})
+        self.gain = float(cfg["gain"])
+        self._validate(self.gain)
+
+    @staticmethod
+    def _validate(g: float) -> None:
+        if not (0.0 <= g <= 4.0):  # reference gain.rs:16-67 range
+            raise ConfigurationError(f"gain must be in [0, 4], got {g}")
+
+    def input_pins(self) -> List[InputPin]:
+        return [InputPin("in", [PacketType.raw_audio()])]
+
+    def output_pins(self) -> List[OutputPin]:
+        return [OutputPin("out", PacketType.passthrough())]
+
+    def device_fn(self):
+        return apply_gain
+
+    async def run(self, ctx: NodeContext) -> None:
+        ctx.emit_state(NodeState.running())
+        stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
+        try:
+            while True:
+                pkt = await ctx.recv_with_cancellation("in")
+                if pkt is None:
+                    break
+                stats.packet_received()
+                msg = ctx.poll_control()
+                if msg and msg.op == "update_params" and isinstance(msg.params, dict):
+                    g = float(msg.params.get("gain", self.gain))
+                    self._validate(g)
+                    self.gain = g
+                if pkt.audio is None:
+                    stats.packet_discarded()
+                    continue
+                out = np.asarray(apply_gain(jnp.asarray(pkt.audio.samples), self.gain))
+                frame = AudioFrame(out, pkt.audio.format)
+                await ctx.output.send("out", Packet.new_audio(frame, pkt.metadata))
+                stats.packet_sent()
+        except ChannelClosed:
+            ctx.emit_state(NodeState.stopped(StopReason.OUTPUT_CLOSED))
+            stats.flush()
+            return
+        stats.flush()
+        ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
+
+
+class ResamplerNode(ProcessorNode):
+    """Sample-rate conversion with exact output framing (``audio::resampler``)."""
+
+    KIND = "audio::resampler"
+
+    def __init__(self, params: Optional[dict]) -> None:
+        cfg = parse_config_optional(
+            params,
+            {"target_sample_rate": 48000, "chunk_frames": 960, "output_frame_size": 960},
+        )
+        if params is not None:
+            require_param(params, "target_sample_rate")
+        self.target_rate = int(cfg["target_sample_rate"])
+        self.chunk_frames = int(cfg["chunk_frames"])
+        self.output_frame_size = int(cfg["output_frame_size"])
+        if self.target_rate <= 0:
+            raise ConfigurationError("target_sample_rate must be greater than 0")
+        if self.chunk_frames <= 0:
+            raise ConfigurationError("chunk_frames must be greater than 0")
+        if self.output_frame_size != 0 and self.output_frame_size not in VALID_OPUS_FRAME_SIZES:
+            raise ConfigurationError(
+                f"output_frame_size must be 0 (disabled) or one of {VALID_OPUS_FRAME_SIZES}"
+            )
+
+    def input_pins(self) -> List[InputPin]:
+        return [InputPin("in", [PacketType.raw_audio()])]
+
+    def output_pins(self) -> List[OutputPin]:
+        return [OutputPin("out", PacketType.raw_audio(AudioFormat(self.target_rate, 0)))]
+
+    async def run(self, ctx: NodeContext) -> None:
+        ctx.emit_state(NodeState.running())
+        stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
+        resampler: Optional[LinearResampler] = None
+        in_fmt: Optional[AudioFormat] = None
+        in_buf = np.zeros(0, dtype=np.float32)
+        out_buf = np.zeros(0, dtype=np.float32)
+        total_in_frames = 0
+        total_out_frames = 0
+        out_fmt: Optional[AudioFormat] = None
+
+        async def emit_frames(final: bool) -> None:
+            nonlocal out_buf
+            assert out_fmt is not None
+            fsize = self.output_frame_size * out_fmt.channels if self.output_frame_size else 0
+            while True:
+                if fsize:
+                    if len(out_buf) < fsize:
+                        break
+                    chunk, out_buf = out_buf[:fsize], out_buf[fsize:]
+                else:
+                    if len(out_buf) == 0:
+                        break
+                    chunk, out_buf = out_buf, np.zeros(0, dtype=np.float32)
+                frame = AudioFrame(chunk, out_fmt)
+                meta = PacketMetadata(duration_us=frame.duration_us())
+                await ctx.output.send("out", Packet.new_audio(frame, meta))
+                stats.packet_sent()
+            if final and len(out_buf) > 0 and self.output_frame_size:
+                # pad the final partial frame to the exact size (reference flush)
+                pad = np.zeros(fsize - len(out_buf), dtype=np.float32)
+                frame = AudioFrame(np.concatenate([out_buf, pad]), out_fmt)
+                out_buf = np.zeros(0, dtype=np.float32)
+                await ctx.output.send(
+                    "out", Packet.new_audio(frame, PacketMetadata(duration_us=frame.duration_us()))
+                )
+                stats.packet_sent()
+
+        try:
+            while True:
+                pkt = await ctx.recv_with_cancellation("in")
+                if pkt is None:
+                    break
+                stats.packet_received()
+                if pkt.audio is None:
+                    stats.packet_discarded()
+                    continue
+                fmt = pkt.audio.format
+                if in_fmt is None:
+                    in_fmt = fmt
+                    out_fmt = AudioFormat(self.target_rate, fmt.channels)
+                    resampler = LinearResampler(
+                        fmt.sample_rate, self.target_rate, self.chunk_frames, fmt.channels
+                    )
+                elif fmt != in_fmt:
+                    raise RuntimeNodeError(
+                        f"mid-stream format change: {in_fmt} -> {fmt} (not supported)"
+                    )
+                in_buf = np.concatenate([in_buf, pkt.audio.samples])
+                chunk_samples = self.chunk_frames * in_fmt.channels
+                while len(in_buf) >= chunk_samples:
+                    chunk, in_buf = in_buf[:chunk_samples], in_buf[chunk_samples:]
+                    out = resampler.process(chunk)
+                    total_in_frames += self.chunk_frames
+                    total_out_frames += len(out) // in_fmt.channels
+                    out_buf = np.concatenate([out_buf, out])
+                    await emit_frames(final=False)
+            # EOF flush: pad the remainder to a full chunk, emit only the
+            # exact number of outputs owed (rational bookkeeping, no drift)
+            if resampler is not None and in_fmt is not None:
+                rem_frames = len(in_buf) // in_fmt.channels
+                total_in_frames += rem_frames
+                owed = -(-total_in_frames * resampler.dst_num // resampler.src_num)  # ceil
+                owed -= total_out_frames
+                if owed > 0:
+                    pad_frames = self.chunk_frames - rem_frames
+                    padded = np.concatenate(
+                        [in_buf, np.zeros(pad_frames * in_fmt.channels, dtype=np.float32)]
+                    )
+                    out = resampler.process(padded)
+                    out = out[: owed * in_fmt.channels]
+                    out_buf = np.concatenate([out_buf, out])
+                await emit_frames(final=True)
+        except ChannelClosed:
+            ctx.emit_state(NodeState.stopped(StopReason.OUTPUT_CLOSED))
+            stats.flush()
+            return
+        stats.flush()
+        ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
+
+
+class MixerNode(ProcessorNode):
+    """N-input audio mixer, broadcast-synchronized mode (``audio::mixer``)."""
+
+    KIND = "audio::mixer"
+
+    def __init__(self, params: Optional[dict]) -> None:
+        cfg = parse_config_optional(
+            params,
+            {
+                "num_inputs": None,
+                "sync_timeout_ms": 200,
+                "output_channels": None,
+                "clocked": False,  # clocked mode handled by the dynamic engine
+                "frame_samples_per_channel": 960,
+                "sample_rate": None,
+            },
+        )
+        self.num_inputs = int(cfg["num_inputs"]) if cfg["num_inputs"] else None
+        self.sync_timeout = float(cfg["sync_timeout_ms"]) / 1000.0
+        self.output_channels = cfg["output_channels"]
+
+    def supports_dynamic_pins(self) -> bool:
+        return True
+
+    def input_pins(self) -> List[InputPin]:
+        if self.num_inputs:
+            if self.num_inputs == 1:
+                return [InputPin("in", [PacketType.raw_audio()])]
+            return [
+                InputPin(f"in_{i}", [PacketType.raw_audio()]) for i in range(self.num_inputs)
+            ]
+        return [InputPin("in", [PacketType.raw_audio()], PinCardinality.dynamic("in"))]
+
+    def output_pins(self) -> List[OutputPin]:
+        return [OutputPin("out", PacketType.raw_audio())]
+
+    async def run(self, ctx: NodeContext) -> None:
+        ctx.emit_state(NodeState.running())
+        stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
+        open_pins = dict(ctx.inputs)  # pin -> channel; retired on EOF
+        out_fmt: Optional[AudioFormat] = None
+        try:
+            while open_pins:
+                # one synchronized round: one frame per open input
+                frames: List[AudioFrame] = []
+                for pin in list(open_pins):
+                    ch = open_pins[pin]
+                    try:
+                        pkt = await asyncio.wait_for(
+                            ch.recv_optional(),
+                            timeout=self.sync_timeout if frames else None,
+                        )
+                    except asyncio.TimeoutError:
+                        continue  # missing this round → silence (omitted)
+                    if pkt is None:
+                        del open_pins[pin]  # EOF → retire pin
+                        continue
+                    stats.packet_received()
+                    if pkt.audio is not None:
+                        frames.append(pkt.audio)
+                if not frames:
+                    continue
+                if out_fmt is None:
+                    ch_out = int(self.output_channels or frames[0].format.channels)
+                    out_fmt = AudioFormat(frames[0].format.sample_rate, ch_out)
+                out_frames = max(f.frames_per_channel for f in frames)
+                out_samples = out_frames * out_fmt.channels
+                mixed = np.asarray(
+                    mix_frames(
+                        [jnp.asarray(f.samples) for f in frames],
+                        [f.format.channels for f in frames],
+                        out_fmt.channels,
+                        out_samples,
+                    )
+                )
+                frame = AudioFrame(mixed, out_fmt)
+                await ctx.output.send(
+                    "out", Packet.new_audio(frame, PacketMetadata(duration_us=frame.duration_us()))
+                )
+                stats.packet_sent()
+        except ChannelClosed:
+            ctx.emit_state(NodeState.stopped(StopReason.OUTPUT_CLOSED))
+            stats.flush()
+            return
+        stats.flush()
+        ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
