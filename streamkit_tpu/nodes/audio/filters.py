@@ -19,6 +19,7 @@ plumbing.
 from __future__ import annotations
 
 import asyncio
+import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -264,27 +265,53 @@ class MixerNode(ProcessorNode):
     async def run(self, ctx: NodeContext) -> None:
         ctx.emit_state(NodeState.running())
         stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
-        open_pins = dict(ctx.inputs)  # pin -> channel; retired on EOF
+        retired: set = set()  # pins that reached EOF
         out_fmt: Optional[AudioFormat] = None
+        saw_pins = False
         try:
-            while open_pins:
-                # one synchronized round: one frame per open input
+            while not ctx.cancelled:
+                # dynamic mode: pins may be added/removed while running — take
+                # a fresh view each round (reference run_dynamic, mixer.rs:448)
+                open_pins = {p: ch for p, ch in ctx.inputs.items() if p not in retired}
+                if not open_pins:
+                    if saw_pins or ctx.inputs:
+                        break  # all pins retired → input closed
+                    await asyncio.sleep(0.01)  # waiting for first connection
+                    continue
+                saw_pins = True
+                # one synchronized round: one frame per open pin. Phase 1 —
+                # poll all pins fairly until any produces (or all retire);
+                # phase 2 — give stragglers sync_timeout, then mix without
+                # them (missing pins → silence, reference mixer.rs:448).
                 frames: List[AudioFrame] = []
-                for pin in list(open_pins):
-                    ch = open_pins[pin]
-                    try:
-                        pkt = await asyncio.wait_for(
-                            ch.recv_optional(),
-                            timeout=self.sync_timeout if frames else None,
-                        )
-                    except asyncio.TimeoutError:
-                        continue  # missing this round → silence (omitted)
-                    if pkt is None:
-                        del open_pins[pin]  # EOF → retire pin
-                        continue
-                    stats.packet_received()
-                    if pkt.audio is not None:
-                        frames.append(pkt.audio)
+                got: dict = {}
+                deadline: Optional[float] = None
+                while not ctx.cancelled:
+                    progress = False
+                    for pin in sorted(open_pins):
+                        if pin in got:
+                            continue
+                        try:
+                            pkt = open_pins[pin].try_recv()
+                        except ChannelClosed:
+                            retired.add(pin)
+                            continue
+                        except ChannelFull:  # empty (would block)
+                            continue
+                        progress = True
+                        if pkt.audio is not None:
+                            stats.packet_received()
+                            got[pin] = pkt.audio
+                    open_pins = {p: c for p, c in open_pins.items() if p not in retired}
+                    if not open_pins or len(got) == len(open_pins):
+                        break
+                    if got and deadline is None:
+                        deadline = time.monotonic() + self.sync_timeout
+                    if deadline is not None and time.monotonic() >= deadline:
+                        break
+                    if not progress:
+                        await asyncio.sleep(0.002)
+                frames = [got[p] for p in sorted(got)]
                 if not frames:
                     continue
                 if out_fmt is None:
