@@ -1,0 +1,82 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Whisper model configurations.
+
+Replaces the reference's whisper.cpp GGML models
+(``plugins/native/whisper``) with a TPU-native implementation. Dimensions
+follow the published OpenAI Whisper family.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+__all__ = ["WhisperConfig", "WHISPER_CONFIGS"]
+
+
+@dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    n_audio_ctx: int = 1500  # 30 s of mel frames after conv stride 2
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_vocab: int = 51865
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+
+    # special tokens (multilingual vocab layout)
+    @property
+    def token_eot(self) -> int:
+        return self.n_vocab - 51865 + 50256 if self.n_vocab >= 51865 else 50256
+
+    @property
+    def token_sot(self) -> int:
+        return self.token_eot + 1  # <|startoftranscript|>
+
+    @property
+    def token_translate(self) -> int:
+        return self.token_sot + 100 + 1 + 58 if self.n_vocab == 51866 else self.token_sot + 100 + 58
+
+    @property
+    def token_transcribe(self) -> int:
+        return self.token_translate + 1
+
+    @property
+    def token_no_timestamps(self) -> int:
+        return self.token_transcribe + 3
+
+    def token_language(self, lang_index: int = 0) -> int:
+        """<|en|> is sot+1, then one token per language."""
+        return self.token_sot + 1 + lang_index
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+
+WHISPER_CONFIGS = {
+    "tiny": WhisperConfig(),
+    "base": WhisperConfig(
+        n_audio_state=512, n_audio_head=8, n_audio_layer=6,
+        n_text_state=512, n_text_head=8, n_text_layer=6,
+    ),
+    "small": WhisperConfig(
+        n_audio_state=768, n_audio_head=12, n_audio_layer=12,
+        n_text_state=768, n_text_head=12, n_text_layer=12,
+    ),
+    "medium": WhisperConfig(
+        n_audio_state=1024, n_audio_head=16, n_audio_layer=24,
+        n_text_state=1024, n_text_head=16, n_text_layer=24,
+    ),
+    "large-v2": WhisperConfig(
+        n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+        n_text_state=1280, n_text_head=20, n_text_layer=32,
+    ),
+    "large-v3": WhisperConfig(
+        n_mels=128, n_vocab=51866,
+        n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+        n_text_state=1280, n_text_head=20, n_text_layer=32,
+    ),
+}

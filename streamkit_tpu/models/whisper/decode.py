@@ -1,0 +1,120 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Greedy decoding for Whisper — batched, jitted, static-shaped.
+
+The reference transcribes whole VAD segments with whisper.cpp ``full()``
+(``plugins/native/whisper/src/lib.rs:404-490``). Here the decode loop is a
+``lax.while_loop`` over a jitted single-token step with a preallocated KV
+cache: one compilation per (batch, max_len) bucket, then pure device
+execution. Batched over sessions for the continuous batcher.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.mel import log_mel_spectrogram
+from .config import WhisperConfig
+from .model import Params, decode_step, encode, init_kv_cache
+
+__all__ = ["greedy_decode", "transcribe_window", "pad_or_trim", "N_SAMPLES_30S"]
+
+N_SAMPLES_30S = 30 * 16_000
+
+
+def pad_or_trim(audio: np.ndarray, length: int = N_SAMPLES_30S) -> np.ndarray:
+    """Whisper's fixed 30 s window: zero-pad or trim."""
+    if audio.shape[-1] >= length:
+        return audio[..., :length]
+    pad = [(0, 0)] * (audio.ndim - 1) + [(0, length - audio.shape[-1])]
+    return np.pad(audio, pad)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_tokens"))
+def _greedy_loop(
+    params: Params,
+    cfg: WhisperConfig,
+    audio_states: jnp.ndarray,  # [batch, n_audio_ctx, d]
+    prefix: jnp.ndarray,  # [batch, n_prefix] forced tokens
+    max_tokens: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy decode → (tokens [batch, max_tokens], lengths [batch])."""
+    batch = audio_states.shape[0]
+    n_prefix = prefix.shape[1]
+    cache = init_kv_cache(params, cfg, audio_states, max_len=max_tokens + n_prefix)
+    eot = jnp.int32(cfg.token_eot)
+
+    # feed the forced prefix (one step at a time keeps the cache layout simple;
+    # prefix is ≤4 tokens so this costs 4 steps)
+    def feed(i, carry):
+        cache, _ = carry
+        logits, cache = decode_step(params, cfg, prefix[:, i], cache)
+        return cache, logits
+
+    cache, logits = jax.lax.fori_loop(0, n_prefix, feed, (cache, jnp.zeros((batch, cfg.n_vocab))))
+
+    tokens0 = jnp.full((batch, max_tokens), eot, dtype=jnp.int32)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(first)
+    done0 = first == eot
+
+    def cond(carry):
+        i, _, _, done = carry
+        return jnp.logical_and(i < max_tokens - 1, ~jnp.all(done))
+
+    def body(carry):
+        i, tokens, cache, done = carry
+        logits, cache = decode_step(params, cfg, tokens[:, i], cache)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eot, nxt)
+        tokens = tokens.at[:, i + 1].set(nxt)
+        done = jnp.logical_or(done, nxt == eot)
+        return i + 1, tokens, cache, done
+
+    _, tokens, _, done = jax.lax.while_loop(cond, body, (jnp.int32(0), tokens0, cache, done0))
+    lengths = jnp.sum((tokens != eot).astype(jnp.int32), axis=-1)
+    return tokens, lengths
+
+
+def greedy_decode(
+    params: Params,
+    cfg: WhisperConfig,
+    mel: jnp.ndarray,  # [batch, 3000, n_mels]
+    language_index: int = 0,
+    task: str = "transcribe",
+    max_tokens: int = 224,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode + greedy decode with the standard forced prefix
+    ``<|sot|><|lang|><|task|><|notimestamps|>``."""
+    audio_states = encode(params, cfg, mel)
+    batch = mel.shape[0]
+    task_token = cfg.token_transcribe if task == "transcribe" else cfg.token_translate
+    prefix = jnp.broadcast_to(
+        jnp.asarray(
+            [cfg.token_sot, cfg.token_language(language_index), task_token, cfg.token_no_timestamps],
+            dtype=jnp.int32,
+        ),
+        (batch, 4),
+    )
+    tokens, lengths = _greedy_loop(params, cfg, audio_states, prefix, max_tokens)
+    return np.asarray(tokens), np.asarray(lengths)
+
+
+def transcribe_window(
+    params: Params,
+    cfg: WhisperConfig,
+    audio_16k: np.ndarray,  # [samples] or [batch, samples] f32 @16 kHz
+    **kw,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Audio → mel → tokens for one ≤30 s window (batched)."""
+    squeeze = audio_16k.ndim == 1
+    if squeeze:
+        audio_16k = audio_16k[None]
+    audio = pad_or_trim(audio_16k)
+    mel = log_mel_spectrogram(jnp.asarray(audio), cfg.n_mels)
+    tokens, lengths = greedy_decode(params, cfg, mel, **kw)
+    return tokens, lengths

@@ -1,0 +1,334 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Pure-JAX Whisper encoder/decoder.
+
+TPU-native replacement for the reference's whisper.cpp inference
+(``plugins/native/whisper/src/lib.rs``). Design notes:
+
+* parameters are plain dict pytrees (easy HF-checkpoint conversion, easy
+  pjit sharding annotations in :mod:`streamkit_tpu.parallel`),
+* all matmuls carry ``preferred_element_type=f32``; params may be bf16 —
+  the MXU computes bf16×bf16→f32, which is the TPU sweet spot,
+* encoder conv1d is expressed as ``lax.conv_general_dilated`` over NCW —
+  XLA lowers it onto the MXU,
+* decoder self-attention uses a preallocated KV cache updated with
+  ``lax.dynamic_update_slice`` at a traced position — static shapes, no
+  recompile per step,
+* everything is batched over a leading ``batch`` axis so the continuous
+  batcher can pack many sessions into one device call.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperConfig
+
+__all__ = [
+    "init_params",
+    "encode",
+    "decode_logits",
+    "init_kv_cache",
+    "decode_step",
+    "sinusoids",
+]
+
+Params = Dict[str, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# parameter init (deterministic; real weights come from load.py conversion)
+# ---------------------------------------------------------------------------
+def init_params(cfg: WhisperConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Randomly initialized parameter pytree with HF-compatible structure.
+
+    Host-side numpy init (seeded from ``key``): random weights are only used
+    for offline tests/benchmarks, and numpy avoids thousands of tiny device
+    dispatches that made per-tensor jax.random calls pathologically slow.
+    """
+    seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+
+    def _linear_init(d_in, d_out):
+        scale = 1.0 / math.sqrt(d_in)
+        return jnp.asarray(rng.uniform(-scale, scale, (d_in, d_out)).astype(np.float32), dtype)
+
+    def linear(d_in, d_out, bias=True):
+        p = {"w": _linear_init(d_in, d_out)}
+        if bias:
+            p["b"] = jnp.zeros((d_out,), dtype)
+        return p
+
+    def ln(d):
+        return {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)}
+
+    def attn_block(d, cross=False):
+        return {
+            "q": linear(d, d),
+            "k": linear(d, d, bias=False),
+            "v": linear(d, d),
+            "o": linear(d, d),
+        }
+
+    def enc_layer(d):
+        return {
+            "ln1": ln(d),
+            "attn": attn_block(d),
+            "ln2": ln(d),
+            "mlp1": linear(d, 4 * d),
+            "mlp2": linear(4 * d, d),
+        }
+
+    def dec_layer(d):
+        return {
+            "ln1": ln(d),
+            "attn": attn_block(d),
+            "ln_x": ln(d),
+            "xattn": attn_block(d, cross=True),
+            "ln2": ln(d),
+            "mlp1": linear(d, 4 * d),
+            "mlp2": linear(4 * d, d),
+        }
+
+    da, dt = cfg.n_audio_state, cfg.n_text_state
+    return {
+        "enc": {
+            "conv1": {
+                "w": _linear_init(cfg.n_mels * 3, da).reshape(3, cfg.n_mels, da),
+                "b": jnp.zeros((da,), dtype),
+            },
+            "conv2": {
+                "w": _linear_init(da * 3, da).reshape(3, da, da),
+                "b": jnp.zeros((da,), dtype),
+            },
+            "pos": jnp.asarray(sinusoids(cfg.n_audio_ctx, da), dtype),
+            "layers": [enc_layer(da) for _ in range(cfg.n_audio_layer)],
+            "ln_post": ln(da),
+        },
+        "dec": {
+            "tok_emb": jnp.asarray(rng.normal(0, 0.02, (cfg.n_vocab, dt)).astype(np.float32), dtype),
+            "pos_emb": jnp.asarray(rng.normal(0, 0.02, (cfg.n_text_ctx, dt)).astype(np.float32), dtype),
+            "layers": [dec_layer(dt) for _ in range(cfg.n_text_layer)],
+            "ln": ln(dt),
+        },
+    }
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """Whisper's fixed sinusoidal encoder positions."""
+    log_timescale_increment = math.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+def _layernorm(x, p):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _dense(x, p):
+    y = jnp.matmul(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def _split_heads(x, n_head):
+    *lead, t, d = x.shape
+    return x.reshape(*lead, t, n_head, d // n_head).swapaxes(-3, -2)  # [..., h, t, hd]
+
+
+def _merge_heads(x):
+    *lead, h, t, hd = x.shape
+    return x.swapaxes(-3, -2).reshape(*lead, t, h * hd)
+
+
+def _attention(q, k, v, n_head, mask=None):
+    """Scaled dot-product attention. q,k,v: [..., t, d]."""
+    hd = q.shape[-1] // n_head
+    scale = hd ** -0.25
+    qh = _split_heads(q, n_head) * scale
+    kh = _split_heads(k, n_head) * scale
+    vh = _split_heads(v, n_head)
+    scores = jnp.matmul(qh, kh.swapaxes(-1, -2), preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.matmul(probs, vh, preferred_element_type=jnp.float32).astype(q.dtype)
+    return _merge_heads(out)
+
+
+def _mlp(x, layer):
+    return _dense(jax.nn.gelu(_dense(x, layer["mlp1"]), approximate=False), layer["mlp2"])
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+def _conv1d(x, w, b, stride: int):
+    """x: [batch, t, c_in]; w: [k, c_in, c_out] — NWC conv on the MXU."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + b
+
+
+def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """``mel [batch, n_frames, n_mels]`` → audio states ``[batch, n_audio_ctx, d]``.
+
+    ``n_frames`` must be ``2 * n_audio_ctx`` (3000 for 30 s windows) — pad
+    shorter audio with zeros mel-side (the standard Whisper recipe).
+    """
+    e = params["enc"]
+    x = jax.nn.gelu(_conv1d(mel, e["conv1"]["w"], e["conv1"]["b"], 1), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, e["conv2"]["w"], e["conv2"]["b"], 2), approximate=False)
+    x = x + e["pos"].astype(x.dtype)
+    for layer in e["layers"]:
+        h = _layernorm(x, layer["ln1"])
+        attn = _attention(
+            _dense(h, layer["attn"]["q"]),
+            _dense(h, layer["attn"]["k"]),
+            _dense(h, layer["attn"]["v"]),
+            cfg.n_audio_head,
+        )
+        x = x + _dense(attn, layer["attn"]["o"])
+        x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
+    return _layernorm(x, e["ln_post"])
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+def decode_logits(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # [batch, t]
+    audio_states: jnp.ndarray,  # [batch, n_audio_ctx, d]
+) -> jnp.ndarray:
+    """Full-sequence (teacher-forced) decoder — training/parity path."""
+    d = params["dec"]
+    t = tokens.shape[-1]
+    x = d["tok_emb"][tokens] + d["pos_emb"][:t]
+    causal = jnp.triu(jnp.full((t, t), -jnp.inf, dtype=jnp.float32), k=1)
+    for layer in d["layers"]:
+        h = _layernorm(x, layer["ln1"])
+        attn = _attention(
+            _dense(h, layer["attn"]["q"]),
+            _dense(h, layer["attn"]["k"]),
+            _dense(h, layer["attn"]["v"]),
+            cfg.n_text_head,
+            mask=causal,
+        )
+        x = x + _dense(attn, layer["attn"]["o"])
+        hx = _layernorm(x, layer["ln_x"])
+        xattn = _attention(
+            _dense(hx, layer["xattn"]["q"]),
+            _dense(audio_states, layer["xattn"]["k"]),
+            _dense(audio_states, layer["xattn"]["v"]),
+            cfg.n_text_head,
+        )
+        x = x + _dense(xattn, layer["xattn"]["o"])
+        x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
+    x = _layernorm(x, d["ln"])
+    return jnp.matmul(
+        x, d["tok_emb"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [layers, batch, heads, max_len, head_dim]
+    v: jnp.ndarray
+    xk: jnp.ndarray  # precomputed cross-attention keys [layers, batch, heads, n_audio_ctx, hd]
+    xv: jnp.ndarray
+    pos: jnp.ndarray  # [] int32 — next write position
+
+
+def init_kv_cache(
+    params: Params, cfg: WhisperConfig, audio_states: jnp.ndarray, max_len: Optional[int] = None
+) -> KVCache:
+    """Preallocate self-attn cache and precompute cross-attn K/V once."""
+    batch = audio_states.shape[0]
+    max_len = max_len or cfg.n_text_ctx
+    hd = cfg.n_text_state // cfg.n_text_head
+    dtype = audio_states.dtype
+    layers = params["dec"]["layers"]
+    xk = jnp.stack(
+        [_split_heads(_dense(audio_states, l["xattn"]["k"]), cfg.n_text_head) for l in layers]
+    )
+    xv = jnp.stack(
+        [_split_heads(_dense(audio_states, l["xattn"]["v"]), cfg.n_text_head) for l in layers]
+    )
+    shape = (cfg.n_text_layer, batch, cfg.n_text_head, max_len, hd)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        xk=xk,
+        xv=xv,
+        pos=jnp.asarray(0, jnp.int32),
+    )
+
+
+def decode_step(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # [batch] current token ids
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One incremental decode step → (logits [batch, vocab], new cache)."""
+    d = params["dec"]
+    batch = tokens.shape[0]
+    pos = cache.pos
+    x = d["tok_emb"][tokens][:, None, :] + jax.lax.dynamic_slice_in_dim(d["pos_emb"], pos, 1)
+    max_len = cache.k.shape[-2]
+    hd = cfg.n_text_state // cfg.n_text_head
+    # mask future cache slots: position j valid iff j <= pos
+    idx = jnp.arange(max_len)
+    mask = jnp.where(idx[None, :] <= pos, 0.0, -jnp.inf).astype(jnp.float32)[None, None, :]
+
+    new_k, new_v = cache.k, cache.v
+    for i, layer in enumerate(d["layers"]):
+        h = _layernorm(x, layer["ln1"])
+        q = _split_heads(_dense(h, layer["attn"]["q"]), cfg.n_text_head)  # [b, h, 1, hd]
+        k1 = _split_heads(_dense(h, layer["attn"]["k"]), cfg.n_text_head)
+        v1 = _split_heads(_dense(h, layer["attn"]["v"]), cfg.n_text_head)
+        new_k = jax.lax.dynamic_update_slice(new_k, k1[None], (i, 0, 0, pos, 0))
+        new_v = jax.lax.dynamic_update_slice(new_v, v1[None], (i, 0, 0, pos, 0))
+        scale = hd ** -0.25
+        scores = jnp.matmul(
+            q * scale, (new_k[i] * scale).swapaxes(-1, -2), preferred_element_type=jnp.float32
+        )
+        scores = scores + mask
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = _merge_heads(jnp.matmul(probs, new_v[i], preferred_element_type=jnp.float32).astype(x.dtype))
+        x = x + _dense(attn, layer["attn"]["o"])
+        # cross attention against precomputed enc K/V
+        hx = _layernorm(x, layer["ln_x"])
+        qx = _split_heads(_dense(hx, layer["xattn"]["q"]), cfg.n_text_head)
+        xscores = jnp.matmul(
+            qx * scale, (cache.xk[i] * scale).swapaxes(-1, -2), preferred_element_type=jnp.float32
+        )
+        xprobs = jax.nn.softmax(xscores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        xattn = _merge_heads(
+            jnp.matmul(xprobs, cache.xv[i], preferred_element_type=jnp.float32).astype(x.dtype)
+        )
+        x = x + _dense(xattn, layer["xattn"]["o"])
+        x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
+    x = _layernorm(x, d["ln"])
+    logits = jnp.matmul(x[:, 0], d["tok_emb"].T.astype(x.dtype), preferred_element_type=jnp.float32)
+    return logits, KVCache(new_k, new_v, cache.xk, cache.xv, pos + 1)

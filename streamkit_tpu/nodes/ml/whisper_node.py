@@ -1,0 +1,226 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Whisper STT node: VAD-segmented speech → Transcription packets.
+
+Parity target: ``plugins/native/whisper`` (whisper.cpp + Silero VAD):
+
+* 512-sample VAD frames gate a speech buffer (``vad.rs:19-60``),
+* transcribe on ≥``min_silence_duration_ms`` (700) silence or at
+  ``max_segment_duration_secs`` (30) forced cut (``lib.rs:404-490``),
+* process-wide model cache keyed by (model, params) — here the
+  :class:`ResourceManager` with a ``ResourceKey`` (``lib.rs:170-180``),
+* emits ``Transcription`` packets + ``vad.speech_start/end`` and
+  ``stt.result`` telemetry.
+
+Beyond the reference: optional **live partial transcripts** — while a
+segment is open, the in-progress audio is re-decoded every
+``partial_interval_ms`` and emitted with ``is_final=false`` (BASELINE
+config #3); the reference only emits whole segments.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...core import (
+    AudioFormat,
+    ChannelClosed,
+    ConfigurationError,
+    InputPin,
+    NodeContext,
+    NodeStatsTracker,
+    OutputPin,
+    Packet,
+    PacketMetadata,
+    PacketType,
+    ProcessorNode,
+    ResourceKey,
+    TelemetryEmitter,
+    TranscriptionData,
+    TranscriptionSegment,
+    parse_config_optional,
+)
+from ...core.state import NodeState, StopReason
+from ...models.whisper import (
+    WHISPER_CONFIGS,
+    WhisperDetokenizer,
+    init_params,
+    load_pretrained,
+    transcribe_window,
+)
+from ...ops import VAD_FRAME, vad_frame_probs, vad_init_state
+from .vad_node import SpeechSegmenter
+
+_SR = 16_000
+
+# whisper language token order (subset; index into the language token block)
+_LANG_INDEX = {"en": 0, "zh": 1, "de": 2, "es": 3, "ru": 4, "ko": 5, "fr": 6, "ja": 7, "pt": 8}
+
+
+class WhisperNode(ProcessorNode):
+    """Speech-to-text (``plugin::native::whisper``)."""
+
+    KIND = "plugin::native::whisper"
+
+    def __init__(self, params: Optional[dict]) -> None:
+        cfg = parse_config_optional(
+            params,
+            {
+                "model_path": None,  # HF checkpoint dir (vocab.json for text out)
+                "model_size": "tiny",  # used with random init when no model_path
+                "language": "en",
+                "vad_model_path": None,  # accepted for reference-yaml compat
+                "vad_threshold": 0.5,
+                "min_silence_duration_ms": 700,
+                "max_segment_duration_secs": 30.0,
+                "partial_transcripts": False,
+                "partial_interval_ms": 300,
+                "allow_random_init": True,  # offline/dev mode when no weights
+                "dtype": "float32",
+                "max_tokens": 224,
+            },
+        )
+        self.model_path = cfg["model_path"]
+        self.model_size = cfg["model_size"]
+        self.language = cfg["language"]
+        self.vad_threshold = float(cfg["vad_threshold"])
+        self.min_silence_ms = float(cfg["min_silence_duration_ms"])
+        self.max_segment_secs = float(cfg["max_segment_duration_secs"])
+        self.partials = bool(cfg["partial_transcripts"])
+        self.partial_interval = float(cfg["partial_interval_ms"]) / 1000.0
+        self.allow_random_init = bool(cfg["allow_random_init"])
+        self.dtype = jnp.bfloat16 if cfg["dtype"] == "bfloat16" else jnp.float32
+        self.max_tokens = int(cfg["max_tokens"])
+        if self.model_path is None and not self.allow_random_init:
+            raise ConfigurationError("model_path is required when allow_random_init is false")
+
+    def input_pins(self) -> List[InputPin]:
+        return [InputPin("in", [PacketType.raw_audio(AudioFormat(16000, 0))])]
+
+    def output_pins(self) -> List[OutputPin]:
+        return [OutputPin("out", PacketType.transcription())]
+
+    async def _load_model(self, ctx: NodeContext):
+        """Shared, content-addressed model load (reference model cache)."""
+
+        async def loader():
+            loop = asyncio.get_running_loop()
+
+            def build():
+                if self.model_path and os.path.isdir(self.model_path):
+                    cfg, params = load_pretrained(self.model_path, self.dtype)
+                    tok = WhisperDetokenizer.from_model_dir(self.model_path)
+                else:
+                    if not self.allow_random_init:
+                        raise ConfigurationError(f"model not found: {self.model_path}")
+                    cfg = WHISPER_CONFIGS[self.model_size]
+                    params = init_params(cfg, jax.random.PRNGKey(0), self.dtype)
+                    tok = WhisperDetokenizer()
+                return cfg, params, tok
+
+            return await loop.run_in_executor(None, build)
+
+        key = ResourceKey.from_params(
+            "whisper", {"path": self.model_path, "size": self.model_size, "dtype": str(self.dtype)}
+        )
+        if ctx.resources is not None:
+            return await ctx.resources.get_or_create(key, loader)
+        return await loader()
+
+    async def run(self, ctx: NodeContext) -> None:
+        stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
+        telemetry = TelemetryEmitter(ctx.node_name, ctx.telemetry_tx)
+        model_cfg, params, detok = await self._load_model(ctx)
+        ctx.emit_state(NodeState.running())
+
+        vad_state = vad_init_state()
+        seg = SpeechSegmenter(self.vad_threshold, self.min_silence_ms, self.max_segment_secs)
+        buf = np.zeros(0, dtype=np.float32)
+        lang_index = _LANG_INDEX.get(self.language, 0)
+        loop = asyncio.get_running_loop()
+        last_partial = 0.0
+        seq = 0
+
+        def decode_sync(audio: np.ndarray):
+            tokens, lengths = transcribe_window(
+                params, model_cfg, audio, language_index=lang_index, max_tokens=self.max_tokens
+            )
+            return detok.decode(tokens[0][: int(lengths[0])])
+
+        async def emit_transcription(samples, start_f, end_f, is_final: bool) -> None:
+            nonlocal seq
+            if samples.shape[0] < VAD_FRAME:
+                return
+            text = await loop.run_in_executor(None, decode_sync, samples)
+            start_ms = start_f * VAD_FRAME * 1000 // _SR
+            end_ms = end_f * VAD_FRAME * 1000 // _SR
+            data = TranscriptionData(
+                text=text,
+                segments=(TranscriptionSegment(text, start_ms, end_ms),),
+                language=self.language,
+                is_final=is_final,
+            )
+            meta = PacketMetadata(timestamp_us=start_ms * 1000, sequence=seq)
+            seq += 1
+            if is_final:
+                telemetry.emit("stt.result", {"text": text, "start_ms": start_ms, "end_ms": end_ms})
+            else:
+                telemetry.emit("stt.partial", {"text": text})
+            await ctx.output.send("out", Packet.new_transcription(data, meta))
+            stats.packet_sent()
+
+        try:
+            while True:
+                pkt = await ctx.recv_with_cancellation("in")
+                if pkt is None:
+                    break
+                stats.packet_received()
+                if pkt.audio is None:
+                    stats.packet_discarded()
+                    continue
+                if pkt.audio.format.sample_rate != _SR:
+                    raise ConfigurationError(
+                        f"whisper requires 16kHz input, got {pkt.audio.format.sample_rate}"
+                    )
+                samples = pkt.audio.samples
+                if pkt.audio.format.channels > 1:  # downmix
+                    samples = samples.reshape(-1, pkt.audio.format.channels).mean(axis=1)
+                buf = np.concatenate([buf, samples])
+                n_frames = len(buf) // VAD_FRAME
+                if n_frames == 0:
+                    continue
+                frames = buf[: n_frames * VAD_FRAME].reshape(n_frames, VAD_FRAME)
+                buf = buf[n_frames * VAD_FRAME :]
+                probs, vad_state = vad_frame_probs(vad_state, jnp.asarray(frames))
+                probs = np.asarray(probs)
+                for i in range(n_frames):
+                    for kind, seg_samples, start_f, end_f in seg.push(frames[i], float(probs[i])):
+                        if kind == "speech_start":
+                            telemetry.emit("vad.speech_start", {})
+                        else:
+                            telemetry.emit("vad.speech_end", {})
+                            await emit_transcription(seg_samples, start_f, end_f, True)
+                # live partials while a segment is open (extension)
+                if self.partials and seg.in_speech:
+                    now = time.monotonic()
+                    if now - last_partial >= self.partial_interval and seg._segment:
+                        last_partial = now
+                        partial_audio = np.concatenate(seg._segment)
+                        await emit_transcription(
+                            partial_audio, seg._segment_start_frame, seg._frame_idx, False
+                        )
+            for kind, seg_samples, start_f, end_f in seg.flush():
+                await emit_transcription(seg_samples, start_f, end_f, True)
+        except ChannelClosed:
+            ctx.emit_state(NodeState.stopped(StopReason.OUTPUT_CLOSED))
+            stats.flush()
+            return
+        stats.flush()
+        ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))

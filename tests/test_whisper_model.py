@@ -1,0 +1,141 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Whisper JAX model tests: logit parity vs torch HF implementation (random
+weights, no network), KV-cache decode consistency, greedy decode mechanics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from streamkit_tpu.models.whisper import (
+    WhisperConfig,
+    config_from_hf,
+    decode_logits,
+    decode_step,
+    encode,
+    greedy_decode,
+    init_kv_cache,
+    init_params,
+    params_from_hf_state_dict,
+)
+
+TINY = WhisperConfig(
+    n_mels=80,
+    n_audio_ctx=50,  # 1 s windows keep the test fast
+    n_audio_state=64,
+    n_audio_head=2,
+    n_audio_layer=2,
+    n_vocab=51865,
+    n_text_ctx=32,
+    n_text_state=64,
+    n_text_head=2,
+    n_text_layer=2,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    """Random-weight HF torch model + converted JAX params."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=TINY.n_vocab,
+        num_mel_bins=TINY.n_mels,
+        encoder_layers=TINY.n_audio_layer,
+        encoder_attention_heads=TINY.n_audio_head,
+        decoder_layers=TINY.n_text_layer,
+        decoder_attention_heads=TINY.n_text_head,
+        d_model=TINY.n_audio_state,
+        max_source_positions=TINY.n_audio_ctx,
+        max_target_positions=TINY.n_text_ctx,
+        encoder_ffn_dim=4 * TINY.n_audio_state,
+        decoder_ffn_dim=4 * TINY.n_text_state,
+    )
+    torch.manual_seed(0)
+    model = transformers.WhisperForConditionalGeneration(hf_cfg).eval()
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    cfg = config_from_hf(hf_cfg)
+    params = params_from_hf_state_dict(sd, cfg)
+    return model, cfg, params
+
+
+def test_config_from_hf_roundtrip(hf_pair):
+    _, cfg, _ = hf_pair
+    assert cfg == TINY
+
+
+def test_encoder_logit_parity(hf_pair):
+    torch = pytest.importorskip("torch")
+    model, cfg, params = hf_pair
+    rng = np.random.RandomState(0)
+    mel = rng.randn(2, cfg.n_audio_ctx * 2, cfg.n_mels).astype(np.float32) * 0.5
+
+    with torch.no_grad():
+        hf_out = model.model.encoder(torch.from_numpy(mel.transpose(0, 2, 1))).last_hidden_state
+    with jax.default_matmul_precision("highest"):
+        ours = encode(params, cfg, jnp.asarray(mel))
+    np.testing.assert_allclose(np.asarray(ours), hf_out.numpy(), atol=2e-4)
+
+
+def test_decoder_logit_parity(hf_pair):
+    torch = pytest.importorskip("torch")
+    model, cfg, params = hf_pair
+    rng = np.random.RandomState(1)
+    mel = rng.randn(1, cfg.n_audio_ctx * 2, cfg.n_mels).astype(np.float32) * 0.5
+    tokens = np.array([[cfg.token_sot, 123, 456, 789]], dtype=np.int64)
+
+    with torch.no_grad():
+        out = model(
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            decoder_input_ids=torch.from_numpy(tokens),
+        ).logits
+    with jax.default_matmul_precision("highest"):
+        audio_states = encode(params, cfg, jnp.asarray(mel))
+        ours = decode_logits(params, cfg, jnp.asarray(tokens.astype(np.int32)), audio_states)
+    np.testing.assert_allclose(np.asarray(ours), out.numpy(), atol=3e-3)
+
+
+def test_kv_cache_matches_full_decode(hf_pair):
+    """Incremental decode_step must produce the same logits as the
+    teacher-forced full pass."""
+    _, cfg, params = hf_pair
+    rng = np.random.RandomState(2)
+    mel = jnp.asarray(rng.randn(2, cfg.n_audio_ctx * 2, cfg.n_mels).astype(np.float32) * 0.5)
+    tokens = jnp.asarray(rng.randint(0, cfg.n_vocab, size=(2, 6)), dtype=jnp.int32)
+
+    with jax.default_matmul_precision("highest"):
+        audio_states = encode(params, cfg, mel)
+        full = decode_logits(params, cfg, tokens, audio_states)  # [2, 6, vocab]
+        cache = init_kv_cache(params, cfg, audio_states, max_len=8)
+        step_logits = []
+        for i in range(6):
+            logits, cache = decode_step(params, cfg, tokens[:, i], cache)
+            step_logits.append(np.asarray(logits))
+    inc = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(inc, np.asarray(full), atol=2e-3)
+
+
+def test_greedy_decode_shapes_and_determinism():
+    cfg = TINY
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    mel = jnp.asarray(rng.randn(2, cfg.n_audio_ctx * 2, cfg.n_mels).astype(np.float32))
+    t1, l1 = greedy_decode(params, cfg, mel, max_tokens=16)
+    t2, l2 = greedy_decode(params, cfg, mel, max_tokens=16)
+    assert t1.shape == (2, 16)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_greedy_decode_batch_consistency():
+    """Row i of a batched decode equals decoding row i alone (batching must
+    not change results — the continuous batcher depends on this)."""
+    cfg = TINY
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.RandomState(4)
+    mel = rng.randn(3, cfg.n_audio_ctx * 2, cfg.n_mels).astype(np.float32)
+    tb, lb = greedy_decode(params, cfg, jnp.asarray(mel), max_tokens=12)
+    t0, l0 = greedy_decode(params, cfg, jnp.asarray(mel[1:2]), max_tokens=12)
+    np.testing.assert_array_equal(tb[1], t0[0])
