@@ -182,17 +182,37 @@ class DynamicEngine:
 
     # ------------------------------------------------------------- activation
     async def _check_and_activate(self) -> None:
-        """Send Start to source nodes once ALL nodes are Ready/Running."""
+        """Send Start to source nodes once ALL nodes are Ready/Running.
+
+        Source = node with no declared input pins (reference
+        ``dynamic_actor.rs:165-243``). Additional robustness beyond the
+        reference: the source must have at least one attached downstream
+        destination, otherwise its packets would fall into an empty
+        distributor while the client is still wiring the graph (the
+        reference has this race; clients win it by message ordering).
+        """
         if not self.nodes:
             return
         if not all(e.state.is_ready_or_running for e in self.nodes.values()):
             return
+        # "whole pipeline ready": every declared (non-dynamic) input pin of
+        # every node must have an incoming connection, so no intermediate
+        # distributor drops packets into the void mid-wiring. Dynamic pin
+        # families (mixers) are exempt — their pins exist per connection.
+        connected_inputs = {(c.to_node, c.to_pin) for c in self.connections.values()}
+        for name, entry in self.nodes.items():
+            for pin in entry.input_pins:
+                if pin.cardinality.is_dynamic:
+                    continue
+                if (name, pin.name) not in connected_inputs:
+                    return
         for name, entry in self.nodes.items():
             if entry.started:
                 continue
-            has_input_conn = any(c.to_node == name for c in self.connections.values())
-            if has_input_conn:
-                continue
+            if entry.input_pins:
+                continue  # not a source
+            if not any(d.destinations for d in entry.distributors.values()):
+                continue  # source with nothing downstream: keep holding
             try:
                 entry.control_tx.try_send(NodeControlMessage.start())
                 entry.started = True
@@ -211,6 +231,7 @@ class DynamicEngine:
                 result = None
             elif msg.op == "connect":
                 await self._connect(msg.from_node, msg.from_pin, msg.to_node, msg.to_pin, msg.mode)
+                await self._check_and_activate()  # wiring may unblock sources
                 result = None
             elif msg.op == "disconnect":
                 self._disconnect(msg.from_node, msg.from_pin, msg.to_node, msg.to_pin)

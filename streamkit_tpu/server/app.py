@@ -1,0 +1,360 @@
+# SPDX-License-Identifier: Apache-2.0
+"""The skit-equivalent server: HTTP routes + WS control plane (aiohttp).
+
+Parity with reference ``apps/skit/src/server.rs:1859-1971`` route table:
+
+* ``GET  /healthz``
+* ``POST /api/v1/process`` — oneshot pipeline (multipart: config + media)
+* ``GET  /api/v1/control`` — WebSocket control plane
+* ``GET  /api/v1/permissions`` / ``config`` / ``schema/nodes`` / ``schema/packets``
+* ``POST /api/v1/sessions`` (YAML create) / ``GET /api/v1/sessions`` /
+  ``DELETE /api/v1/sessions/{id}`` / ``GET /api/v1/sessions/{id}/pipeline``
+* samples + assets routers (``server/samples.py``)
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from typing import Dict, Optional, Set
+
+from aiohttp import WSMsgType, web
+
+from ..api.messages import make_response, parse_message
+from ..api.yaml_compiler import compile_yaml
+from ..core import (
+    ConfigurationError,
+    NodeRegistry,
+    ResourceManager,
+    ResourcePolicy,
+    StreamKitError,
+    ValidationFailure,
+)
+from ..engine.dynamic import DynamicEngineConfig
+from ..engine.oneshot import run_oneshot_pipeline
+from ..nodes import register_nodes
+from ..nodes.core_nodes.file_io import set_security_paths
+from .config import ServerConfig
+from .permissions import PermissionDenied, RoleStore
+from .sessions import Session, SessionManager
+from .websocket import MAX_WS_MESSAGE_BYTES, WsDispatcher
+
+log = logging.getLogger(__name__)
+
+__all__ = ["AppState", "create_app", "run_server"]
+
+
+class AppState:
+    def __init__(self, config: ServerConfig) -> None:
+        self.config = config
+        self.registry = NodeRegistry()
+        register_nodes(self.registry)
+        self.resources = ResourceManager(
+            ResourcePolicy(
+                keep_loaded=config.keep_models_loaded, max_memory_mb=config.max_model_memory_mb
+            )
+        )
+        self.sessions = SessionManager()
+        self.roles = RoleStore(config.roles, config.default_role, config.role_header)
+        self._ws_clients: Set[web.WebSocketResponse] = set()
+        self._oneshot_sem = (
+            asyncio.Semaphore(config.oneshot_concurrency_limit)
+            if config.oneshot_concurrency_limit > 0
+            else None
+        )
+        set_security_paths(config.allowed_file_paths, config.allowed_write_paths)
+
+    def broadcast(self, event: dict) -> None:
+        """Fan an event out to every connected control client."""
+        data = json.dumps(event)
+        for ws in list(self._ws_clients):
+            if ws.closed:
+                self._ws_clients.discard(ws)
+                continue
+            asyncio.ensure_future(self._safe_send(ws, data))
+
+    @staticmethod
+    async def _safe_send(ws: web.WebSocketResponse, data: str) -> None:
+        try:
+            await ws.send_str(data)
+        except Exception:  # noqa: BLE001 — dead client
+            pass
+
+    async def create_session(self, name: Optional[str], created_by: str) -> Session:
+        profile = self.config.profile
+        cfg = DynamicEngineConfig(
+            packet_batch_size=self.config.packet_batch_size,
+            node_input_capacity=profile.node_input_capacity,
+            pin_distributor_capacity=profile.pin_distributor_capacity,
+        )
+        session = await Session.create(
+            self.registry,
+            name,
+            created_by,
+            self.broadcast,
+            resources=self.resources,
+            engine_config=cfg,
+        )
+        self.sessions.add(session)
+        return session
+
+
+# ---------------------------------------------------------------------------
+# handlers
+# ---------------------------------------------------------------------------
+async def healthz(request: web.Request) -> web.Response:
+    return web.json_response({"status": "ok"})
+
+
+async def process_oneshot(request: web.Request) -> web.StreamResponse:
+    """Oneshot pipeline execution (reference ``server.rs:1460-1584``)."""
+    state: AppState = request.app["state"]
+    role, perms = state.roles.extract(request.headers)
+    try:
+        perms.check("create_sessions")
+    except PermissionDenied as e:
+        return web.json_response({"error": str(e)}, status=403)
+
+    config_yaml: Optional[str] = None
+    media_stream = None
+    media_content_type: Optional[str] = None
+
+    if request.content_type and request.content_type.startswith("multipart/"):
+        reader = await request.multipart()
+        parts = []
+        async for part in reader:
+            if part.name == "config":
+                config_yaml = (await part.read()).decode()
+            elif part.name == "media":
+                media_content_type = part.headers.get("Content-Type")
+                # buffer media (streaming multipart iteration can't outlive handler order)
+                media_bytes = await part.read()
+                parts.append(media_bytes)
+        media = b"".join(parts) if parts else None
+    else:
+        config_yaml = request.query.get("config")
+        media = await request.read()
+        media_content_type = request.content_type
+
+    if not config_yaml:
+        return web.json_response({"error": "missing 'config' field (pipeline YAML)"}, status=422)
+
+    try:
+        pipeline = compile_yaml(config_yaml)
+    except ConfigurationError as e:
+        return web.json_response({"error": str(e)}, status=422)
+
+    for node_id, node in pipeline.nodes.items():
+        if not perms.node_allowed(node.kind):
+            return web.json_response(
+                {"error": f"node kind not allowed: {node.kind}"}, status=403
+            )
+
+    async def stream():
+        if media:
+            chunk_size = 64 * 1024
+            for i in range(0, len(media), chunk_size):
+                yield media[i : i + chunk_size]
+
+    sem = state._oneshot_sem
+    if sem is not None:
+        await sem.acquire()
+    try:
+        try:
+            result = await run_oneshot_pipeline(
+                state.registry,
+                pipeline,
+                input_stream=stream(),
+                input_content_type=media_content_type,
+                configured_content_type=request.query.get("content_type"),
+                resources=state.resources,
+            )
+        except (ValidationFailure, ConfigurationError) as e:
+            return web.json_response({"error": str(e)}, status=422)
+
+        response = web.StreamResponse(
+            status=200, headers={"Content-Type": result.content_type}
+        )
+        await response.prepare(request)
+        try:
+            async for chunk in result.iter_chunks():
+                await response.write(chunk)
+        except StreamKitError as e:
+            log.error("oneshot pipeline failed mid-stream: %s", e)
+        await response.write_eof()
+        return response
+    finally:
+        if sem is not None:
+            sem.release()
+
+
+async def ws_control(request: web.Request) -> web.WebSocketResponse:
+    """WebSocket control plane (reference ``websocket.rs:139``)."""
+    state: AppState = request.app["state"]
+    role, perms = state.roles.extract(request.headers)
+    ws = web.WebSocketResponse(max_msg_size=MAX_WS_MESSAGE_BYTES)
+    await ws.prepare(request)
+    state._ws_clients.add(ws)
+    dispatcher = WsDispatcher(state)
+    try:
+        async for msg in ws:
+            if msg.type is not WSMsgType.TEXT:
+                continue
+            try:
+                envelope = parse_message(msg.data)
+            except (ValueError, json.JSONDecodeError) as e:
+                await ws.send_json(
+                    make_response("error", None, message=f"malformed message: {e}")
+                )
+                continue
+            corr = envelope.get("correlation_id")
+            payload = await dispatcher.handle(envelope.get("payload") or {}, role, perms)
+            if payload is not None:
+                await ws.send_json({"type": "response", "correlation_id": corr, "payload": payload})
+    finally:
+        state._ws_clients.discard(ws)
+    return ws
+
+
+async def get_permissions(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    role, perms = state.roles.extract(request.headers)
+    return web.json_response({"role": role, "permissions": perms.to_json()})
+
+
+async def get_config(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    return web.json_response(state.config.to_json())
+
+
+async def schema_nodes(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    role, perms = state.roles.extract(request.headers)
+    defs = [d.to_json() for d in state.registry.definitions() if perms.node_allowed(d.kind)]
+    return web.json_response({"nodes": defs})
+
+
+async def schema_packets(request: web.Request) -> web.Response:
+    from ..core.packet_meta import packet_type_registry
+
+    return web.json_response(
+        {
+            "packet_types": [
+                {
+                    "id": m.id,
+                    "label": m.label,
+                    "color": m.color,
+                    "display_template": m.display_template,
+                    "compatibility": m.compatibility,
+                }
+                for m in packet_type_registry()
+            ]
+        }
+    )
+
+
+async def create_session_http(request: web.Request) -> web.Response:
+    """POST /api/v1/sessions {name?, yaml?} (reference ``server.rs:644-910``)."""
+    state: AppState = request.app["state"]
+    role, perms = state.roles.extract(request.headers)
+    try:
+        perms.check("create_sessions")
+    except PermissionDenied as e:
+        return web.json_response({"error": str(e)}, status=403)
+    try:
+        body = await request.json()
+    except json.JSONDecodeError:
+        return web.json_response({"error": "invalid JSON body"}, status=422)
+    try:
+        session = await state.create_session(body.get("name"), created_by=role)
+    except ValueError as e:
+        return web.json_response({"error": str(e)}, status=409)
+
+    yaml_text = body.get("yaml")
+    if yaml_text:
+        try:
+            pipeline = compile_yaml(yaml_text)
+            for node_id, node in pipeline.nodes.items():
+                if not perms.node_allowed(node.kind):
+                    raise PermissionDenied(f"node kind {node.kind}")
+                await session.handle.add_node(node_id, node.kind, node.params)
+            for c in pipeline.connections:
+                await session.handle.connect(c.from_node, c.from_pin, c.to_node, c.to_pin, c.mode)
+        except (StreamKitError, PermissionDenied, ValueError) as e:
+            await state.sessions.remove(session.id)
+            return web.json_response({"error": str(e)}, status=422)
+    return web.json_response(
+        {"session_id": session.id, "name": session.name, "created_at": session.created_at},
+        status=201,
+    )
+
+
+async def list_sessions_http(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    role, perms = state.roles.extract(request.headers)
+    try:
+        perms.check("list_sessions")
+    except PermissionDenied as e:
+        return web.json_response({"error": str(e)}, status=403)
+    creator = None if perms.access_all_sessions else role
+    return web.json_response({"sessions": [s.info() for s in state.sessions.list(creator)]})
+
+
+async def destroy_session_http(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    role, perms = state.roles.extract(request.headers)
+    try:
+        perms.check("destroy_sessions")
+    except PermissionDenied as e:
+        return web.json_response({"error": str(e)}, status=403)
+    session = await state.sessions.remove(request.match_info["id"])
+    if session is None:
+        return web.json_response({"error": "unknown session"}, status=404)
+    return web.json_response({"session_id": session.id})
+
+
+async def get_session_pipeline(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    session = state.sessions.get(request.match_info["id"])
+    if session is None:
+        return web.json_response({"error": "unknown session"}, status=404)
+    snapshot = await session.handle.get_pipeline()
+    return web.json_response({"pipeline": snapshot})
+
+
+# ---------------------------------------------------------------------------
+def create_app(config: Optional[ServerConfig] = None) -> web.Application:
+    config = config or ServerConfig()
+    app = web.Application(client_max_size=config.max_body_size)
+    app["state"] = AppState(config)
+
+    prefix = config.base_path.rstrip("/")
+    app.router.add_get(f"{prefix}/healthz", healthz)
+    app.router.add_post(f"{prefix}/api/v1/process", process_oneshot)
+    app.router.add_get(f"{prefix}/api/v1/control", ws_control)
+    app.router.add_get(f"{prefix}/api/v1/permissions", get_permissions)
+    app.router.add_get(f"{prefix}/api/v1/config", get_config)
+    app.router.add_get(f"{prefix}/api/v1/schema/nodes", schema_nodes)
+    app.router.add_get(f"{prefix}/api/v1/schema/packets", schema_packets)
+    app.router.add_post(f"{prefix}/api/v1/sessions", create_session_http)
+    app.router.add_get(f"{prefix}/api/v1/sessions", list_sessions_http)
+    app.router.add_delete(f"{prefix}/api/v1/sessions/{{id}}", destroy_session_http)
+    app.router.add_get(f"{prefix}/api/v1/sessions/{{id}}/pipeline", get_session_pipeline)
+
+    from .samples import add_sample_routes
+
+    add_sample_routes(app, prefix)
+
+    async def on_shutdown(app):
+        await app["state"].sessions.destroy_all()
+
+    app.on_shutdown.append(on_shutdown)
+    return app
+
+
+def run_server(config: Optional[ServerConfig] = None) -> None:
+    config = config or ServerConfig()
+    app = create_app(config)
+    log.info("skit-tpu serving on %s:%s", config.address, config.port)
+    web.run_app(app, host=config.address, port=config.port, print=lambda *_: None)
