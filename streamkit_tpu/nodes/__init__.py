@@ -14,6 +14,7 @@ from ..core import NodeRegistry
 def register_nodes(registry: NodeRegistry) -> None:
     """Register all built-in node kinds."""
     from .audio.filters import GainNode, MixerNode, ResamplerNode
+    from .containers.ogg import OggDemuxerNode, OggMuxerNode
     from .containers.wav import WavDemuxerNode, WavMuxerNode
     from .core_nodes.basic import BytesInputNode, BytesOutputNode, PassthroughNode, SinkNode
     from .core_nodes.file_io import FileReaderNode, FileWriterNode
@@ -34,6 +35,8 @@ def register_nodes(registry: NodeRegistry) -> None:
         (MixerNode, "Mixes multiple audio inputs into one stream"),
         (WavDemuxerNode, "Parses WAV (RIFF) into raw audio frames"),
         (WavMuxerNode, "Encodes raw audio frames as a WAV stream"),
+        (OggDemuxerNode, "Parses Ogg/Opus into Opus packets"),
+        (OggMuxerNode, "Packetizes Opus into an Ogg stream"),
     ]:
         registry.register(cls.KIND, _factory(cls), description=desc)
 
