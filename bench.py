@@ -1,0 +1,102 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Headline benchmark: concurrent real-time Whisper STT sessions per chip.
+
+North star (BASELINE.md): ≥64 concurrent real-time Whisper-large sessions
+per v5e chip. A real-time session consumes one 30 s audio window every 30 s
+of wall clock, so sustainable sessions = B × 30 / t_window(B), where
+t_window is the full STT cost for a batch of B windows: log-mel frontend +
+encoder + greedy decode (VAD/segmentation cost is host-side and negligible).
+
+Weights are random (timing is weight-independent); decode runs a fixed
+token budget (real speech averages ~2.5 tok/s → 48 tokens ≈ 19 s of speech
+per 30 s window, a conservative-to-typical budget).
+
+Env knobs: SK_BENCH_MODEL (default large-v3), SK_BENCH_BATCHES,
+SK_BENCH_TOKENS, SK_BENCH_DTYPE.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from streamkit_tpu.models.whisper.config import WHISPER_CONFIGS
+    from streamkit_tpu.models.whisper.decode import _greedy_loop
+    from streamkit_tpu.models.whisper.model import encode, init_params
+    from streamkit_tpu.ops.mel import log_mel_spectrogram
+
+    model_name = os.environ.get("SK_BENCH_MODEL", "large-v3")
+    dtype = jnp.bfloat16 if os.environ.get("SK_BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
+    max_tokens = int(os.environ.get("SK_BENCH_TOKENS", "48"))
+    default_batches = "4,8,16" if "large" in model_name else "32,64,128"
+    batches = [int(b) for b in os.environ.get("SK_BENCH_BATCHES", default_batches).split(",")]
+
+    cfg = WHISPER_CONFIGS[model_name]
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype)
+    # pin params on device once
+    params = jax.device_put(params)
+
+    n_samples = 30 * 16000
+
+    @jax.jit
+    def stt_window(params, audio):
+        mel = log_mel_spectrogram(audio, cfg.n_mels).astype(dtype)
+        audio_states = encode(params, cfg, mel)
+        prefix = jnp.broadcast_to(
+            jnp.asarray(
+                [cfg.token_sot, cfg.token_language(0), cfg.token_transcribe, cfg.token_no_timestamps],
+                jnp.int32,
+            ),
+            (audio.shape[0], 4),
+        )
+        tokens, lengths = _greedy_loop(params, cfg, audio_states, prefix, max_tokens)
+        return tokens
+
+    rng = np.random.RandomState(0)
+    best_sessions = 0.0
+    best_batch = 0
+    results = {}
+    for b in batches:
+        audio = jnp.asarray(rng.randn(b, n_samples).astype(np.float32) * 0.1)
+        try:
+            out = stt_window(params, audio)  # compile
+            out.block_until_ready()
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = stt_window(params, audio)
+                out.block_until_ready()
+                times.append(time.perf_counter() - t0)
+            t_window = min(times)
+        except Exception as e:  # OOM at large batch: stop scaling
+            print(f"# batch {b} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            break
+        sessions = b * 30.0 / t_window
+        results[b] = (t_window, sessions)
+        print(f"# batch={b}: t_window={t_window:.3f}s -> {sessions:.1f} sessions/chip", file=sys.stderr)
+        if sessions > best_sessions:
+            best_sessions = sessions
+            best_batch = b
+
+    print(
+        json.dumps(
+            {
+                "metric": f"concurrent realtime whisper-{model_name} STT sessions/chip "
+                f"(30s windows, {max_tokens} decode tokens, batch={best_batch})",
+                "value": round(best_sessions, 1),
+                "unit": "sessions",
+                "vs_baseline": round(best_sessions / 64.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
