@@ -19,7 +19,10 @@ def register_nodes(registry: NodeRegistry) -> None:
     from .core_nodes.basic import BytesInputNode, BytesOutputNode, PassthroughNode, SinkNode
     from .core_nodes.file_io import FileReaderNode, FileWriterNode
     from .core_nodes.pacer import AudioPacerNode, PacerNode
+    from .core_nodes.script import ScriptNode
+    from .core_nodes.telemetry_nodes import TelemetryOutNode, TelemetryTapNode
     from .core_nodes.text import JsonSerializeNode, TextChunkerNode
+    from .transport.http import HttpFetcherNode
 
     for cls, desc in [
         (PassthroughNode, "Forwards packets unchanged"),
@@ -37,6 +40,10 @@ def register_nodes(registry: NodeRegistry) -> None:
         (WavMuxerNode, "Encodes raw audio frames as a WAV stream"),
         (OggDemuxerNode, "Parses Ogg/Opus into Opus packets"),
         (OggMuxerNode, "Packetizes Opus into an Ogg stream"),
+        (TelemetryTapNode, "Observes packets and emits telemetry events"),
+        (TelemetryOutNode, "Forwards packets to the session telemetry bus"),
+        (ScriptNode, "Per-packet sandboxed transform script"),
+        (HttpFetcherNode, "Fetches a URL as a binary stream"),
     ]:
         registry.register(cls.KIND, _factory(cls), description=desc)
 

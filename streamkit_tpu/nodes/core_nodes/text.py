@@ -90,15 +90,25 @@ class TextChunkerNode(ProcessorNode):
 
     def __init__(self, params: Optional[dict]) -> None:
         cfg = parse_config_optional(
-            params, {"min_chunk_chars": 1, "max_chunk_chars": 400, "emit_partial_on_eof": True}
+            params,
+            {
+                "min_chunk_chars": 1,
+                "min_length": None,  # reference param name (text_chunker.rs)
+                "max_chunk_chars": 400,
+                "emit_partial_on_eof": True,
+            },
         )
-        self.min_chunk = int(cfg["min_chunk_chars"])
+        self.min_chunk = int(cfg["min_length"] or cfg["min_chunk_chars"])
         self.max_chunk = int(cfg["max_chunk_chars"])
         self.emit_partial = bool(cfg["emit_partial_on_eof"])
         self._buf = ""
 
     def input_pins(self) -> List[InputPin]:
-        return [InputPin("in", [PacketType.text(), PacketType.transcription()])]
+        # Binary accepted too: the reference pipes raw HTTP text bodies into
+        # the chunker (kokoro-tts.yml: http_input -> text_chunker)
+        return [
+            InputPin("in", [PacketType.text(), PacketType.transcription(), PacketType.binary()])
+        ]
 
     def output_pins(self) -> List[OutputPin]:
         return [OutputPin("out", PacketType.text())]
@@ -135,10 +145,13 @@ class TextChunkerNode(ProcessorNode):
                 if pkt is None:
                     break
                 stats.packet_received()
-                text = pkt.text if pkt.text is not None else (
-                    pkt.transcription.text if pkt.transcription else None
-                )
-                if text is None:
+                if pkt.text is not None:
+                    text = pkt.text
+                elif pkt.transcription is not None:
+                    text = pkt.transcription.text
+                elif pkt.binary is not None:
+                    text = pkt.binary.decode("utf-8", errors="replace")
+                else:
                     stats.packet_discarded()
                     continue
                 self._buf += text

@@ -1,0 +1,198 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Streaming TTS node: Text → RawAudio.
+
+Parity target: ``plugin::native::kokoro`` (``plugins/native/kokoro/src/
+kokoro_node.rs:25-123,444-532``; piper/matcha share the shape): buffers
+incoming Text, a sentence splitter extracts complete sentences, each
+sentence is synthesized as one unit, remainder flushed on EOF. Synthesis
+runs on-device: acoustic model (text→mel) + HiFi-GAN vocoder
+(:mod:`streamkit_tpu.models.tts`), one batched device call per sentence.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import re
+from typing import List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ...core import (
+    AudioFormat,
+    AudioFrame,
+    ChannelClosed,
+    ConfigurationError,
+    InputPin,
+    NodeContext,
+    NodeStatsTracker,
+    OutputPin,
+    Packet,
+    PacketMetadata,
+    PacketType,
+    ProcessorNode,
+    ResourceKey,
+    TelemetryEmitter,
+    parse_config_optional,
+)
+from ...core.state import NodeState, StopReason
+from ...models.tts import (
+    AcousticConfig,
+    HifiGanConfig,
+    acoustic_generate,
+    acoustic_init_params,
+    hifigan_generate,
+    hifigan_init_params,
+)
+
+_SENTENCE_RE = re.compile(r"(.*?[.!?…]+(?:\s+|$))", re.S)
+
+
+class SentenceSplitter:
+    """Extracts complete sentences from streamed text (reference kokoro
+    ``SentenceSplitter``)."""
+
+    def __init__(self, max_len: int = 400) -> None:
+        self._buf = ""
+        self.max_len = max_len
+
+    def push(self, text: str) -> List[str]:
+        self._buf += text
+        out: List[str] = []
+        while True:
+            m = _SENTENCE_RE.match(self._buf)
+            if m and m.group(1).strip():
+                out.append(m.group(1).strip())
+                self._buf = self._buf[m.end(1) :]
+                continue
+            if len(self._buf) > self.max_len:
+                out.append(self._buf[: self.max_len].strip())
+                self._buf = self._buf[self.max_len :]
+                continue
+            return out
+
+    def flush(self) -> List[str]:
+        rest = self._buf.strip()
+        self._buf = ""
+        return [rest] if rest else []
+
+
+class TtsNode(ProcessorNode):
+    """Text → synthesized RawAudio (``plugin::native::kokoro`` class)."""
+
+    KIND = "plugin::native::kokoro"
+
+    def __init__(self, params: Optional[dict]) -> None:
+        cfg = parse_config_optional(
+            params,
+            {
+                "model_path": None,  # acoustic+vocoder weights dir (npz)
+                "sample_rate": 24000,
+                "frames_per_char": 6,  # mel frames per input char (≈70ms/char)
+                "speed": 1.0,
+                "voice": None,  # accepted for reference-yaml compat
+                "allow_random_init": True,
+            },
+        )
+        self.model_path = cfg["model_path"]
+        self.sample_rate = int(cfg["sample_rate"])
+        self.frames_per_char = float(cfg["frames_per_char"])
+        self.speed = float(cfg["speed"])
+        self.allow_random_init = bool(cfg["allow_random_init"])
+
+    def input_pins(self) -> List[InputPin]:
+        return [InputPin("in", [PacketType.text(), PacketType.transcription()])]
+
+    def output_pins(self) -> List[OutputPin]:
+        return [OutputPin("out", PacketType.raw_audio(AudioFormat(self.sample_rate, 1)))]
+
+    async def _load(self, ctx: NodeContext):
+        async def loader():
+            loop = asyncio.get_running_loop()
+
+            def build():
+                acfg = AcousticConfig()
+                vcfg = HifiGanConfig(upsample_rates=(5, 5, 4, 2), upsample_kernel_sizes=(10, 10, 8, 4))
+                if self.model_path:
+                    import os
+
+                    if not os.path.exists(self.model_path):
+                        if not self.allow_random_init:
+                            raise ConfigurationError(f"model not found: {self.model_path}")
+                        return acfg, acoustic_init_params(acfg), vcfg, hifigan_init_params(vcfg)
+                    blob = np.load(self.model_path, allow_pickle=True)
+                    return acfg, blob["acoustic"].item(), vcfg, blob["vocoder"].item()
+                return acfg, acoustic_init_params(acfg), vcfg, hifigan_init_params(vcfg)
+
+            return await loop.run_in_executor(None, build)
+
+        key = ResourceKey.from_params("kokoro", {"path": self.model_path})
+        if ctx.resources is not None:
+            return await ctx.resources.get_or_create(key, loader)
+        return await loader()
+
+    async def run(self, ctx: NodeContext) -> None:
+        stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
+        telemetry = TelemetryEmitter(ctx.node_name, ctx.telemetry_tx)
+        acfg, aparams, vcfg, vparams = await self._load(ctx)
+        ctx.emit_state(NodeState.running())
+        splitter = SentenceSplitter()
+        loop = asyncio.get_running_loop()
+        fmt = AudioFormat(self.sample_rate, 1)
+        seq = 0
+
+        def synth_sync(sentence: str) -> np.ndarray:
+            ids = np.frombuffer(sentence.encode()[: acfg.max_text], np.uint8).astype(np.int32)
+            if len(ids) == 0:
+                return np.zeros(0, np.float32)
+            # frame budget: chars × frames_per_char / speed, frame-bucketed to
+            # limit recompiles (powers-of-two buckets)
+            want = int(len(ids) * self.frames_per_char / self.speed)
+            n_frames = 1 << max(5, (want - 1).bit_length())
+            n_frames = min(n_frames, acfg.max_frames)
+            mel = acoustic_generate(aparams, acfg, jnp.asarray(ids[None]), n_frames)
+            wav = hifigan_generate(vparams, vcfg, mel)
+            keep = int(want * np.prod(vcfg.upsample_rates))
+            return np.asarray(wav[0][:keep], np.float32)
+
+        async def emit_sentence(sentence: str) -> None:
+            nonlocal seq
+            wav = await loop.run_in_executor(None, synth_sync, sentence)
+            if wav.shape[0] == 0:
+                return
+            telemetry.emit("tts.sentence", {"text": sentence[:120], "samples": int(wav.shape[0])})
+            # emit in 20ms frames for downstream pacing/encoding
+            frame = (self.sample_rate * 20) // 1000
+            for i in range(0, len(wav), frame):
+                chunk = wav[i : i + frame]
+                f = AudioFrame(chunk, fmt)
+                await ctx.output.send(
+                    "out",
+                    Packet.new_audio(f, PacketMetadata(duration_us=f.duration_us(), sequence=seq)),
+                )
+                seq += 1
+                stats.packet_sent()
+
+        try:
+            while True:
+                pkt = await ctx.recv_with_cancellation("in")
+                if pkt is None:
+                    break
+                stats.packet_received()
+                text = pkt.text if pkt.text is not None else (
+                    pkt.transcription.text if pkt.transcription else None
+                )
+                if not text:
+                    stats.packet_discarded()
+                    continue
+                for sentence in splitter.push(text + " "):
+                    await emit_sentence(sentence)
+            for sentence in splitter.flush():
+                await emit_sentence(sentence)
+        except ChannelClosed:
+            ctx.emit_state(NodeState.stopped(StopReason.OUTPUT_CLOSED))
+            stats.flush()
+            return
+        stats.flush()
+        ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
