@@ -1,0 +1,136 @@
+# SPDX-License-Identifier: Apache-2.0
+"""skit-cli equivalent: client commands against a running server.
+
+Parity target: ``apps/skit-cli/src/main.rs:15-320`` commands:
+oneshot, create, destroy, list, tune, pipeline, nodes, permissions,
+samples, watch (WS event stream), loadtest (``lt``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import sys
+from typing import Optional
+
+from .client import SkitClient
+from .loadtest import LoadTestConfig, run_load_test
+
+
+def _add_server_arg(p):
+    p.add_argument("--server", "-s", default="http://127.0.0.1:8080")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="skit-tpu-cli", description="StreamKit-TPU client")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("oneshot", help="run a oneshot pipeline")
+    _add_server_arg(p)
+    p.add_argument("pipeline", help="pipeline YAML file")
+    p.add_argument("input", nargs="?", help="media input file")
+    p.add_argument("--output", "-o", help="output file (default stdout)")
+
+    p = sub.add_parser("create", help="create a dynamic session")
+    _add_server_arg(p)
+    p.add_argument("--name")
+    p.add_argument("--yaml", help="pipeline YAML file to populate the session")
+
+    p = sub.add_parser("destroy", help="destroy a session")
+    _add_server_arg(p)
+    p.add_argument("session_id")
+
+    p = sub.add_parser("list", help="list sessions")
+    _add_server_arg(p)
+
+    p = sub.add_parser("pipeline", help="show a session's live pipeline")
+    _add_server_arg(p)
+    p.add_argument("session_id")
+
+    p = sub.add_parser("tune", help="update a node's params")
+    _add_server_arg(p)
+    p.add_argument("session_id")
+    p.add_argument("node_id")
+    p.add_argument("params", help="JSON params, e.g. '{\"gain\": 2.0}'")
+
+    p = sub.add_parser("nodes", help="list available node kinds")
+    _add_server_arg(p)
+
+    p = sub.add_parser("permissions", help="show current role + permissions")
+    _add_server_arg(p)
+
+    p = sub.add_parser("samples", help="list sample pipelines")
+    _add_server_arg(p)
+
+    p = sub.add_parser("watch", help="stream server events")
+    _add_server_arg(p)
+
+    p = sub.add_parser("loadtest", aliases=["lt"], help="run a load test")
+    p.add_argument("config", help="load-test TOML config")
+
+    return parser
+
+
+async def _run(args) -> int:
+    cmd = args.command
+    if cmd in ("loadtest", "lt"):
+        cfg = LoadTestConfig.from_toml(args.config)
+        results = await run_load_test(cfg)
+        print(json.dumps(results, indent=2))
+        return 0
+
+    async with SkitClient(args.server) as client:
+        if cmd == "oneshot":
+            media = open(args.input, "rb").read() if args.input else b""
+            body, ctype = await client.process_oneshot(open(args.pipeline).read(), media)
+            if args.output:
+                with open(args.output, "wb") as f:
+                    f.write(body)
+                print(f"wrote {len(body)} bytes ({ctype}) to {args.output}", file=sys.stderr)
+            else:
+                sys.stdout.buffer.write(body)
+        elif cmd == "create":
+            yaml_text = open(args.yaml).read() if args.yaml else None
+            info = await client.create_session_http(args.name, yaml_text)
+            print(json.dumps(info, indent=2))
+        elif cmd == "destroy":
+            await client.destroy_session_http(args.session_id)
+            print("destroyed", args.session_id)
+        elif cmd == "list":
+            print(json.dumps(await client.list_sessions(), indent=2))
+        elif cmd == "pipeline":
+            print(json.dumps(await client.get_pipeline(args.session_id), indent=2))
+        elif cmd == "tune":
+            await client.tune(args.session_id, args.node_id, json.loads(args.params))
+            print("tuned", args.node_id)
+        elif cmd == "nodes":
+            for n in await client.schema_nodes():
+                print(f"{n['kind']:40s} {n['description']}")
+        elif cmd == "permissions":
+            print(json.dumps(await client.permissions(), indent=2))
+        elif cmd == "samples":
+            for s in await client.samples():
+                print(f"{s['id']:40s} [{s['mode']}] {s['description']}")
+        elif cmd == "watch":
+            print("watching events (ctrl-c to stop)...", file=sys.stderr)
+            async for ev in client.events():
+                print(json.dumps(ev))
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return asyncio.run(_run(args))
+    except KeyboardInterrupt:
+        return 130
+    except BrokenPipeError:
+        return 0  # downstream pager/head closed the pipe
+    except RuntimeError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
