@@ -23,6 +23,7 @@ def register_nodes(registry: NodeRegistry) -> None:
     from .core_nodes.telemetry_nodes import TelemetryOutNode, TelemetryTapNode
     from .core_nodes.text import JsonSerializeNode, TextChunkerNode
     from .transport.http import HttpFetcherNode
+    from .transport.moq import MoqPeerNode, MoqPublisherNode, MoqSubscriberNode
 
     for cls, desc in [
         (PassthroughNode, "Forwards packets unchanged"),
@@ -44,6 +45,9 @@ def register_nodes(registry: NodeRegistry) -> None:
         (TelemetryOutNode, "Forwards packets to the session telemetry bus"),
         (ScriptNode, "Per-packet sandboxed transform script"),
         (HttpFetcherNode, "Fetches a URL as a binary stream"),
+        (MoqPeerNode, "Bidirectional in-server MoQ media endpoint"),
+        (MoqSubscriberNode, "Subscribes to a MoQ broadcast"),
+        (MoqPublisherNode, "Publishes to MoQ subscribers"),
     ]:
         registry.register(cls.KIND, _factory(cls), description=desc)
 

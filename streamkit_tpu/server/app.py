@@ -17,6 +17,7 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+import os
 from typing import Dict, Optional, Set
 
 from aiohttp import WSMsgType, web
@@ -64,6 +65,15 @@ class AppState:
             else None
         )
         set_security_paths(config.allowed_file_paths, config.allowed_write_paths)
+        from ..core.moq_gateway import init_moq_gateway
+
+        self.moq_gateway = init_moq_gateway()
+        # native plugins: scan the configured directory at startup
+        from ..plugins.native import load_plugins_dir
+
+        self.native_plugins = load_plugins_dir(
+            self.registry, os.path.join(config.plugins_dir, "native")
+        )
 
     def broadcast(self, event: dict) -> None:
         """Fan an event out to every connected control client."""
@@ -217,6 +227,50 @@ async def ws_control(request: web.Request) -> web.WebSocketResponse:
     return ws
 
 
+async def moq_media_ws(request: web.Request) -> web.WebSocketResponse:
+    """Media-plane WebSocket acceptor: ``/moq/{path}?direction=publish|subscribe``.
+
+    Binding of the MoQ gateway over WS (reference uses WebTransport/QUIC on
+    the same port — that acceptor can bind the identical gateway interface).
+    Binary frames carry ``u8 flags | u64be timestamp_us | payload``.
+    """
+    from ..core.channel import ChannelClosed
+    from ..core.moq_gateway import MoqConnection
+
+    state: AppState = request.app["state"]
+    path = "/" + request.match_info["path"]
+    direction = request.query.get("direction", "publish")
+    ws = web.WebSocketResponse()
+    await ws.prepare(request)
+    conn = MoqConnection(path=path, direction=direction, remote=str(request.remote))
+    accepted = await state.moq_gateway.accept_connection(conn)
+    if not accepted:
+        await ws.close(code=4004, message=b"no such media route")
+        return ws
+
+    async def pump_out() -> None:
+        while True:
+            frame = await conn.outgoing.recv_optional()
+            if frame is None:
+                return
+            await ws.send_bytes(frame)
+
+    out_task = asyncio.ensure_future(pump_out())
+    try:
+        async for msg in ws:
+            if msg.type is web.WSMsgType.BINARY:
+                try:
+                    conn.incoming.try_send(msg.data)
+                except ChannelClosed:
+                    break
+                except Exception:
+                    pass  # backpressured publisher: drop (live media)
+    finally:
+        out_task.cancel()
+        conn.close()
+    return ws
+
+
 async def get_permissions(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     role, perms = state.roles.extract(request.headers)
@@ -341,6 +395,7 @@ def create_app(config: Optional[ServerConfig] = None) -> web.Application:
     app.router.add_get(f"{prefix}/api/v1/sessions", list_sessions_http)
     app.router.add_delete(f"{prefix}/api/v1/sessions/{{id}}", destroy_session_http)
     app.router.add_get(f"{prefix}/api/v1/sessions/{{id}}/pipeline", get_session_pipeline)
+    app.router.add_get(f"{prefix}/moq/{{path:.*}}", moq_media_ws)
 
     from .samples import add_sample_routes
 
