@@ -16,6 +16,7 @@ def register_nodes(registry: NodeRegistry) -> None:
     from .audio.filters import GainNode, MixerNode, ResamplerNode
     from .containers.ogg import OggDemuxerNode, OggMuxerNode
     from .containers.wav import WavDemuxerNode, WavMuxerNode
+    from .containers.webm import WebmMuxerNode
     from .core_nodes.basic import BytesInputNode, BytesOutputNode, PassthroughNode, SinkNode
     from .core_nodes.file_io import FileReaderNode, FileWriterNode
     from .core_nodes.pacer import AudioPacerNode, PacerNode
@@ -41,6 +42,7 @@ def register_nodes(registry: NodeRegistry) -> None:
         (WavMuxerNode, "Encodes raw audio frames as a WAV stream"),
         (OggDemuxerNode, "Parses Ogg/Opus into Opus packets"),
         (OggMuxerNode, "Packetizes Opus into an Ogg stream"),
+        (WebmMuxerNode, "Muxes Opus into a WebM (Matroska) stream"),
         (TelemetryTapNode, "Observes packets and emits telemetry events"),
         (TelemetryOutNode, "Forwards packets to the session telemetry bus"),
         (ScriptNode, "Per-packet sandboxed transform script"),

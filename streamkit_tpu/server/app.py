@@ -397,9 +397,11 @@ def create_app(config: Optional[ServerConfig] = None) -> web.Application:
     app.router.add_get(f"{prefix}/api/v1/sessions/{{id}}/pipeline", get_session_pipeline)
     app.router.add_get(f"{prefix}/moq/{{path:.*}}", moq_media_ws)
 
+    from .observability import add_observability_routes
     from .samples import add_sample_routes
 
     add_sample_routes(app, prefix)
+    add_observability_routes(app, prefix)
 
     async def on_shutdown(app):
         await app["state"].sessions.destroy_all()

@@ -1,0 +1,100 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Metrics + profiling endpoints.
+
+Parity targets:
+* metrics — the reference exports OTLP metrics every 5 s (``apps/skit/src/
+  telemetry.rs:22-110``; engine gauges ``engine/src/lib.rs:215-258``,
+  distributor counters, session/WS/HTTP metrics). Here the same counters are
+  exposed Prometheus-style at ``GET /api/v1/metrics`` (pull model — no
+  collector dependency; OTLP push can be added on top).
+* profiling — the reference serves pprof CPU flamegraphs + jemalloc heap
+  dumps (``apps/skit/src/profiling.rs:22-60``). Here:
+  ``GET /api/v1/profile/cpu?duration_secs=N`` runs cProfile over the event
+  loop process and returns pstats text; ``GET /api/v1/profile/device?
+  duration_secs=N`` captures a JAX device trace (TensorBoard format) and
+  returns the trace directory path.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import cProfile
+import io
+import pstats
+import tempfile
+import time
+
+from aiohttp import web
+
+__all__ = ["add_observability_routes"]
+
+_START_TIME = time.time()
+
+
+def _render_metrics(state) -> str:
+    lines = [
+        "# TYPE skit_uptime_seconds gauge",
+        f"skit_uptime_seconds {time.time() - _START_TIME:.1f}",
+        "# TYPE skit_sessions_active gauge",
+        f"skit_sessions_active {len(state.sessions.list())}",
+        "# TYPE skit_ws_clients gauge",
+        f"skit_ws_clients {len(state._ws_clients)}",
+        "# TYPE skit_resource_cache_entries gauge",
+        f"skit_resource_cache_entries {state.resources.stats()['entries']}",
+        "# TYPE skit_resource_cache_hits counter",
+        f"skit_resource_cache_hits {state.resources.hits}",
+        f"skit_resource_cache_misses {state.resources.misses}",
+    ]
+    # per-session node stats + distributor counters
+    for session in state.sessions.list():
+        engine = session.handle._engine
+        sid = session.id[:8]
+        for name, stats in engine.stats_snapshots.items():
+            base = f'{{session="{sid}",node="{name}"}}'
+            lines.append(f"skit_node_packets_received{base} {stats.received}")
+            lines.append(f"skit_node_packets_sent{base} {stats.sent}")
+            lines.append(f"skit_node_packets_discarded{base} {stats.discarded}")
+            lines.append(f"skit_node_packets_errored{base} {stats.errored}")
+        for node_name, entry in engine.nodes.items():
+            for pin, dist in entry.distributors.items():
+                base = f'{{session="{sid}",node="{node_name}",pin="{pin}"}}'
+                lines.append(f"skit_distributor_packets{base} {dist.packets}")
+                lines.append(f"skit_distributor_drops{base} {dist.drops}")
+    return "\n".join(lines) + "\n"
+
+
+async def metrics_handler(request: web.Request) -> web.Response:
+    state = request.app["state"]
+    return web.Response(text=_render_metrics(state), content_type="text/plain")
+
+
+async def profile_cpu(request: web.Request) -> web.Response:
+    duration = min(60.0, float(request.query.get("duration_secs", 5)))
+    profiler = cProfile.Profile()
+    profiler.enable()
+    await asyncio.sleep(duration)
+    profiler.disable()
+    buf = io.StringIO()
+    stats = pstats.Stats(profiler, stream=buf)
+    stats.sort_stats("cumulative").print_stats(50)
+    return web.Response(text=buf.getvalue(), content_type="text/plain")
+
+
+async def profile_device(request: web.Request) -> web.Response:
+    """Capture a JAX device trace (viewable in TensorBoard/Perfetto)."""
+    import jax
+
+    duration = min(60.0, float(request.query.get("duration_secs", 5)))
+    trace_dir = tempfile.mkdtemp(prefix="skit-device-trace-")
+    jax.profiler.start_trace(trace_dir)
+    await asyncio.sleep(duration)
+    jax.profiler.stop_trace()
+    return web.json_response(
+        {"trace_dir": trace_dir, "duration_secs": duration, "format": "tensorboard"}
+    )
+
+
+def add_observability_routes(app: web.Application, prefix: str) -> None:
+    app.router.add_get(f"{prefix}/api/v1/metrics", metrics_handler)
+    app.router.add_get(f"{prefix}/api/v1/profile/cpu", profile_cpu)
+    app.router.add_get(f"{prefix}/api/v1/profile/device", profile_device)

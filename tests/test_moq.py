@@ -124,3 +124,66 @@ def test_moq_loopback_transcoder_over_ws():
         pcm = dec.decode(decode_media_frame(f)[0])
     peak = np.abs(pcm).max()
     assert 0.35 < peak < 0.75, f"expected ~0.5 after 2x gain, got {peak}"
+
+
+def test_webm_muxer_pipeline():
+    """kokoro-tts.yml tail: opus packets → webm stream with valid EBML."""
+    from streamkit_tpu.api import compile_yaml
+    from streamkit_tpu.core import NodeRegistry
+    from streamkit_tpu.engine import run_oneshot_pipeline
+    from streamkit_tpu.nodes import register_nodes
+
+    reg = NodeRegistry()
+    register_nodes(reg)
+    yaml_text = """
+mode: oneshot
+steps:
+  - kind: streamkit::http_input
+  - kind: containers::wav::demuxer
+  - kind: audio::opus::encoder
+  - kind: containers::webm::muxer
+    params: {channels: 1, sample_rate: 48000}
+  - kind: streamkit::http_output
+"""
+    import io
+    import wave
+
+    x = (np.sin(2 * np.pi * 440 * np.arange(48000) / 48000) * 0.3).astype(np.float32)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(48000)
+        w.writeframes((x * 32767).astype("<i2").tobytes())
+
+    async def main():
+        async def stream():
+            yield buf.getvalue()
+
+        res = await run_oneshot_pipeline(reg, compile_yaml(yaml_text), input_stream=stream())
+        data = await res.read_all()
+        return data, res.content_type
+
+    data, ctype = asyncio.run(main())
+    assert ctype == "video/webm"
+    assert data[:4] == b"\x1a\x45\xdf\xa3"  # EBML magic
+    assert b"webm" in data[:64]
+    assert b"A_OPUS" in data[:512]
+    assert b"\x1f\x43\xb6\x75" in data  # at least one Cluster
+
+
+def test_metrics_endpoint():
+    async def main():
+        app = create_app(ServerConfig())
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        await client.post("/api/v1/sessions", json={"name": "m"})
+        resp = await client.get("/api/v1/metrics")
+        text = await resp.text()
+        await client.close()
+        return text
+
+    text = asyncio.run(main())
+    assert "skit_sessions_active 1" in text
+    assert "skit_uptime_seconds" in text
