@@ -109,6 +109,7 @@ class NodeContext:
     audio_pool: Any = None
     params: Optional[dict] = None  # resolved node params (for mirrors/UI)
     resources: Any = None  # shared ResourceManager
+    batcher: Any = None  # process-wide DeviceBatcher (continuous batching)
 
     # -- convenience -----------------------------------------------------------
     def emit_state(self, state: NodeState) -> None:

@@ -1,0 +1,163 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Continuous batcher: one device call per node *type*, batched over sessions.
+
+This is the TPU-native replacement for the reference's actor-per-node data
+plane (SURVEY.md §2.9): instead of each session's node dispatching its own
+tiny device call, nodes submit work items to a process-wide batcher which
+
+* groups submissions by ``(kind, input shapes)``,
+* ticks on a micro-batch cadence (default 5 ms — well inside the 20 ms
+  audio frame budget, so batching adds no audible latency) or fires early
+  when a group reaches ``max_batch``,
+* stacks inputs to ``[B, ...]``, runs ONE jitted call, and scatters the
+  per-item results back to the awaiting nodes.
+
+Per-session recurrent state (VAD state, resampler phase, KV caches) travels
+with the submission and comes back updated — device-resident slot tables
+are a later optimization; the batching win (MXU utilization, dispatch
+amortization) is already captured here.
+
+Correctness contract: registered functions must be batch-invariant (row i
+of the batched result equals the unbatched computation — guaranteed for
+jit-of-vmappable functions; tested for whisper in test_whisper_model.py).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["DeviceBatcher", "BatchKind"]
+
+
+@dataclass
+class BatchKind:
+    """A registered batched computation.
+
+    ``fn(stacked_inputs: tuple[jax.Array, ...]) -> tuple[jax.Array, ...]``
+    where every array has a leading batch dim. ``fn`` should be jitted.
+    """
+
+    name: str
+    fn: Callable[..., Any]
+    max_batch: int = 64
+
+
+@dataclass
+class _Item:
+    inputs: Tuple[np.ndarray, ...]
+    future: asyncio.Future
+
+
+class DeviceBatcher:
+    """Micro-batching dispatcher for device work."""
+
+    def __init__(self, tick_ms: float = 5.0) -> None:
+        self.tick_secs = tick_ms / 1000.0
+        self._kinds: Dict[str, BatchKind] = {}
+        self._pending: Dict[Tuple, List[_Item]] = defaultdict(list)
+        self._wake = asyncio.Event()
+        self._task: Optional[asyncio.Task] = None
+        self._running = False
+        # observability
+        self.submissions = 0
+        self.device_calls = 0
+        self.batched_items = 0
+
+    # -- registration --------------------------------------------------------
+    def register(self, name: str, fn: Callable[..., Any], max_batch: int = 64) -> None:
+        """Idempotent: re-registering a kind keeps the first fn."""
+        if name not in self._kinds:
+            self._kinds[name] = BatchKind(name, fn, max_batch)
+
+    def is_registered(self, name: str) -> bool:
+        return name in self._kinds
+
+    # -- lifecycle --------------------------------------------------------------
+    def start(self) -> None:
+        if self._task is None or self._task.done():
+            self._running = True
+            self._task = asyncio.ensure_future(self._run())
+
+    def stop(self) -> None:
+        self._running = False
+        self._wake.set()
+
+    # -- submission ----------------------------------------------------------
+    async def submit(self, kind: str, *inputs: np.ndarray):
+        """Submit one item; returns the per-item output tuple (or single
+        value if the fn returns one array)."""
+        if kind not in self._kinds:
+            raise KeyError(f"batch kind not registered: {kind}")
+        if self._task is None or self._task.done():
+            self.start()
+        self.submissions += 1
+        key = (kind,) + tuple(np.asarray(x).shape for x in inputs)
+        fut = asyncio.get_running_loop().create_future()
+        group = self._pending[key]
+        group.append(_Item(tuple(np.asarray(x) for x in inputs), fut))
+        if len(group) >= self._kinds[kind].max_batch:
+            self._wake.set()
+        return await fut
+
+    # -- dispatcher loop ---------------------------------------------------------
+    async def _run(self) -> None:
+        loop = asyncio.get_running_loop()
+        while self._running:
+            try:
+                await asyncio.wait_for(self._wake.wait(), timeout=self.tick_secs)
+            except asyncio.TimeoutError:
+                pass
+            self._wake.clear()
+            if not self._pending:
+                continue
+            batches = self._pending
+            self._pending = defaultdict(list)
+            for key, items in batches.items():
+                kind = self._kinds[key[0]]
+                # oversize groups split into max_batch chunks
+                for i in range(0, len(items), kind.max_batch):
+                    chunk = items[i : i + kind.max_batch]
+                    await self._dispatch(loop, kind, chunk)
+
+    async def _dispatch(self, loop, kind: BatchKind, items: List[_Item]) -> None:
+        stacked = tuple(
+            jnp.asarray(np.stack([it.inputs[j] for it in items]))
+            for j in range(len(items[0].inputs))
+        )
+        self.device_calls += 1
+        self.batched_items += len(items)
+
+        def run_batch():
+            out = kind.fn(*stacked)
+            if not isinstance(out, tuple):
+                out = (out,)
+            return tuple(np.asarray(o) for o in out)
+
+        try:
+            outputs = await loop.run_in_executor(None, run_batch)
+        except Exception as e:  # noqa: BLE001 — propagate to every waiter
+            for it in items:
+                if not it.future.done():
+                    it.future.set_exception(e)
+            return
+        for idx, it in enumerate(items):
+            row = tuple(o[idx] for o in outputs)
+            if not it.future.done():
+                it.future.set_result(row if len(row) > 1 else row[0])
+
+    # -- stats ------------------------------------------------------------------
+    def stats(self) -> dict:
+        return {
+            "submissions": self.submissions,
+            "device_calls": self.device_calls,
+            "batched_items": self.batched_items,
+            "mean_batch": (self.batched_items / self.device_calls) if self.device_calls else 0.0,
+        }

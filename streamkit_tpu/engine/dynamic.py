@@ -101,11 +101,13 @@ class DynamicEngine:
         config: DynamicEngineConfig,
         resources=None,
         audio_pool=None,
+        batcher=None,
     ) -> None:
         self.registry = registry
         self.config = config
         self.resources = resources
         self.audio_pool = audio_pool
+        self.batcher = batcher
         self.nodes: Dict[str, _NodeEntry] = {}
         self.connections: Dict[str, _Connection] = {}
         self.control_rx = Channel(constants.ENGINE_CONTROL_CAPACITY, name="engine_control")
@@ -327,6 +329,7 @@ class DynamicEngine:
             audio_pool=self.audio_pool,
             params=params,
             resources=self.resources,
+            batcher=self.batcher,
         )
         entry = _NodeEntry(
             node=node,
@@ -630,8 +633,9 @@ def start_dynamic_engine(
     config: Optional[DynamicEngineConfig] = None,
     resources=None,
     audio_pool=None,
+    batcher=None,
 ) -> DynamicEngineHandle:
     """Spawn a dynamic engine actor (reference ``Engine::start_dynamic_actor``)."""
-    engine = DynamicEngine(registry, config or DynamicEngineConfig(), resources, audio_pool)
+    engine = DynamicEngine(registry, config or DynamicEngineConfig(), resources, audio_pool, batcher)
     task = asyncio.ensure_future(engine.run())
     return DynamicEngineHandle(engine, task)

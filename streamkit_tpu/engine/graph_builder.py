@@ -158,6 +158,7 @@ async def wire_and_spawn_graph(
     media_capacity: int = constants.ONESHOT_MEDIA_CAPACITY,
     audio_pool=None,
     resources=None,
+    batcher=None,
 ) -> WiredGraph:
     """Validate, wire, and spawn a static pipeline graph.
 
@@ -253,6 +254,7 @@ async def wire_and_spawn_graph(
             audio_pool=audio_pool,
             params=pipeline.nodes[name].params if name in pipeline.nodes else None,
             resources=resources,
+            batcher=batcher,
         )
         graph.contexts[name] = ctx
 

@@ -93,6 +93,7 @@ async def run_oneshot_pipeline(
     configured_content_type: Optional[str] = None,
     resources=None,
     audio_pool=None,
+    batcher=None,
 ) -> OneshotResult:
     """Instantiate, wire, and start a oneshot pipeline.
 
@@ -136,6 +137,7 @@ async def run_oneshot_pipeline(
         io_channels=io_channels,
         resources=resources,
         audio_pool=audio_pool,
+        batcher=batcher,
     )
 
     # ---- Start signals to file readers (oneshot.rs:294-316)

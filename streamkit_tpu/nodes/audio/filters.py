@@ -79,6 +79,16 @@ class GainNode(ProcessorNode):
     async def run(self, ctx: NodeContext) -> None:
         ctx.emit_state(NodeState.running())
         stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
+        # continuous batching: gain frames from all sessions fuse into one
+        # [B, n] * [B, 1] device call per tick
+        if ctx.batcher is not None:
+            import jax
+
+            ctx.batcher.register(
+                "audio::gain",
+                jax.jit(lambda samples_b, gains_b: samples_b * gains_b[:, None]),
+                max_batch=256,
+            )
         try:
             while True:
                 pkt = await ctx.recv_with_cancellation("in")
@@ -93,7 +103,12 @@ class GainNode(ProcessorNode):
                 if pkt.audio is None:
                     stats.packet_discarded()
                     continue
-                out = np.asarray(apply_gain(jnp.asarray(pkt.audio.samples), self.gain))
+                if ctx.batcher is not None:
+                    out = await ctx.batcher.submit(
+                        "audio::gain", pkt.audio.samples, np.float32(self.gain)
+                    )
+                else:
+                    out = np.asarray(apply_gain(jnp.asarray(pkt.audio.samples), self.gain))
                 frame = AudioFrame(out, pkt.audio.format)
                 await ctx.output.send("out", Packet.new_audio(frame, pkt.metadata))
                 stats.packet_sent()

@@ -154,11 +154,36 @@ class WhisperNode(ProcessorNode):
             )
             return detok.decode(tokens[0][: int(lengths[0])])
 
+        # continuous batching: segments from ALL sessions sharing this model
+        # are packed into one batched mel+encode+decode device call
+        batch_kind = None
+        if ctx.batcher is not None:
+            from ...models.whisper.decode import N_SAMPLES_30S, pad_or_trim
+
+            batch_kind = f"whisper:{self.model_path or self.model_size}:{lang_index}:{self.max_tokens}"
+
+            def batched_stt(audio_b):
+                tokens, lengths = transcribe_window(
+                    params, model_cfg, np.asarray(audio_b),
+                    language_index=lang_index, max_tokens=self.max_tokens,
+                )
+                return tokens, lengths
+
+            ctx.batcher.register(batch_kind, batched_stt)
+
+        async def decode_text(samples: np.ndarray) -> str:
+            if batch_kind is not None:
+                from ...models.whisper.decode import pad_or_trim
+
+                tokens, length = await ctx.batcher.submit(batch_kind, pad_or_trim(samples))
+                return detok.decode(tokens[: int(length)])
+            return await loop.run_in_executor(None, decode_sync, samples)
+
         async def emit_transcription(samples, start_f, end_f, is_final: bool) -> None:
             nonlocal seq
             if samples.shape[0] < VAD_FRAME:
                 return
-            text = await loop.run_in_executor(None, decode_sync, samples)
+            text = await decode_text(samples)
             start_ms = start_f * VAD_FRAME * 1000 // _SR
             end_ms = end_f * VAD_FRAME * 1000 // _SR
             data = TranscriptionData(

@@ -66,8 +66,12 @@ class AppState:
         )
         set_security_paths(config.allowed_file_paths, config.allowed_write_paths)
         from ..core.moq_gateway import init_moq_gateway
+        from ..engine.batcher import DeviceBatcher
 
         self.moq_gateway = init_moq_gateway()
+        # one process-wide batcher: device work from ALL sessions is packed
+        # into shared per-node-type batches (the TPU-native data plane)
+        self.batcher = DeviceBatcher()
         # native plugins: scan the configured directory at startup
         from ..plugins.native import load_plugins_dir
 
@@ -105,6 +109,7 @@ class AppState:
             self.broadcast,
             resources=self.resources,
             engine_config=cfg,
+            batcher=self.batcher,
         )
         self.sessions.add(session)
         return session
@@ -179,6 +184,7 @@ async def process_oneshot(request: web.Request) -> web.StreamResponse:
                 input_content_type=media_content_type,
                 configured_content_type=request.query.get("content_type"),
                 resources=state.resources,
+                batcher=state.batcher,
             )
         except (ValidationFailure, ConfigurationError) as e:
             return web.json_response({"error": str(e)}, status=422)

@@ -74,12 +74,13 @@ class Session:
         broadcast: Callable[[dict], None],
         resources=None,
         engine_config: Optional[DynamicEngineConfig] = None,
+        batcher=None,
     ) -> "Session":
         session_id = str(uuid.uuid4())
         display_name = name or session_name_from_id(session_id)
         cfg = engine_config or DynamicEngineConfig()
         cfg.session_id = session_id
-        handle = start_dynamic_engine(registry, cfg, resources=resources)
+        handle = start_dynamic_engine(registry, cfg, resources=resources, batcher=batcher)
         session = Session(
             id=session_id,
             name=display_name,

@@ -1,0 +1,147 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Continuous batcher tests: cross-session batching, correctness vs
+unbatched, shape-bucket isolation, error propagation."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from streamkit_tpu.engine.batcher import DeviceBatcher
+
+
+def test_batches_concurrent_submissions():
+    """N concurrent submissions → far fewer device calls, identical results."""
+
+    async def main():
+        b = DeviceBatcher(tick_ms=10.0)
+        b.register("double", jax.jit(lambda x: x * 2.0))
+        b.start()
+        inputs = [np.full(960, i, np.float32) for i in range(32)]
+        outs = await asyncio.gather(*(b.submit("double", x) for x in inputs))
+        b.stop()
+        return outs, b.stats()
+
+    outs, stats = asyncio.run(main())
+    for i, out in enumerate(outs):
+        np.testing.assert_array_equal(out, np.full(960, 2.0 * i, np.float32))
+    assert stats["submissions"] == 32
+    assert stats["device_calls"] <= 4, stats  # packed, not one call each
+    assert stats["mean_batch"] >= 8
+
+
+def test_shape_buckets_are_isolated():
+    async def main():
+        b = DeviceBatcher(tick_ms=5.0)
+        b.register("sum", jax.jit(lambda x: jnp.sum(x, axis=-1)))
+        b.start()
+        a = b.submit("sum", np.ones(10, np.float32))
+        c = b.submit("sum", np.ones(20, np.float32))
+        ra, rc = await asyncio.gather(a, c)
+        b.stop()
+        return ra, rc
+
+    ra, rc = asyncio.run(main())
+    assert float(ra) == 10.0 and float(rc) == 20.0
+
+
+def test_multi_output_and_state_roundtrip():
+    """Functions returning tuples (state machines) scatter per-row."""
+
+    async def main():
+        b = DeviceBatcher(tick_ms=5.0)
+        b.register("step", jax.jit(lambda state, x: (state + jnp.sum(x, -1), state * 0 + 1)))
+        b.start()
+        r1, r2 = await asyncio.gather(
+            b.submit("step", np.float32(5.0), np.ones(4, np.float32)),
+            b.submit("step", np.float32(100.0), np.ones(4, np.float32)),
+        )
+        b.stop()
+        return r1, r2
+
+    (s1, f1), (s2, f2) = asyncio.run(main())
+    assert float(s1) == 9.0 and float(s2) == 104.0
+    assert float(f1) == 1.0
+
+
+def test_unregistered_kind_raises():
+    async def main():
+        b = DeviceBatcher()
+        with pytest.raises(KeyError):
+            await b.submit("nope", np.zeros(1))
+
+    asyncio.run(main())
+
+
+def test_error_propagates_to_all_waiters():
+    async def main():
+        b = DeviceBatcher(tick_ms=5.0)
+
+        def bad(x):
+            raise RuntimeError("kernel exploded")
+
+        b.register("bad", bad)
+        b.start()
+        results = await asyncio.gather(
+            b.submit("bad", np.zeros(4, np.float32)),
+            b.submit("bad", np.zeros(4, np.float32)),
+            return_exceptions=True,
+        )
+        b.stop()
+        return results
+
+    results = asyncio.run(main())
+    assert all(isinstance(r, RuntimeError) for r in results)
+
+
+def test_max_batch_split():
+    async def main():
+        b = DeviceBatcher(tick_ms=50.0)
+        b.register("id", jax.jit(lambda x: x), max_batch=8)
+        b.start()
+        outs = await asyncio.gather(
+            *(b.submit("id", np.full(4, i, np.float32)) for i in range(20))
+        )
+        b.stop()
+        return outs, b.stats()
+
+    outs, stats = asyncio.run(main())
+    assert len(outs) == 20
+    assert stats["device_calls"] >= 3  # 20 items / max 8 per call
+
+
+def test_multisession_whisper_batching():
+    """Several 'sessions' submitting STT windows share device calls and get
+    identical results to solo decoding (batch-invariance)."""
+    from streamkit_tpu.models.whisper import WhisperConfig, greedy_decode, init_params
+    from streamkit_tpu.ops.mel import log_mel_spectrogram
+
+    cfg = WhisperConfig(
+        n_audio_ctx=50, n_audio_state=64, n_audio_head=2, n_audio_layer=1,
+        n_vocab=512, n_text_ctx=16, n_text_state=64, n_text_head=2, n_text_layer=1,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    n_samples = cfg.n_audio_ctx * 2 * 160  # yields exactly 2*n_audio_ctx mel frames
+
+    def batched_stt(audio_b):
+        mel = log_mel_spectrogram(jnp.asarray(audio_b), cfg.n_mels)
+        return greedy_decode(params, cfg, mel, max_tokens=4)
+
+    rng = np.random.RandomState(0)
+    windows = [rng.randn(n_samples).astype(np.float32) * 0.1 for _ in range(6)]
+
+    async def main():
+        b = DeviceBatcher(tick_ms=20.0)
+        b.register("stt", batched_stt)
+        b.start()
+        outs = await asyncio.gather(*(b.submit("stt", w) for w in windows))
+        b.stop()
+        return outs, b.stats()
+
+    outs, stats = asyncio.run(main())
+    assert stats["device_calls"] <= 2
+    solo_tokens, _ = batched_stt(windows[2][None])
+    np.testing.assert_array_equal(outs[2][0], solo_tokens[0])
