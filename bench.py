@@ -35,7 +35,7 @@ def main() -> None:
     model_name = os.environ.get("SK_BENCH_MODEL", "large-v3")
     dtype = jnp.bfloat16 if os.environ.get("SK_BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
     max_tokens = int(os.environ.get("SK_BENCH_TOKENS", "48"))
-    default_batches = "4,8,16" if "large" in model_name else "32,64,128"
+    default_batches = "8,16" if "large" in model_name else "32,64,128"
     batches = [int(b) for b in os.environ.get("SK_BENCH_BATCHES", default_batches).split(",")]
 
     cfg = WHISPER_CONFIGS[model_name]

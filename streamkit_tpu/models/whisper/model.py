@@ -155,13 +155,25 @@ def _merge_heads(x):
 
 
 def _attention(q, k, v, n_head, mask=None):
-    """Scaled dot-product attention. q,k,v: [..., t, d]."""
+    """Scaled dot-product attention. q,k,v: [..., t, d].
+
+    Non-causal full-sequence attention routes through the Pallas flash
+    kernel on TPU (encoder self-attention — the hot path); masked/causal
+    and tiny-sequence cases use plain XLA attention.
+    """
     hd = q.shape[-1] // n_head
     scale = hd ** -0.25
-    qh = _split_heads(q, n_head) * scale
-    kh = _split_heads(k, n_head) * scale
+    qh = _split_heads(q, n_head)
+    kh = _split_heads(k, n_head)
     vh = _split_heads(v, n_head)
-    scores = jnp.matmul(qh, kh.swapaxes(-1, -2), preferred_element_type=jnp.float32)
+    if mask is None and qh.ndim == 4 and qh.shape[-2] >= 256 and hd % 64 == 0:
+        from ...ops.attention import flash_attention, use_flash_attention
+
+        if use_flash_attention():
+            return _merge_heads(flash_attention(qh, kh, vh, scale))
+    scores = jnp.matmul(
+        qh * scale, (kh * scale).swapaxes(-1, -2), preferred_element_type=jnp.float32
+    )
     if mask is not None:
         scores = scores + mask
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
@@ -252,9 +264,17 @@ def decode_logits(
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # [layers, batch, heads, max_len, head_dim]
-    v: jnp.ndarray
-    xk: jnp.ndarray  # precomputed cross-attention keys [layers, batch, heads, n_audio_ctx, hd]
+    """Decoder caches in **T-major layout** ``[..., head_dim, T]``.
+
+    TPU lane padding note: with head_dim (64) as the minor dimension, every
+    cache tile pads 64→128 lanes — a 2× HBM expansion that OOMed
+    whisper-large at batch 16. Keeping T minor puts the padding on the long
+    time axis (1500→1536, ~2%), halving cache memory.
+    """
+
+    k: jnp.ndarray  # [layers, batch, heads, head_dim, max_len]
+    v: jnp.ndarray  # [layers, batch, heads, head_dim, max_len]
+    xk: jnp.ndarray  # [layers, batch, heads, head_dim, n_audio_ctx]
     xv: jnp.ndarray
     pos: jnp.ndarray  # [] int32 — next write position
 
@@ -269,12 +289,18 @@ def init_kv_cache(
     dtype = audio_states.dtype
     layers = params["dec"]["layers"]
     xk = jnp.stack(
-        [_split_heads(_dense(audio_states, l["xattn"]["k"]), cfg.n_text_head) for l in layers]
+        [
+            _split_heads(_dense(audio_states, l["xattn"]["k"]), cfg.n_text_head).swapaxes(-1, -2)
+            for l in layers
+        ]
     )
     xv = jnp.stack(
-        [_split_heads(_dense(audio_states, l["xattn"]["v"]), cfg.n_text_head) for l in layers]
+        [
+            _split_heads(_dense(audio_states, l["xattn"]["v"]), cfg.n_text_head).swapaxes(-1, -2)
+            for l in layers
+        ]
     )
-    shape = (cfg.n_text_layer, batch, cfg.n_text_head, max_len, hd)
+    shape = (cfg.n_text_layer, batch, cfg.n_text_head, hd, max_len)
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
@@ -295,38 +321,44 @@ def decode_step(
     batch = tokens.shape[0]
     pos = cache.pos
     x = d["tok_emb"][tokens][:, None, :] + jax.lax.dynamic_slice_in_dim(d["pos_emb"], pos, 1)
-    max_len = cache.k.shape[-2]
+    max_len = cache.k.shape[-1]
     hd = cfg.n_text_state // cfg.n_text_head
     # mask future cache slots: position j valid iff j <= pos
     idx = jnp.arange(max_len)
     mask = jnp.where(idx[None, :] <= pos, 0.0, -jnp.inf).astype(jnp.float32)[None, None, :]
 
+    def _tmaj_attend(q, k_t, v_t, bias=None):
+        """q [b,h,1,hd]; k_t/v_t in T-major [b,h,hd,T] → out [b,1,h*hd]."""
+        scores = jnp.matmul(q, k_t, preferred_element_type=jnp.float32)  # [b,h,1,T]
+        if bias is not None:
+            scores = scores + bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        # contract over T with v in [hd, T]: einsum bhqt,bhdt->bhqd
+        out = jnp.einsum(
+            "bhqt,bhdt->bhqd", probs, v_t, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        return _merge_heads(out)
+
+    scale = hd ** -0.25
     new_k, new_v = cache.k, cache.v
     for i, layer in enumerate(d["layers"]):
         h = _layernorm(x, layer["ln1"])
         q = _split_heads(_dense(h, layer["attn"]["q"]), cfg.n_text_head)  # [b, h, 1, hd]
-        k1 = _split_heads(_dense(h, layer["attn"]["k"]), cfg.n_text_head)
+        k1 = _split_heads(_dense(h, layer["attn"]["k"]), cfg.n_text_head)  # [b, h, 1, hd]
         v1 = _split_heads(_dense(h, layer["attn"]["v"]), cfg.n_text_head)
-        new_k = jax.lax.dynamic_update_slice(new_k, k1[None], (i, 0, 0, pos, 0))
-        new_v = jax.lax.dynamic_update_slice(new_v, v1[None], (i, 0, 0, pos, 0))
-        scale = hd ** -0.25
-        scores = jnp.matmul(
-            q * scale, (new_k[i] * scale).swapaxes(-1, -2), preferred_element_type=jnp.float32
+        # write column `pos` of the T-major caches
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k1.swapaxes(-1, -2)[None], (i, 0, 0, 0, pos)
         )
-        scores = scores + mask
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-        attn = _merge_heads(jnp.matmul(probs, new_v[i], preferred_element_type=jnp.float32).astype(x.dtype))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v1.swapaxes(-1, -2)[None], (i, 0, 0, 0, pos)
+        )
+        attn = _tmaj_attend(q * scale, new_k[i] * scale, new_v[i], bias=mask)
         x = x + _dense(attn, layer["attn"]["o"])
-        # cross attention against precomputed enc K/V
+        # cross attention against precomputed enc K/V (already T-major)
         hx = _layernorm(x, layer["ln_x"])
         qx = _split_heads(_dense(hx, layer["xattn"]["q"]), cfg.n_text_head)
-        xscores = jnp.matmul(
-            qx * scale, (cache.xk[i] * scale).swapaxes(-1, -2), preferred_element_type=jnp.float32
-        )
-        xprobs = jax.nn.softmax(xscores.astype(jnp.float32), axis=-1).astype(x.dtype)
-        xattn = _merge_heads(
-            jnp.matmul(xprobs, cache.xv[i], preferred_element_type=jnp.float32).astype(x.dtype)
-        )
+        xattn = _tmaj_attend(qx * scale, cache.xk[i] * scale, cache.xv[i])
         x = x + _dense(xattn, layer["xattn"]["o"])
         x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
     x = _layernorm(x, d["ln"])

@@ -211,3 +211,33 @@ def test_vad_batched_state_shape():
     probs, st = vad_frame_probs(vad_init_state((3,)), frames)
     assert probs.shape == (3, 10)
     assert st.context.shape == (3, 64)
+
+
+# ------------------------------------------------------------------- flash attention
+def test_flash_attention_matches_reference():
+    """Pallas kernel (interpret mode on CPU) vs XLA attention oracle,
+    odd sequence length exercising pad/mask paths."""
+    from streamkit_tpu.ops.attention import attention_reference, flash_attention
+
+    rng = np.random.RandomState(0)
+    b, h, t, d = 2, 4, 300, 64
+    q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32) * 0.3)
+    scale = d ** -0.25
+    ref = attention_reference(q, k, v, scale)
+    out = flash_attention(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_attention_cross_shapes():
+    """Cross-attention shape (Tq != Tkv)."""
+    from streamkit_tpu.ops.attention import attention_reference, flash_attention
+
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 2, 7, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 390, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 390, 64).astype(np.float32))
+    ref = attention_reference(q, k, v, 0.125)
+    out = flash_attention(q, k, v, 0.125, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
