@@ -253,14 +253,22 @@ class MixerNode(ProcessorNode):
                 "num_inputs": None,
                 "sync_timeout_ms": 200,
                 "output_channels": None,
-                "clocked": False,  # clocked mode handled by the dynamic engine
+                # clocked mode (reference ClockedMixerConfig, mixer.rs:23-54)
+                "clocked": False,
                 "frame_samples_per_channel": 960,
-                "sample_rate": None,
+                "sample_rate": 48000,
+                "jitter_buffer_frames": 3,
+                "generate_silence": True,
             },
         )
         self.num_inputs = int(cfg["num_inputs"]) if cfg["num_inputs"] else None
         self.sync_timeout = float(cfg["sync_timeout_ms"]) / 1000.0
         self.output_channels = cfg["output_channels"]
+        self.clocked = bool(cfg["clocked"])
+        self.frame_samples = int(cfg["frame_samples_per_channel"])
+        self.clock_rate = int(cfg["sample_rate"])
+        self.jitter_frames = int(cfg["jitter_buffer_frames"])
+        self.generate_silence = bool(cfg["generate_silence"])
 
     def supports_dynamic_pins(self) -> bool:
         return True
@@ -278,6 +286,9 @@ class MixerNode(ProcessorNode):
         return [OutputPin("out", PacketType.raw_audio())]
 
     async def run(self, ctx: NodeContext) -> None:
+        if self.clocked:
+            await self._run_clocked(ctx)
+            return
         ctx.emit_state(NodeState.running())
         stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
         retired: set = set()  # pins that reached EOF
@@ -353,3 +364,97 @@ class MixerNode(ProcessorNode):
             return
         stats.flush()
         ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
+
+
+# appended to MixerNode: clocked mode implementation
+async def _mixer_run_clocked(self, ctx: NodeContext) -> None:
+    """Clocked mode (reference ``run_clocked_audio_thread``, mixer.rs:1242):
+
+    a steady tick at ``frame_samples_per_channel / sample_rate`` pulls one
+    frame per input from per-pin jitter buffers (bounded deques,
+    overwrite-oldest — reference's lock-free rings) and mixes whatever is
+    present; missing inputs are silence. The reference dedicates an OS
+    thread; here a paced asyncio task gives the same cadence, and the mix
+    itself is the batched device kernel.
+    """
+    import collections
+
+    ctx.emit_state(NodeState.running())
+    stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
+    out_ch_count = int(self.output_channels or 1)
+    fmt = AudioFormat(self.clock_rate, out_ch_count)
+    tick = self.frame_samples / self.clock_rate
+    jitter: Dict[str, collections.deque] = {}
+    eof: set = set()
+    seq = 0
+
+    async def fill_jitter() -> None:
+        """Drain input pins into jitter rings (overwrite-oldest)."""
+        for pin, ch in list(ctx.inputs.items()):
+            ring = jitter.setdefault(pin, collections.deque(maxlen=self.jitter_frames))
+            while True:
+                try:
+                    pkt = ch.try_recv()
+                except ChannelClosed:
+                    eof.add(pin)
+                    break
+                except ChannelFull:  # empty
+                    break
+                if pkt.audio is not None:
+                    stats.packet_received()
+                    ring.append(pkt.audio)  # deque(maxlen) drops oldest
+
+    next_tick = time.monotonic()
+    try:
+        while not ctx.cancelled:
+            await fill_jitter()
+            open_pins = [p for p in ctx.inputs if p not in eof]
+            if not open_pins and jitter and all(not r for r in jitter.values()):
+                break  # all inputs closed and drained
+            frames = []
+            for pin in sorted(jitter):
+                ring = jitter[pin]
+                if ring:
+                    frames.append(ring.popleft())
+            if frames or self.generate_silence:
+                out_samples = self.frame_samples * out_ch_count
+                if frames:
+                    mixed = np.asarray(
+                        mix_frames(
+                            [jnp.asarray(f.samples) for f in frames],
+                            [f.format.channels for f in frames],
+                            out_ch_count,
+                            out_samples,
+                        )
+                    )
+                else:
+                    mixed = np.zeros(out_samples, dtype=np.float32)
+                frame = AudioFrame(mixed, fmt)
+                await ctx.output.send(
+                    "out",
+                    Packet.new_audio(
+                        frame,
+                        PacketMetadata(
+                            timestamp_us=int(seq * tick * 1e6),
+                            duration_us=frame.duration_us(),
+                            sequence=seq,
+                        ),
+                    ),
+                )
+                seq += 1
+                stats.packet_sent()
+            next_tick += tick
+            delay = next_tick - time.monotonic()
+            if delay > 0:
+                await asyncio.sleep(delay)
+            else:
+                next_tick = time.monotonic()  # fell behind: reset clock
+    except ChannelClosed:
+        ctx.emit_state(NodeState.stopped(StopReason.OUTPUT_CLOSED))
+        stats.flush()
+        return
+    stats.flush()
+    ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
+
+
+MixerNode._run_clocked = _mixer_run_clocked

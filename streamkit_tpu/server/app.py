@@ -404,10 +404,14 @@ def create_app(config: Optional[ServerConfig] = None) -> web.Application:
     app.router.add_get(f"{prefix}/moq/{{path:.*}}", moq_media_ws)
 
     from .observability import add_observability_routes
+    from .plugins_api import add_plugin_routes
     from .samples import add_sample_routes
+    from .ui import add_ui_routes
 
     add_sample_routes(app, prefix)
     add_observability_routes(app, prefix)
+    add_plugin_routes(app, prefix)
+    add_ui_routes(app, prefix)
 
     async def on_shutdown(app):
         await app["state"].sessions.destroy_all()

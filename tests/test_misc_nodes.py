@@ -232,3 +232,77 @@ def test_text_chunker_sentences():
     packets = asyncio.run(main())
     texts = [p.text for p in packets]
     assert texts == ["Hello there.", "How are you today?", "I am fine"]
+
+
+# ------------------------------------------------------------------ clocked mixer
+def test_clocked_mixer_ticks_and_silence():
+    """Clocked mode emits on a steady cadence, fills silence when inputs
+    starve, and mixes when frames arrive (reference mixer.rs clocked mode)."""
+    from streamkit_tpu.nodes.audio.filters import MixerNode
+
+    node = MixerNode(
+        {
+            "clocked": True,
+            "sample_rate": 48000,
+            "frame_samples_per_channel": 480,  # 10ms ticks
+            "jitter_buffer_frames": 3,
+            "num_inputs": 1,
+        }
+    )
+    ctx, in_ch, out_ch, _ = make_ctx(node, telemetry=False)
+
+    async def main():
+        task = asyncio.ensure_future(node.run(ctx))
+        fmt = AudioFormat(48000, 1)
+        # feed 5 frames, then starve for a while, then close
+        for i in range(5):
+            in_ch.try_send(Packet.new_audio(AudioFrame(np.full(480, 0.25, np.float32), fmt)))
+        await asyncio.sleep(0.5)  # generous: first mix pays jit compile
+        in_ch.close()
+        await asyncio.wait_for(task, timeout=5)
+        ctx.output.close()
+        return await drain(out_ch)
+
+    packets = asyncio.run(main())
+    assert len(packets) >= 8  # ~50 ticks in 500ms at 10ms cadence
+    peaks = [float(np.abs(p.audio.samples).max()) for p in packets]
+    assert any(abs(p - 0.25) < 1e-5 for p in peaks)  # real frames mixed
+    assert any(p == 0.0 for p in peaks)  # silence ticks while starved
+    # steady sequence numbering
+    seqs = [p.metadata.sequence for p in packets]
+    assert seqs == sorted(seqs)
+
+
+def test_clocked_mixer_jitter_overflow_drops_oldest():
+    from streamkit_tpu.nodes.audio.filters import MixerNode
+
+    node = MixerNode(
+        {
+            "clocked": True,
+            "frame_samples_per_channel": 480,
+            "jitter_buffer_frames": 2,
+            "generate_silence": False,
+            "num_inputs": 1,
+        }
+    )
+    ctx, in_ch, out_ch, _ = make_ctx(node, telemetry=False)
+
+    async def main():
+        task = asyncio.ensure_future(node.run(ctx))
+        fmt = AudioFormat(48000, 1)
+        # burst 10 frames with increasing amplitude: ring keeps only newest 2
+        # of whatever is pending at each tick
+        for i in range(10):
+            in_ch.try_send(
+                Packet.new_audio(AudioFrame(np.full(480, (i + 1) / 10, np.float32), fmt))
+            )
+        await asyncio.sleep(0.05)
+        in_ch.close()
+        await asyncio.wait_for(task, timeout=5)
+        ctx.output.close()
+        return await drain(out_ch)
+
+    packets = asyncio.run(main())
+    peaks = [round(float(np.abs(p.audio.samples).max()), 2) for p in packets]
+    assert len(peaks) <= 6  # burst of 10 collapsed by overwrite-oldest
+    assert peaks[-1] == 1.0  # newest survived

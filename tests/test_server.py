@@ -313,3 +313,67 @@ def test_samples_crud(tmp_path):
         await client.close()
 
     run(main())
+
+
+def test_plugin_endpoints(tmp_path):
+    """List/upload/delete native plugins over HTTP (reference plugins.rs)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("g++ unavailable")
+    subprocess.run(["make", "-C", "/root/repo/native"], check=True, capture_output=True)
+
+    cfg = ServerConfig()
+    cfg.plugins_dir = str(tmp_path / "plugins")
+
+    async def main():
+        import aiohttp
+
+        app = create_app(cfg)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+
+        resp = await client.get("/api/v1/plugins")
+        assert (await resp.json())["plugins"] == []
+
+        form = aiohttp.FormData()
+        form.add_field(
+            "file",
+            open("/root/repo/native/build/gain_cpp.so", "rb").read(),
+            filename="gain_cpp.so",
+        )
+        resp = await client.post("/api/v1/plugins", data=form)
+        body = await resp.json()
+        assert resp.status == 201, body
+        assert body["kind"] == "plugin::native::gain_cpp"
+
+        resp = await client.get("/api/v1/plugins")
+        plugins = (await resp.json())["plugins"]
+        assert len(plugins) == 1 and plugins[0]["abi_version"] == 2
+
+        # uploaded plugin is immediately usable in a pipeline
+        resp = await client.get("/api/v1/schema/nodes")
+        kinds = {n["kind"] for n in (await resp.json())["nodes"]}
+        assert "plugin::native::gain_cpp" in kinds
+
+        resp = await client.delete("/api/v1/plugins/plugin::native::gain_cpp")
+        assert resp.status == 200
+        resp = await client.get("/api/v1/plugins")
+        assert (await resp.json())["plugins"] == []
+        await client.close()
+
+    run(main())
+
+
+def test_monitor_ui_served():
+    async def main():
+        client = await make_client()
+        resp = await client.get("/")
+        text = await resp.text()
+        assert resp.status == 200
+        assert "streamkit-tpu monitor" in text
+        await client.close()
+
+    run(main())
