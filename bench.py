@@ -32,6 +32,10 @@ def main() -> None:
     from streamkit_tpu.models.whisper.model import encode, init_params
     from streamkit_tpu.ops.mel import log_mel_spectrogram
 
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/skit-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     model_name = os.environ.get("SK_BENCH_MODEL", "large-v3")
     dtype = jnp.bfloat16 if os.environ.get("SK_BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
     max_tokens = int(os.environ.get("SK_BENCH_TOKENS", "48"))

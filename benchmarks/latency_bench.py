@@ -1,0 +1,211 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Streaming STT latency benchmark (BASELINE config #3).
+
+Measures live partial-transcript latency: N concurrent dynamic sessions each
+feed 20 ms PCM frames at real-time pace into a whisper node with
+``partial_transcripts`` enabled; latency of a partial = emission wall time −
+arrival wall time of the newest audio it covers. Final-segment latency is
+measured the same way at VAD close.
+
+Run on the real chip:  python benchmarks/latency_bench.py
+Env: SK_LAT_MODEL (tiny|base|...|large-v3, default large-v3),
+     SK_LAT_SESSIONS (default 8), SK_LAT_SECONDS (default 30).
+
+Prints one JSON line: p50/p90 partial latency ms + sessions + model.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) if "__file__" in globals() else "/root/repo")
+
+
+def synth_speech(seconds: float, seed: int, sr: int = 16000) -> np.ndarray:
+    """Speech-like test signal: utterances with pauses (deterministic)."""
+    rng = np.random.RandomState(seed)
+    x = np.zeros(int(seconds * sr), dtype=np.float32)
+    t = 0.0
+    while t < seconds - 2.0:
+        dur = rng.uniform(1.5, 4.0)
+        gap = rng.uniform(0.8, 1.5)
+        sl = slice(int(t * sr), int(min(seconds, t + dur) * sr))
+        ts = np.arange(sl.stop - sl.start) / sr
+        f0 = rng.uniform(120, 240)
+        x[sl] = (
+            0.35 * np.sin(2 * np.pi * f0 * ts) * (0.6 + 0.4 * np.sin(2 * np.pi * 4.5 * ts))
+            + 0.2 * np.sin(2 * np.pi * f0 * 3.1 * ts)
+            + 0.08 * np.sin(2 * np.pi * f0 * 7.3 * ts)
+        ).astype(np.float32)
+        t += dur + gap
+    return x
+
+
+async def run_session(idx: int, model_size: str, seconds: float, batcher, latencies: list):
+    from streamkit_tpu.core import (
+        AudioFormat,
+        AudioFrame,
+        Channel,
+        NodeContext,
+        OutputSender,
+        Packet,
+    )
+    from streamkit_tpu.nodes.ml.whisper_node import WhisperNode
+
+    sr = 16000
+    frame = 320  # 20 ms
+    audio = synth_speech(seconds, seed=idx)
+    node = WhisperNode(
+        {
+            "model_size": model_size,
+            "partial_transcripts": True,
+            "partial_interval_ms": float(os.environ.get("SK_LAT_PARTIAL_MS", 1000)),
+            "window_buckets": [float(b) for b in os.environ.get("SK_LAT_BUCKETS", "4,8,16,30").split(",")],
+            "vad_block_frames": int(os.environ.get("SK_LAT_VAD_BLOCK", 32)),
+            "max_tokens": 32,
+            "dtype": "bfloat16",
+        }
+    )
+    in_ch = Channel(256)
+    out_ch = Channel(1024)
+    ctx = NodeContext(
+        node_name=f"stt{idx}",
+        inputs={"in": in_ch},
+        output=OutputSender(f"stt{idx}", direct={"out": out_ch}),
+        batcher=batcher,
+    )
+    print(f"# session {idx}: starting", file=sys.stderr, flush=True)
+    task = asyncio.ensure_future(node.run(ctx))
+    arrival: dict = {}  # frame index -> wall arrival time
+    fmt = AudioFormat(sr, 1)
+
+    async def feeder():
+        n_frames = len(audio) // frame
+        start = time.monotonic()
+        for i in range(n_frames):
+            target = start + i * 0.02
+            delay = target - time.monotonic()
+            if delay > 0:
+                await asyncio.sleep(delay)
+            arrival[i] = time.monotonic()
+            await in_ch.send(
+                Packet.new_audio(AudioFrame(audio[i * frame : (i + 1) * frame], fmt))
+            )
+        in_ch.close()
+
+    async def collector():
+        from streamkit_tpu.ops.vad import VAD_FRAME
+
+        while True:
+            pkt = await out_ch.recv_optional()
+            if pkt is None:
+                return
+            now = time.monotonic()
+            tr = pkt.transcription
+            if tr is None:
+                continue
+            # newest audio covered = segment end (ms) → 20ms feed frame index
+            end_ms = tr.segments[0].end_time_ms
+            feed_idx = min(max(arrival), int(end_ms / 20))
+            if feed_idx in arrival:
+                latencies.append((now - arrival[feed_idx]) * 1000.0)
+
+    feed_task = asyncio.ensure_future(feeder())
+    collect_task = asyncio.ensure_future(collector())
+    await feed_task
+    print(f"# session {idx}: feed done", file=sys.stderr, flush=True)
+    await task
+    print(f"# session {idx}: node done", file=sys.stderr, flush=True)
+    ctx.output.close()
+    await collect_task
+
+
+async def main():
+    from streamkit_tpu.engine.batcher import DeviceBatcher
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/skit-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    model_size = os.environ.get("SK_LAT_MODEL", "large-v3")
+    n_sessions = int(os.environ.get("SK_LAT_SESSIONS", "8"))
+    seconds = float(os.environ.get("SK_LAT_SECONDS", "30"))
+
+    batcher = DeviceBatcher(tick_ms=float(os.environ.get("SK_LAT_TICK_MS", 20)))
+    batcher.start()
+    # warmup: compile the batched STT path once before the timed run
+    latencies: list = []
+    warm: list = []
+    await run_session(999, model_size, 8.0, batcher, warm)
+    print(f"# warmup session done ({len(warm)} transcripts)", file=sys.stderr, flush=True)
+
+    # pre-compile every (kind, bucket, padded-batch) combo the timed phase can
+    # hit — a mid-run XLA compile stalls a batch for ~30-60 s and poisons the
+    # latency distribution
+    buckets = [float(b) for b in os.environ.get("SK_LAT_BUCKETS", "4,8,16,30").split(",")]
+    vad_block = int(os.environ.get("SK_LAT_VAD_BLOCK", 32))
+    from streamkit_tpu.ops.vad import VAD_CONTEXT, VAD_FRAME
+
+    for kind in list(batcher._kinds):
+        for nb in (1, 2, 4, 8):
+            if nb > n_sessions:
+                continue
+            if kind.startswith("whisper:"):
+                for b in buckets:
+                    wire = np.zeros(int(b * 16000), np.int16)
+                    await asyncio.gather(*(batcher.submit(kind, wire) for _ in range(nb)))
+                    print(f"# warmed {kind} bucket={b}s batch={nb}", file=sys.stderr, flush=True)
+            elif kind.startswith("vad:"):
+                await asyncio.gather(
+                    *(
+                        batcher.submit(
+                            kind,
+                            np.float32(-6.0),
+                            np.zeros(VAD_CONTEXT, np.float32),
+                            np.float32(0.0),
+                            np.zeros((vad_block, VAD_FRAME), np.float32),
+                        )
+                        for _ in range(nb)
+                    )
+                )
+                print(f"# warmed {kind} batch={nb}", file=sys.stderr, flush=True)
+    print("# compile warmup done", file=sys.stderr, flush=True)
+
+    t0 = time.monotonic()
+    await asyncio.gather(
+        *(run_session(i, model_size, seconds, batcher, latencies) for i in range(n_sessions))
+    )
+    wall = time.monotonic() - t0
+    batcher.stop()
+
+    lat = sorted(latencies)
+    if not lat:
+        print(json.dumps({"error": "no transcripts emitted"}))
+        return
+    p50 = lat[len(lat) // 2]
+    p90 = lat[int(len(lat) * 0.9)]
+    print(
+        json.dumps(
+            {
+                "metric": f"streaming partial-transcript latency p50, whisper-{model_size}, "
+                f"{n_sessions} concurrent realtime sessions",
+                "value": round(p50, 1),
+                "unit": "ms",
+                "p90_ms": round(p90, 1),
+                "transcripts": len(lat),
+                "wall_secs": round(wall, 1),
+                "batcher": batcher.stats(),
+                "vs_baseline": round(300.0 / p50, 2),  # target: <300ms → >1 is better
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    asyncio.run(main())

@@ -66,6 +66,7 @@ class DeviceBatcher:
         self._wake = asyncio.Event()
         self._task: Optional[asyncio.Task] = None
         self._running = False
+        self._inflight_tasks: set = set()
         # observability
         self.submissions = 0
         self.device_calls = 0
@@ -120,16 +121,32 @@ class DeviceBatcher:
                 continue
             batches = self._pending
             self._pending = defaultdict(list)
+            dispatches = []
             for key, items in batches.items():
                 kind = self._kinds[key[0]]
                 # oversize groups split into max_batch chunks
                 for i in range(0, len(items), kind.max_batch):
                     chunk = items[i : i + kind.max_batch]
-                    await self._dispatch(loop, kind, chunk)
+                    dispatches.append(self._dispatch(loop, kind, chunk))
+            # dispatch groups CONCURRENTLY and WITHOUT blocking the tick loop:
+            # a slow kind (whisper decode) must not head-of-line-block cheap
+            # kinds (VAD scoring) arriving at the next tick. Per-session
+            # ordering is safe: a submitter awaits its result before
+            # submitting again, so no session has two batches in flight.
+            for d in dispatches:
+                task = asyncio.ensure_future(d)
+                self._inflight_tasks.add(task)
+                task.add_done_callback(self._inflight_tasks.discard)
 
     async def _dispatch(self, loop, kind: BatchKind, items: List[_Item]) -> None:
+        # pad the batch to the next power of two (repeating the last row):
+        # every distinct batch size is a separate XLA compilation — power-of-2
+        # bucketing caps compile count at log2(max_batch) per kind+shape
+        n = len(items)
+        padded = 1 << (n - 1).bit_length() if n > 1 else 1
+        rows = items + [items[-1]] * (padded - n)
         stacked = tuple(
-            jnp.asarray(np.stack([it.inputs[j] for it in items]))
+            jnp.asarray(np.stack([it.inputs[j] for it in rows]))
             for j in range(len(items[0].inputs))
         )
         self.device_calls += 1
@@ -139,7 +156,9 @@ class DeviceBatcher:
             out = kind.fn(*stacked)
             if not isinstance(out, tuple):
                 out = (out,)
-            return tuple(np.asarray(o) for o in out)
+            # ONE device_get for all outputs: per-array fetches each pay a
+            # full transfer round trip (~24 ms over the axon tunnel)
+            return tuple(jax.device_get(out))
 
         try:
             outputs = await loop.run_in_executor(None, run_batch)

@@ -108,13 +108,22 @@ def transcribe_window(
     params: Params,
     cfg: WhisperConfig,
     audio_16k: np.ndarray,  # [samples] or [batch, samples] f32 @16 kHz
+    window_samples: int = N_SAMPLES_30S,
     **kw,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Audio → mel → tokens for one ≤30 s window (batched)."""
+    """Audio → mel → tokens for one window (batched).
+
+    ``window_samples`` < 30 s enables chunked-encoder streaming buckets:
+    the mel/encoder run over the shorter context (position table sliced),
+    cutting transfer + encode cost for short segments/partials.
+    """
     squeeze = audio_16k.ndim == 1
     if squeeze:
         audio_16k = audio_16k[None]
-    audio = pad_or_trim(audio_16k)
+    audio = pad_or_trim(audio_16k, window_samples)
     mel = log_mel_spectrogram(jnp.asarray(audio), cfg.n_mels)
+    # match param dtype (bf16 params expect bf16 activations)
+    param_dtype = params["enc"]["conv1"]["w"].dtype
+    mel = mel.astype(param_dtype)
     tokens, lengths = greedy_decode(params, cfg, mel, **kw)
     return tokens, lengths

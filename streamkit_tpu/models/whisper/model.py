@@ -52,19 +52,23 @@ def init_params(cfg: WhisperConfig, key: jax.Array, dtype=jnp.float32) -> Params
     """
     seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
     rng = np.random.default_rng(seed)
+    np_dtype = jnp.dtype(dtype)
 
+    # Everything below is NUMPY, converted with one device_put at the end:
+    # per-leaf jnp ops each trigger a separate (remote) compile+transfer,
+    # which took 90+ s for whisper-tiny over the axon tunnel.
     def _linear_init(d_in, d_out):
         scale = 1.0 / math.sqrt(d_in)
-        return jnp.asarray(rng.uniform(-scale, scale, (d_in, d_out)).astype(np.float32), dtype)
+        return rng.uniform(-scale, scale, (d_in, d_out)).astype(np.float32).astype(np_dtype)
 
     def linear(d_in, d_out, bias=True):
         p = {"w": _linear_init(d_in, d_out)}
         if bias:
-            p["b"] = jnp.zeros((d_out,), dtype)
+            p["b"] = np.zeros((d_out,), np_dtype)
         return p
 
     def ln(d):
-        return {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)}
+        return {"g": np.ones((d,), np_dtype), "b": np.zeros((d,), np_dtype)}
 
     def attn_block(d, cross=False):
         return {
@@ -95,27 +99,28 @@ def init_params(cfg: WhisperConfig, key: jax.Array, dtype=jnp.float32) -> Params
         }
 
     da, dt = cfg.n_audio_state, cfg.n_text_state
-    return {
+    host = {
         "enc": {
             "conv1": {
                 "w": _linear_init(cfg.n_mels * 3, da).reshape(3, cfg.n_mels, da),
-                "b": jnp.zeros((da,), dtype),
+                "b": np.zeros((da,), np_dtype),
             },
             "conv2": {
                 "w": _linear_init(da * 3, da).reshape(3, da, da),
-                "b": jnp.zeros((da,), dtype),
+                "b": np.zeros((da,), np_dtype),
             },
-            "pos": jnp.asarray(sinusoids(cfg.n_audio_ctx, da), dtype),
+            "pos": sinusoids(cfg.n_audio_ctx, da).astype(np_dtype),
             "layers": [enc_layer(da) for _ in range(cfg.n_audio_layer)],
             "ln_post": ln(da),
         },
         "dec": {
-            "tok_emb": jnp.asarray(rng.normal(0, 0.02, (cfg.n_vocab, dt)).astype(np.float32), dtype),
-            "pos_emb": jnp.asarray(rng.normal(0, 0.02, (cfg.n_text_ctx, dt)).astype(np.float32), dtype),
+            "tok_emb": rng.normal(0, 0.02, (cfg.n_vocab, dt)).astype(np.float32).astype(np_dtype),
+            "pos_emb": rng.normal(0, 0.02, (cfg.n_text_ctx, dt)).astype(np.float32).astype(np_dtype),
             "layers": [dec_layer(dt) for _ in range(cfg.n_text_layer)],
             "ln": ln(dt),
         },
     }
+    return jax.device_put(host)
 
 
 def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
@@ -210,7 +215,9 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
     e = params["enc"]
     x = jax.nn.gelu(_conv1d(mel, e["conv1"]["w"], e["conv1"]["b"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, e["conv2"]["w"], e["conv2"]["b"], 2), approximate=False)
-    x = x + e["pos"].astype(x.dtype)
+    # pos sliced to the actual context: shorter-than-30s window buckets reuse
+    # the prefix of the position table (chunked-encoder streaming mode)
+    x = x + e["pos"][: x.shape[-2]].astype(x.dtype)
     for layer in e["layers"]:
         h = _layernorm(x, layer["ln1"])
         attn = _attention(

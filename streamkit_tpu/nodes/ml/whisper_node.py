@@ -82,6 +82,16 @@ class WhisperNode(ProcessorNode):
                 "max_segment_duration_secs": 30.0,
                 "partial_transcripts": False,
                 "partial_interval_ms": 300,
+                # chunked-encoder window buckets (seconds): a segment decodes
+                # in the smallest bucket that fits, slashing transfer/encode
+                # cost for short segments and live partials. [30.0] = always
+                # the canonical full whisper window (maximum fidelity).
+                "window_buckets": [30.0],
+                # VAD frames scored per device call (1 = every 32 ms; higher
+                # values batch scoring, cutting dispatch rate at the cost of
+                # segmentation granularity — still far under the 700 ms
+                # silence threshold)
+                "vad_block_frames": 4,
                 "allow_random_init": True,  # offline/dev mode when no weights
                 "dtype": "float32",
                 "max_tokens": 224,
@@ -95,6 +105,8 @@ class WhisperNode(ProcessorNode):
         self.max_segment_secs = float(cfg["max_segment_duration_secs"])
         self.partials = bool(cfg["partial_transcripts"])
         self.partial_interval = float(cfg["partial_interval_ms"]) / 1000.0
+        self.window_buckets = sorted(float(b) for b in cfg["window_buckets"])
+        self.vad_block = max(1, int(cfg["vad_block_frames"]))
         self.allow_random_init = bool(cfg["allow_random_init"])
         self.dtype = jnp.bfloat16 if cfg["dtype"] == "bfloat16" else jnp.float32
         self.max_tokens = int(cfg["max_tokens"])
@@ -146,6 +158,7 @@ class WhisperNode(ProcessorNode):
         lang_index = _LANG_INDEX.get(self.language, 0)
         loop = asyncio.get_running_loop()
         last_partial = 0.0
+        partial_task = None
         seq = 0
 
         def decode_sync(audio: np.ndarray):
@@ -155,27 +168,52 @@ class WhisperNode(ProcessorNode):
             return detok.decode(tokens[0][: int(lengths[0])])
 
         # continuous batching: segments from ALL sessions sharing this model
-        # are packed into one batched mel+encode+decode device call
+        # are packed into one batched mel+encode+decode device call. Audio
+        # travels as int16 (half the host->HBM bytes) and is bucketed to the
+        # smallest configured window, so partials don't re-ship 30 s of
+        # padding every interval.
         batch_kind = None
         if ctx.batcher is not None:
-            from ...models.whisper.decode import N_SAMPLES_30S, pad_or_trim
+            from ...models.whisper.decode import pad_or_trim
 
-            batch_kind = f"whisper:{self.model_path or self.model_size}:{lang_index}:{self.max_tokens}"
+            model_tag = f"{self.model_path or self.model_size}:{lang_index}:{self.max_tokens}"
+            batch_kind = f"whisper:{model_tag}"
 
-            def batched_stt(audio_b):
+            def batched_stt(audio_i16_b):
+                audio_b = np.asarray(audio_i16_b).astype(np.float32) / 32768.0
                 tokens, lengths = transcribe_window(
-                    params, model_cfg, np.asarray(audio_b),
+                    params, model_cfg, audio_b,
+                    window_samples=audio_b.shape[-1],
                     language_index=lang_index, max_tokens=self.max_tokens,
                 )
                 return tokens, lengths
 
             ctx.batcher.register(batch_kind, batched_stt)
 
+            vad_kind = f"vad:{self.vad_block}"
+
+            def batched_vad(state_floor, state_ctx, state_prob, frames_b):
+                st = vad_init_state()._replace(
+                    noise_floor=state_floor, context=state_ctx, prob_ema=state_prob
+                )
+                probs, new_st = vad_frame_probs(st, frames_b)
+                return probs, new_st.noise_floor, new_st.context, new_st.prob_ema
+
+            ctx.batcher.register(vad_kind, batched_vad, max_batch=128)
+
+        def _bucket_samples(n: int) -> int:
+            for b in self.window_buckets:
+                if n <= int(b * _SR):
+                    return int(b * _SR)
+            return int(self.window_buckets[-1] * _SR)
+
         async def decode_text(samples: np.ndarray) -> str:
             if batch_kind is not None:
                 from ...models.whisper.decode import pad_or_trim
 
-                tokens, length = await ctx.batcher.submit(batch_kind, pad_or_trim(samples))
+                window = _bucket_samples(samples.shape[0])
+                wire = np.clip(pad_or_trim(samples, window) * 32768.0, -32768, 32767).astype(np.int16)
+                tokens, length = await ctx.batcher.submit(batch_kind, wire)
                 return detok.decode(tokens[: int(length)])
             return await loop.run_in_executor(None, decode_sync, samples)
 
@@ -218,13 +256,36 @@ class WhisperNode(ProcessorNode):
                 if pkt.audio.format.channels > 1:  # downmix
                     samples = samples.reshape(-1, pkt.audio.format.channels).mean(axis=1)
                 buf = np.concatenate([buf, samples])
-                n_frames = len(buf) // VAD_FRAME
-                if n_frames == 0:
+                if len(buf) // VAD_FRAME < self.vad_block:
                     continue
-                frames = buf[: n_frames * VAD_FRAME].reshape(n_frames, VAD_FRAME)
-                buf = buf[n_frames * VAD_FRAME :]
-                probs, vad_state = vad_frame_probs(vad_state, jnp.asarray(frames))
-                probs = np.asarray(probs)
+                # score in EXACT vad_block-sized calls: a single static shape
+                # per kind (variable frame counts would each compile anew)
+                all_probs = []
+                all_frames = []
+                while len(buf) // VAD_FRAME >= self.vad_block:
+                    block = buf[: self.vad_block * VAD_FRAME].reshape(self.vad_block, VAD_FRAME)
+                    buf = buf[self.vad_block * VAD_FRAME :]
+                    all_frames.append(block)
+                    if ctx.batcher is not None:
+                        probs, nf, cx, pe = await ctx.batcher.submit(
+                            vad_kind,
+                            np.asarray(vad_state.noise_floor),
+                            np.asarray(vad_state.context),
+                            np.asarray(vad_state.prob_ema),
+                            block,
+                        )
+                        vad_state = vad_init_state()._replace(
+                            noise_floor=jnp.asarray(nf),
+                            context=jnp.asarray(cx),
+                            prob_ema=jnp.asarray(pe),
+                        )
+                        all_probs.append(np.asarray(probs))
+                    else:
+                        probs, vad_state = vad_frame_probs(vad_state, jnp.asarray(block))
+                        all_probs.append(np.asarray(probs))
+                frames = np.concatenate(all_frames)
+                probs = np.concatenate(all_probs)
+                n_frames = frames.shape[0]
                 for i in range(n_frames):
                     for kind, seg_samples, start_f, end_f in seg.push(frames[i], float(probs[i])):
                         if kind == "speech_start":
@@ -232,15 +293,25 @@ class WhisperNode(ProcessorNode):
                         else:
                             telemetry.emit("vad.speech_end", {})
                             await emit_transcription(seg_samples, start_f, end_f, True)
-                # live partials while a segment is open (extension)
+                # live partials while a segment is open (extension): decoded
+                # as a side task so ingest/VAD never stalls behind a decode;
+                # a new partial is skipped while the previous is in flight
                 if self.partials and seg.in_speech:
                     now = time.monotonic()
-                    if now - last_partial >= self.partial_interval and seg._segment:
+                    if (
+                        now - last_partial >= self.partial_interval
+                        and seg._segment
+                        and (partial_task is None or partial_task.done())
+                    ):
                         last_partial = now
                         partial_audio = np.concatenate(seg._segment)
-                        await emit_transcription(
-                            partial_audio, seg._segment_start_frame, seg._frame_idx, False
+                        partial_task = asyncio.ensure_future(
+                            emit_transcription(
+                                partial_audio, seg._segment_start_frame, seg._frame_idx, False
+                            )
                         )
+            if partial_task is not None and not partial_task.done():
+                await partial_task
             for kind, seg_samples, start_f, end_f in seg.flush():
                 await emit_transcription(seg_samples, start_f, end_f, True)
         except ChannelClosed:

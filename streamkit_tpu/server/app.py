@@ -65,6 +65,15 @@ class AppState:
             else None
         )
         set_security_paths(config.allowed_file_paths, config.allowed_write_paths)
+        # persistent XLA compilation cache: recompiling whisper-large costs
+        # minutes; cached programs load in seconds across restarts
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", "/tmp/skit-jax-cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # noqa: BLE001 — cache is best-effort
+            pass
         from ..core.moq_gateway import init_moq_gateway
         from ..engine.batcher import DeviceBatcher
 
