@@ -393,9 +393,26 @@ async def get_session_pipeline(request: web.Request) -> web.Response:
 
 
 # ---------------------------------------------------------------------------
+@web.middleware
+async def _security_middleware(request: web.Request, handler):
+    """Origin guard + security headers (reference ``server.rs`` origin-guard
+    middleware + security headers layer)."""
+    state: AppState = request.app["state"]
+    allowed = state.config.allowed_origins
+    origin = request.headers.get("Origin")
+    if allowed and origin is not None and origin not in allowed:
+        return web.json_response({"error": "origin not allowed"}, status=403)
+    resp = await handler(request)
+    if isinstance(resp, web.StreamResponse):
+        resp.headers.setdefault("X-Content-Type-Options", "nosniff")
+        resp.headers.setdefault("X-Frame-Options", "DENY")
+        resp.headers.setdefault("Referrer-Policy", "no-referrer")
+    return resp
+
+
 def create_app(config: Optional[ServerConfig] = None) -> web.Application:
     config = config or ServerConfig()
-    app = web.Application(client_max_size=config.max_body_size)
+    app = web.Application(client_max_size=config.max_body_size, middlewares=[_security_middleware])
     app["state"] = AppState(config)
 
     prefix = config.base_path.rstrip("/")
@@ -431,6 +448,23 @@ def create_app(config: Optional[ServerConfig] = None) -> web.Application:
 
 def run_server(config: Optional[ServerConfig] = None) -> None:
     config = config or ServerConfig()
+    # refuse to serve on a non-loopback address with the default-allow-all
+    # admin role and no trusted role header (reference ``server.rs:2094-2117``)
+    loopback = config.address in ("127.0.0.1", "::1", "localhost")
+    if not loopback and config.default_role == "admin" and not config.role_header:
+        raise SystemExit(
+            "refusing to bind a non-loopback address with default role 'admin' and no "
+            "role_header configured — set [permissions] default_role/role_header or "
+            "bind 127.0.0.1"
+        )
+    ssl_context = None
+    if config.tls_cert and config.tls_key:
+        import ssl
+
+        ssl_context = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_context.load_cert_chain(config.tls_cert, config.tls_key)
     app = create_app(config)
-    log.info("skit-tpu serving on %s:%s", config.address, config.port)
-    web.run_app(app, host=config.address, port=config.port, print=lambda *_: None)
+    log.info("skit-tpu serving on %s:%s (tls=%s)", config.address, config.port, bool(ssl_context))
+    web.run_app(
+        app, host=config.address, port=config.port, ssl_context=ssl_context, print=lambda *_: None
+    )

@@ -36,6 +36,9 @@ class ServerConfig:
     max_body_size: int = 512 * 1024 * 1024
     base_path: str = ""
     cors_origins: List[str] = field(default_factory=list)
+    allowed_origins: List[str] = field(default_factory=list)  # Origin header guard
+    tls_cert: Optional[str] = None
+    tls_key: Optional[str] = None
 
     engine_profile: str = "high-throughput"
     packet_batch_size: int = 32
@@ -109,6 +112,9 @@ def load_config(path: Optional[str] = None) -> ServerConfig:
     cfg.max_body_size = int(server.get("max_body_size", cfg.max_body_size))
     cfg.base_path = server.get("base_path", cfg.base_path)
     cfg.cors_origins = server.get("cors_origins", cfg.cors_origins)
+    cfg.allowed_origins = server.get("allowed_origins", cfg.allowed_origins)
+    cfg.tls_cert = server.get("tls_cert", cfg.tls_cert)
+    cfg.tls_key = server.get("tls_key", cfg.tls_key)
     cfg.engine_profile = engine.get("profile", cfg.engine_profile)
     cfg.packet_batch_size = int(engine.get("packet_batch_size", cfg.packet_batch_size))
     cfg.oneshot_concurrency_limit = int(

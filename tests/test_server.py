@@ -377,3 +377,33 @@ def test_monitor_ui_served():
         await client.close()
 
     run(main())
+
+
+def test_origin_guard():
+    cfg = ServerConfig()
+    cfg.allowed_origins = ["https://good.example"]
+
+    async def main():
+        app = create_app(cfg)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        resp = await client.get("/healthz", headers={"Origin": "https://evil.example"})
+        assert resp.status == 403
+        resp = await client.get("/healthz", headers={"Origin": "https://good.example"})
+        assert resp.status == 200
+        resp = await client.get("/healthz")  # no Origin (curl) passes
+        assert resp.status == 200
+        assert resp.headers["X-Content-Type-Options"] == "nosniff"
+        await client.close()
+
+    run(main())
+
+
+def test_nonloopback_admin_refusal():
+    from streamkit_tpu.server.app import run_server
+
+    cfg = ServerConfig()
+    cfg.address = "0.0.0.0"
+    with pytest.raises(SystemExit, match="refusing"):
+        run_server(cfg)

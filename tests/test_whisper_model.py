@@ -139,3 +139,47 @@ def test_greedy_decode_batch_consistency():
     tb, lb = greedy_decode(params, cfg, jnp.asarray(mel), max_tokens=12)
     t0, l0 = greedy_decode(params, cfg, jnp.asarray(mel[1:2]), max_tokens=12)
     np.testing.assert_array_equal(tb[1], t0[0])
+
+
+def test_load_pretrained_from_checkpoint_dir(tmp_path):
+    """Full HF checkpoint-dir load path (save_pretrained → load_pretrained),
+    including detokenizer vocab pickup."""
+    torch = pytest.importorskip("torch")
+    import json
+
+    import transformers
+
+    from streamkit_tpu.models.whisper import WhisperDetokenizer, load_pretrained
+
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=TINY.n_vocab,
+        num_mel_bins=TINY.n_mels,
+        encoder_layers=TINY.n_audio_layer,
+        encoder_attention_heads=TINY.n_audio_head,
+        decoder_layers=TINY.n_text_layer,
+        decoder_attention_heads=TINY.n_text_head,
+        d_model=TINY.n_audio_state,
+        max_source_positions=TINY.n_audio_ctx,
+        max_target_positions=TINY.n_text_ctx,
+        encoder_ffn_dim=4 * TINY.n_audio_state,
+        decoder_ffn_dim=4 * TINY.n_text_state,
+    )
+    torch.manual_seed(1)
+    model = transformers.WhisperForConditionalGeneration(hf_cfg)
+    model.save_pretrained(tmp_path)
+    # minimal vocab.json so the detokenizer resolves text
+    (tmp_path / "vocab.json").write_text(json.dumps({"hello": 1, "Ġworld": 2}))
+
+    cfg, params = load_pretrained(str(tmp_path), dtype=jnp.float32)
+    assert cfg == TINY
+    # converted params drive the encoder to parity with the torch model
+    rng = np.random.RandomState(7)
+    mel = rng.randn(1, cfg.n_audio_ctx * 2, cfg.n_mels).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = model.model.encoder(torch.from_numpy(mel.transpose(0, 2, 1))).last_hidden_state
+    with jax.default_matmul_precision("highest"):
+        ours = encode(params, cfg, jnp.asarray(mel))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=2e-4)
+
+    detok = WhisperDetokenizer.from_model_dir(str(tmp_path))
+    assert detok.decode([1, 2]) == "hello world"
