@@ -3,7 +3,8 @@
 FROM python:3.12-slim
 
 RUN apt-get update && apt-get install -y --no-install-recommends \
-      libopus0 libmpg123-0 g++ make \
+      libopus0 libmpg123-0 g++ make pkg-config \
+      libavformat-dev libavcodec-dev libavutil-dev libswresample-dev \
     && rm -rf /var/lib/apt/lists/*
 
 # JAX backend: override JAX_WHEEL for TPU hosts (e.g. jax[tpu])

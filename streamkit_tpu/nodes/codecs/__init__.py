@@ -13,3 +13,8 @@ def register_codec_nodes(registry) -> None:
         register_mpeg(registry)
     except (OSError, ImportError):
         pass
+    try:
+        from .av import register as register_av
+        register_av(registry)
+    except (OSError, ImportError):
+        pass  # libav shim not built: flac node unavailable
