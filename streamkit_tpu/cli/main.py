@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("watch", help="stream server events")
     _add_server_arg(p)
 
+    p = sub.add_parser("shell", help="interactive session shell")
+    _add_server_arg(p)
+
     p = sub.add_parser("loadtest", aliases=["lt"], help="run a load test")
     p.add_argument("config", help="load-test TOML config")
 
@@ -74,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 async def _run(args) -> int:
     cmd = args.command
+    if cmd == "shell":
+        from .shell import run_shell
+
+        return await run_shell(args.server)
     if cmd in ("loadtest", "lt"):
         cfg = LoadTestConfig.from_toml(args.config)
         results = await run_load_test(cfg)
