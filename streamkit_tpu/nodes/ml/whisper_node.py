@@ -153,6 +153,7 @@ class WhisperNode(ProcessorNode):
         ctx.emit_state(NodeState.running())
 
         vad_state = vad_init_state()
+        vad_slot = None
         seg = SpeechSegmenter(self.vad_threshold, self.min_silence_ms, self.max_segment_secs)
         buf = np.zeros(0, dtype=np.float32)
         lang_index = _LANG_INDEX.get(self.language, 0)
@@ -192,14 +193,10 @@ class WhisperNode(ProcessorNode):
 
             vad_kind = f"vad:{self.vad_block}"
 
-            def batched_vad(state_floor, state_ctx, state_prob, frames_b):
-                st = vad_init_state()._replace(
-                    noise_floor=state_floor, context=state_ctx, prob_ema=state_prob
-                )
-                probs, new_st = vad_frame_probs(st, frames_b)
-                return probs, new_st.noise_floor, new_st.context, new_st.prob_ema
-
-            ctx.batcher.register(vad_kind, batched_vad, max_batch=128)
+            # VAD state lives device-resident in a shared slot table
+            # (SURVEY.md §2.9 HBM-resident session state): submissions carry
+            # only (slot_id, frames); state never crosses the host boundary
+            vad_table = _vad_slot_table(ctx.batcher, vad_kind)
 
         def _bucket_samples(n: int) -> int:
             for b in self.window_buckets:
@@ -239,6 +236,8 @@ class WhisperNode(ProcessorNode):
             await ctx.output.send("out", Packet.new_transcription(data, meta))
             stats.packet_sent()
 
+        if batch_kind is not None:
+            vad_slot = vad_table.alloc()
         try:
             while True:
                 pkt = await ctx.recv_with_cancellation("in")
@@ -267,17 +266,8 @@ class WhisperNode(ProcessorNode):
                     buf = buf[self.vad_block * VAD_FRAME :]
                     all_frames.append(block)
                     if ctx.batcher is not None:
-                        probs, nf, cx, pe = await ctx.batcher.submit(
-                            vad_kind,
-                            np.asarray(vad_state.noise_floor),
-                            np.asarray(vad_state.context),
-                            np.asarray(vad_state.prob_ema),
-                            block,
-                        )
-                        vad_state = vad_init_state()._replace(
-                            noise_floor=jnp.asarray(nf),
-                            context=jnp.asarray(cx),
-                            prob_ema=jnp.asarray(pe),
+                        probs = await ctx.batcher.submit(
+                            vad_kind, np.int32(vad_slot), block
                         )
                         all_probs.append(np.asarray(probs))
                     else:
@@ -318,5 +308,39 @@ class WhisperNode(ProcessorNode):
             ctx.emit_state(NodeState.stopped(StopReason.OUTPUT_CLOSED))
             stats.flush()
             return
+        finally:
+            if vad_slot is not None:
+                vad_table.free(vad_slot)
         stats.flush()
         ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
+
+
+# ---------------------------------------------------------------------------
+# shared VAD slot tables (one per vad_kind per process)
+# ---------------------------------------------------------------------------
+_VAD_TABLES: dict = {}
+
+
+def _vad_slot_table(batcher, vad_kind: str):
+    """Get/create the device-resident VAD state table and register its
+    batched step with the continuous batcher."""
+    from ...engine.slots import SlotTable
+
+    entry = _VAD_TABLES.get(vad_kind)
+    if entry is None:
+        table = SlotTable(vad_init_state, max_slots=256)
+
+        def vad_step(state_rows, frames_b):
+            probs, new_state = vad_frame_probs(state_rows, frames_b)
+            return new_state, probs
+
+        step = table.make_step(vad_step)
+
+        def batched_vad(slot_ids, frames_b):
+            return step(slot_ids, frames_b)
+
+        entry = (table, batched_vad)
+        _VAD_TABLES[vad_kind] = entry
+    # idempotent per batcher: a new server/batcher re-registers the same fn
+    batcher.register(vad_kind, entry[1], max_batch=128)
+    return entry[0]
