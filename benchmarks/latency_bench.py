@@ -162,16 +162,16 @@ async def main():
                     await asyncio.gather(*(batcher.submit(kind, wire) for _ in range(nb)))
                     print(f"# warmed {kind} bucket={b}s batch={nb}", file=sys.stderr, flush=True)
             elif kind.startswith("vad:"):
+                # slot-table signature: (slot_id, frames); use distinct high
+                # slots (rows reset on alloc, so warmup writes are harmless)
                 await asyncio.gather(
                     *(
                         batcher.submit(
                             kind,
-                            np.float32(-6.0),
-                            np.zeros(VAD_CONTEXT, np.float32),
-                            np.float32(0.0),
+                            np.int32(255 - j),
                             np.zeros((vad_block, VAD_FRAME), np.float32),
                         )
-                        for _ in range(nb)
+                        for j in range(nb)
                     )
                 )
                 print(f"# warmed {kind} batch={nb}", file=sys.stderr, flush=True)

@@ -52,14 +52,19 @@ class SlotTable:
 
     # -- slot lifecycle ---------------------------------------------------------
     def alloc(self) -> int:
+        """Acquire a slot; its row is reset on acquire (so stray writes to
+        unallocated slots — e.g. warmup submissions — can't leak state)."""
         with self._lock:
             if not self._free:
                 raise RuntimeError(f"slot table exhausted ({self.max_slots} slots)")
-            return self._free.pop()
+            slot = self._free.pop()
+        with self._step_lock:
+            self._state = self._reset_row(
+                self._state, jnp.asarray(slot, jnp.int32), self._init_row
+            )
+        return slot
 
     def free(self, slot: int) -> None:
-        """Release a slot and reset its row to the initial state."""
-        self._state = self._reset_row(self._state, jnp.asarray(slot, jnp.int32), self._init_row)
         with self._lock:
             self._free.append(slot)
 
