@@ -242,7 +242,14 @@ class DynamicEngine:
                 entry = self.nodes.get(msg.node_id)
                 if entry is None:
                     raise ValidationFailure(f"unknown node {msg.node_id!r}")
-                await entry.control_tx.send(msg.message)
+                # never block the control actor on a full node channel
+                # (reference: try_send fast path, spawned send fallback)
+                try:
+                    entry.control_tx.try_send(msg.message)
+                except ChannelFull:
+                    asyncio.ensure_future(entry.control_tx.send(msg.message))
+                except ChannelClosed:
+                    raise ValidationFailure(f"node {msg.node_id!r} is shut down")
                 if msg.message and msg.message.op == "update_params":
                     merged = dict(entry.params or {})
                     if isinstance(msg.message.params, dict):

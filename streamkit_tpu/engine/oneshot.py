@@ -52,6 +52,7 @@ class OneshotResult:
     output: Channel  # yields bytes chunks; closed = end of response
     graph: WiredGraph
     _pump_task: Optional[asyncio.Task] = None
+    _pump_error: Optional[BaseException] = None
 
     async def read_all(self) -> bytes:
         chunks = []
@@ -72,16 +73,27 @@ class OneshotResult:
         await self.wait()
 
     async def wait(self) -> None:
-        """Join all node tasks; raise the first node failure."""
+        """Join all node tasks; raise the first pump or node failure."""
         if self._pump_task is not None:
             try:
                 await self._pump_task
-            except Exception:  # pump failures surface via node errors
-                pass
+            except Exception as e:  # noqa: BLE001
+                self._pump_error = e
         results = await self.graph.join()
         for name, err in results.items():
             if err is not None:
                 raise StreamKitError(f"node {name!r} failed: {err}") from err
+        if self._pump_error is not None:
+            raise StreamKitError(
+                f"input stream failed: {self._pump_error}"
+            ) from self._pump_error
+
+    def cancel(self) -> None:
+        """Abort the pipeline (client disconnected): cancel nodes + pump."""
+        if self._pump_task is not None:
+            self._pump_task.cancel()
+        self.graph.cancel()
+        self.output.close()
 
 
 async def run_oneshot_pipeline(
@@ -158,7 +170,7 @@ async def run_oneshot_pipeline(
             finally:
                 body_rx.close()
 
-        pump_task = asyncio.ensure_future(pump())
+        pump_task = asyncio.ensure_future(pump())  # errors surface in wait()
     elif body_rx is not None:
         body_rx.close()
 

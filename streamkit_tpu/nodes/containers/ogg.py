@@ -111,15 +111,34 @@ class OggPageWriter:
         self.page_seq = 0
 
     def page(self, packets: List[bytes], granule: int, header_type: int = 0) -> bytes:
+        """Build one or more pages (splits at Ogg's 255-segment page limit)."""
+        out = bytearray()
         lacing = bytearray()
         body = bytearray()
+
+        def flush(final: bool) -> None:
+            nonlocal lacing, body
+            if not lacing and not final:
+                return
+            out.extend(self._page_raw(bytes(lacing), bytes(body), granule,
+                                      header_type if final else header_type & ~0x04))
+            lacing = bytearray()
+            body = bytearray()
+
         for pkt in packets:
             n = len(pkt)
+            laces = n // 255 + 1
+            if len(lacing) + laces > 255:
+                flush(final=False)
             while n >= 255:
                 lacing.append(255)
                 n -= 255
             lacing.append(n)
             body.extend(pkt)
+        flush(final=True)
+        return bytes(out)
+
+    def _page_raw(self, lacing: bytes, body: bytes, granule: int, header_type: int) -> bytes:
         header = bytearray(
             struct.pack(
                 "<4sBBqIIIB",
@@ -135,7 +154,7 @@ class OggPageWriter:
         )
         header.extend(lacing)
         self.page_seq += 1
-        page = bytes(header) + bytes(body)
+        page = bytes(header) + body
         crc = ogg_crc(page)
         return page[:22] + struct.pack("<I", crc) + page[26:]
 

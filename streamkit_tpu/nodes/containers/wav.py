@@ -125,7 +125,9 @@ class WavDemuxerNode(ProcessorNode):
                         if cid == b"data":
                             del buf[:8]
                             data_remaining = csize if csize != 0xFFFFFFFF else -1
-                            state = "data"
+                            # zero-size data chunk: nothing to stream, keep
+                            # scanning chunks (guards an infinite spin)
+                            state = "data" if data_remaining != 0 else "chunks"
                             progressed = True
                         elif len(buf) >= 8 + csize + (csize & 1):
                             body = bytes(buf[8 : 8 + csize])
@@ -142,6 +144,10 @@ class WavDemuxerNode(ProcessorNode):
                             progressed = True
                     elif state == "data" and fmt is not None and buf:
                         take = len(buf) if data_remaining < 0 else min(len(buf), data_remaining)
+                        if take == 0:
+                            state = "chunks"  # defensive: never spin on take=0
+                            progressed = True
+                            continue
                         pcm_buf.extend(buf[:take])
                         del buf[:take]
                         if data_remaining > 0:

@@ -94,6 +94,7 @@ def webm_header(channels: int, sample_rate: int) -> bytes:
 
 
 def simple_block(payload: bytes, relative_ms: int) -> bytes:
+    relative_ms = max(-32768, min(32767, relative_ms))  # int16 timecode field
     body = b"\x81" + struct.pack(">h", relative_ms) + b"\x80" + payload
     return _element(b"\xa3", body)
 

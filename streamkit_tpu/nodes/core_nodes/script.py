@@ -22,6 +22,8 @@ Packet proxy fields: ``kind``, ``text``, ``data`` (custom payload),
 from __future__ import annotations
 
 import ast
+import asyncio
+import sys
 import time
 from typing import Any, Dict, List, Optional
 
@@ -152,16 +154,21 @@ class ScriptNode(ProcessorNode):
                     continue
                 proxy = _PacketProxy(pkt)
                 emitted.clear()
-                t0 = time.monotonic()
+                loop = asyncio.get_running_loop()
                 try:
-                    result = process(proxy)
+                    # run on an executor thread with a tracing deadline: a
+                    # runaway script neither blocks the event loop nor runs
+                    # past its wall-clock budget
+                    result = await loop.run_in_executor(
+                        None, _run_with_deadline, process, proxy, self.timeout
+                    )
+                except _ScriptTimeout as e:
+                    stats.packet_errored()
+                    telemetry.emit("script.timeout", {"ms": e.elapsed_ms})
+                    continue
                 except Exception as e:  # noqa: BLE001 — script errors don't kill the node
                     stats.packet_errored()
                     telemetry.emit("script.error", {"error": f"{type(e).__name__}: {e}"})
-                    continue
-                if time.monotonic() - t0 > self.timeout:
-                    stats.packet_errored()
-                    telemetry.emit("script.timeout", {"ms": (time.monotonic() - t0) * 1000})
                     continue
                 for ev in emitted:
                     telemetry.emit(ev["event"], ev["data"])
@@ -200,3 +207,31 @@ class ScriptNode(ProcessorNode):
         if isinstance(result, str):
             return Packet.new_text(result, original.metadata)
         return original
+
+
+class _ScriptTimeout(Exception):
+    def __init__(self, elapsed_ms: float) -> None:
+        super().__init__(f"script exceeded budget ({elapsed_ms:.0f} ms)")
+        self.elapsed_ms = elapsed_ms
+
+
+def _run_with_deadline(fn, arg, timeout_secs: float):
+    """Execute fn(arg) on this thread, aborting via a line-trace deadline.
+
+    sys.settrace fires per line of *Python* script code, so loops written in
+    the sandbox abort at the deadline (C-level builtins can still overrun —
+    the sandbox whitelist keeps those bounded).
+    """
+    deadline = time.monotonic() + timeout_secs
+    t0 = time.monotonic()
+
+    def tracer(frame, event, _arg):
+        if time.monotonic() > deadline:
+            raise _ScriptTimeout((time.monotonic() - t0) * 1000)
+        return tracer
+
+    sys.settrace(tracer)
+    try:
+        return fn(arg)
+    finally:
+        sys.settrace(None)

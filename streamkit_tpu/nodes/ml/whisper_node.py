@@ -215,7 +215,12 @@ class WhisperNode(ProcessorNode):
             return await loop.run_in_executor(None, decode_sync, samples)
 
         async def emit_transcription(samples, start_f, end_f, is_final: bool) -> None:
-            nonlocal seq
+            nonlocal seq, partial_task
+            if is_final and partial_task is not None and not partial_task.done():
+                # a stale partial must never land after (and outsequence) the
+                # final transcript for its segment
+                partial_task.cancel()
+                partial_task = None
             if samples.shape[0] < VAD_FRAME:
                 return
             text = await decode_text(samples)
@@ -300,8 +305,6 @@ class WhisperNode(ProcessorNode):
                                 partial_audio, seg._segment_start_frame, seg._frame_idx, False
                             )
                         )
-            if partial_task is not None and not partial_task.done():
-                await partial_task
             for kind, seg_samples, start_f, end_f in seg.flush():
                 await emit_transcription(seg_samples, start_f, end_f, True)
         except ChannelClosed:
@@ -309,6 +312,8 @@ class WhisperNode(ProcessorNode):
             stats.flush()
             return
         finally:
+            if partial_task is not None and not partial_task.done():
+                partial_task.cancel()
             if vad_slot is not None:
                 vad_table.free(vad_slot)
         stats.flush()

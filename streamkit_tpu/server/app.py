@@ -111,6 +111,10 @@ class AppState:
             node_input_capacity=profile.node_input_capacity,
             pin_distributor_capacity=profile.pin_distributor_capacity,
         )
+        # pre-check the name BEFORE spawning engine/forwarder tasks, and
+        # tear the session down if registration still races to a duplicate
+        if name is not None and any(s.name == name for s in self.sessions.list()):
+            raise ValueError(f"session name {name!r} already in use")
         session = await Session.create(
             self.registry,
             name,
@@ -120,7 +124,11 @@ class AppState:
             engine_config=cfg,
             batcher=self.batcher,
         )
-        self.sessions.add(session)
+        try:
+            self.sessions.add(session)
+        except ValueError:
+            await session.destroy()
+            raise
         return session
 
 
@@ -205,9 +213,15 @@ async def process_oneshot(request: web.Request) -> web.StreamResponse:
         try:
             async for chunk in result.iter_chunks():
                 await response.write(chunk)
+            await response.write_eof()
         except StreamKitError as e:
             log.error("oneshot pipeline failed mid-stream: %s", e)
-        await response.write_eof()
+        except (ConnectionResetError, asyncio.CancelledError, Exception) as e:  # noqa: BLE001
+            # client went away mid-stream: abort the pipeline so node tasks
+            # don't block forever on bounded channels
+            log.info("oneshot client disconnected: %s", type(e).__name__)
+            result.cancel()
+            raise
         return response
     finally:
         if sem is not None:
@@ -370,6 +384,14 @@ async def list_sessions_http(request: web.Request) -> web.Response:
     return web.json_response({"sessions": [s.info() for s in state.sessions.list(creator)]})
 
 
+def _check_session_access(state, request, session) -> Optional[web.Response]:
+    """Ownership gate mirroring the WS path (reference session ownership)."""
+    role, perms = state.roles.extract(request.headers)
+    if not perms.access_all_sessions and session.created_by != role:
+        return web.json_response({"error": "permission denied: access_all_sessions"}, status=403)
+    return None
+
+
 async def destroy_session_http(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     role, perms = state.roles.extract(request.headers)
@@ -377,17 +399,29 @@ async def destroy_session_http(request: web.Request) -> web.Response:
         perms.check("destroy_sessions")
     except PermissionDenied as e:
         return web.json_response({"error": str(e)}, status=403)
-    session = await state.sessions.remove(request.match_info["id"])
+    session = state.sessions.get(request.match_info["id"])
     if session is None:
         return web.json_response({"error": "unknown session"}, status=404)
+    denied = _check_session_access(state, request, session)
+    if denied is not None:
+        return denied
+    await state.sessions.remove(session.id)
     return web.json_response({"session_id": session.id})
 
 
 async def get_session_pipeline(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
+    role, perms = state.roles.extract(request.headers)
+    try:
+        perms.check("list_sessions")
+    except PermissionDenied as e:
+        return web.json_response({"error": str(e)}, status=403)
     session = state.sessions.get(request.match_info["id"])
     if session is None:
         return web.json_response({"error": "unknown session"}, status=404)
+    denied = _check_session_access(state, request, session)
+    if denied is not None:
+        return denied
     snapshot = await session.handle.get_pipeline()
     return web.json_response({"pipeline": snapshot})
 

@@ -143,6 +143,10 @@ async def delete_sample(request: web.Request) -> web.Response:
 async def list_assets(request: web.Request) -> web.Response:
     state = request.app["state"]
     role, perms = state.roles.extract(request.headers)
+    try:
+        perms.check("list_samples")
+    except PermissionDenied as e:
+        return web.json_response({"error": str(e)}, status=403)
     out = []
     for sub, is_system in (("system", True), ("user", False)):
         d = os.path.join(state.config.assets_dir, sub)

@@ -306,3 +306,22 @@ def test_clocked_mixer_jitter_overflow_drops_oldest():
     peaks = [round(float(np.abs(p.audio.samples).max()), 2) for p in packets]
     assert len(peaks) <= 6  # burst of 10 collapsed by overwrite-oldest
     assert peaks[-1] == 1.0  # newest survived
+
+
+def test_script_infinite_loop_aborted():
+    """A runaway script hits the tracing deadline instead of freezing the
+    event loop (review finding: timeout was post-hoc only)."""
+    node = ScriptNode({"script": "def process(p):\n    while True:\n        pass\n", "timeout_ms": 100})
+    ctx, in_ch, out_ch, tel_ch = make_ctx(node)
+
+    async def main():
+        task = asyncio.ensure_future(node.run(ctx))
+        in_ch.try_send(Packet.new_text("x"))
+        in_ch.close()
+        await asyncio.wait_for(task, timeout=10)
+
+    asyncio.run(main())
+    events = []
+    while not tel_ch.is_empty:
+        events.append(tel_ch.try_recv())
+    assert any(e.event_type == "script.timeout" for e in events)

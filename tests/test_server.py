@@ -407,3 +407,49 @@ def test_nonloopback_admin_refusal():
     cfg.address = "0.0.0.0"
     with pytest.raises(SystemExit, match="refusing"):
         run_server(cfg)
+
+
+def test_duplicate_session_name_409_no_leak():
+    async def main():
+        client = await make_client()
+        state = client.app["state"]
+        r1 = await client.post("/api/v1/sessions", json={"name": "dup"})
+        assert r1.status == 201
+        r2 = await client.post("/api/v1/sessions", json={"name": "dup"})
+        assert r2.status == 409
+        assert len(state.sessions.list()) == 1  # no orphan engine
+        await client.close()
+
+    run(main())
+
+
+def test_session_ownership_on_http_routes():
+    """Pipeline/destroy HTTP routes enforce per-creator visibility like WS."""
+    cfg = ServerConfig()
+    cfg.role_header = "X-Role"
+    cfg.roles = {
+        "alice": {"create_sessions": True, "list_sessions": True, "destroy_sessions": True},
+        "bob": {"create_sessions": True, "list_sessions": True, "destroy_sessions": True},
+    }
+    cfg.default_role = "alice"
+
+    async def main():
+        app = create_app(cfg)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        r = await client.post("/api/v1/sessions", json={"name": "a1"}, headers={"X-Role": "alice"})
+        sid = (await r.json())["session_id"]
+        # bob cannot read or destroy alice's session
+        r = await client.get(f"/api/v1/sessions/{sid}/pipeline", headers={"X-Role": "bob"})
+        assert r.status == 403
+        r = await client.delete(f"/api/v1/sessions/{sid}", headers={"X-Role": "bob"})
+        assert r.status == 403
+        # alice can
+        r = await client.get(f"/api/v1/sessions/{sid}/pipeline", headers={"X-Role": "alice"})
+        assert r.status == 200
+        r = await client.delete(f"/api/v1/sessions/{sid}", headers={"X-Role": "alice"})
+        assert r.status == 200
+        await client.close()
+
+    run(main())
