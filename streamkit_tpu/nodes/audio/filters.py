@@ -47,7 +47,7 @@ from ...core import (
 )
 from ...core.state import NodeState, StopReason
 from ...ops import apply_gain, mix_frames
-from ...ops.resample import LinearResampler
+from ...ops.resample import LinearResampler, max_output_frames, resample_chunk
 
 VALID_OPUS_FRAME_SIZES = (120, 240, 480, 960, 1920, 2880)
 
@@ -154,6 +154,7 @@ class ResamplerNode(ProcessorNode):
         ctx.emit_state(NodeState.running())
         stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
         resampler: Optional[LinearResampler] = None
+        batched: Optional[tuple] = None  # (kind, table, slot) when batching
         in_fmt: Optional[AudioFormat] = None
         in_buf = np.zeros(0, dtype=np.float32)
         out_buf = np.zeros(0, dtype=np.float32)
@@ -204,6 +205,13 @@ class ResamplerNode(ProcessorNode):
                     resampler = LinearResampler(
                         fmt.sample_rate, self.target_rate, self.chunk_frames, fmt.channels
                     )
+                    if ctx.batcher is not None:
+                        # per-session phase/history live in a device slot
+                        # table; chunks from all sessions batch per config
+                        batched = _resampler_slot_kind(
+                            ctx.batcher, fmt.sample_rate, self.target_rate,
+                            self.chunk_frames, fmt.channels,
+                        )
                 elif fmt != in_fmt:
                     raise RuntimeNodeError(
                         f"mid-stream format change: {in_fmt} -> {fmt} (not supported)"
@@ -212,7 +220,15 @@ class ResamplerNode(ProcessorNode):
                 chunk_samples = self.chunk_frames * in_fmt.channels
                 while len(in_buf) >= chunk_samples:
                     chunk, in_buf = in_buf[:chunk_samples], in_buf[chunk_samples:]
-                    out = resampler.process(chunk)
+                    if batched is not None:
+                        kind, table, slot = batched
+                        deint = chunk.reshape(self.chunk_frames, in_fmt.channels)
+                        out_block, n_valid = await ctx.batcher.submit(
+                            kind, np.int32(slot), deint
+                        )
+                        out = np.asarray(out_block)[: int(n_valid)].reshape(-1)
+                    else:
+                        out = resampler.process(chunk)
                     total_in_frames += self.chunk_frames
                     total_out_frames += len(out) // in_fmt.channels
                     out_buf = np.concatenate([out_buf, out])
@@ -229,7 +245,15 @@ class ResamplerNode(ProcessorNode):
                     padded = np.concatenate(
                         [in_buf, np.zeros(pad_frames * in_fmt.channels, dtype=np.float32)]
                     )
-                    out = resampler.process(padded)
+                    if batched is not None:
+                        kind, table, slot = batched
+                        deint = padded.reshape(self.chunk_frames, in_fmt.channels)
+                        out_block, n_valid = await ctx.batcher.submit(
+                            kind, np.int32(slot), deint
+                        )
+                        out = np.asarray(out_block)[: int(n_valid)].reshape(-1)
+                    else:
+                        out = resampler.process(padded)
                     out = out[: owed * in_fmt.channels]
                     out_buf = np.concatenate([out_buf, out])
                 await emit_frames(final=True)
@@ -237,8 +261,51 @@ class ResamplerNode(ProcessorNode):
             ctx.emit_state(NodeState.stopped(StopReason.OUTPUT_CLOSED))
             stats.flush()
             return
+        finally:
+            if batched is not None:
+                _, table, slot = batched
+                table.free(slot)
         stats.flush()
         ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
+
+
+# shared resampler slot tables, keyed by (rates, chunk, channels)
+_RESAMPLER_TABLES: Dict[str, tuple] = {}
+
+
+def _resampler_slot_kind(batcher, src_rate: int, dst_rate: int, chunk: int, channels: int):
+    """Device-resident (phase, history) rows + batched resample step."""
+    import math as _math
+
+    from ...engine.slots import SlotTable
+
+    g = _math.gcd(src_rate, dst_rate)
+    src_num, dst_num = src_rate // g, dst_rate // g
+    max_out = max_output_frames(chunk, src_rate, dst_rate)
+    kind = f"resample:{src_rate}:{dst_rate}:{chunk}:{channels}"
+    entry = _RESAMPLER_TABLES.get(kind)
+    if entry is None:
+        import jax.numpy as _jnp
+
+        def init_row():
+            return {
+                "phase": _jnp.asarray(dst_num, _jnp.int32),
+                "history": _jnp.zeros((channels,), _jnp.float32),
+            }
+
+        table = SlotTable(init_row, max_slots=256)
+
+        def fn(rows, chunks_b):
+            out, n_valid, new_phase, new_hist = resample_chunk(
+                rows["history"], chunks_b, rows["phase"], src_num, dst_num, max_out
+            )
+            return {"phase": new_phase, "history": new_hist}, out, n_valid
+
+        step = table.make_step(fn)
+        entry = (table, lambda slot_ids, chunks_b: step(slot_ids, chunks_b))
+        _RESAMPLER_TABLES[kind] = entry
+    batcher.register(kind, entry[1], max_batch=128)
+    return kind, entry[0], entry[0].alloc()
 
 
 class MixerNode(ProcessorNode):

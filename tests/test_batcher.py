@@ -145,3 +145,63 @@ def test_multisession_whisper_batching():
     assert stats["device_calls"] <= 2
     solo_tokens, _ = batched_stt(windows[2][None])
     np.testing.assert_array_equal(outs[2][0], solo_tokens[0])
+
+
+def test_resampler_slot_table_matches_host_path():
+    """The batched (slot-table) resampler path produces byte-identical output
+    to the host LinearResampler path, and frees its slot on completion."""
+    import asyncio
+    import io
+    import struct
+    import wave
+
+    from streamkit_tpu.api import compile_yaml
+    from streamkit_tpu.core import NodeRegistry
+    from streamkit_tpu.engine import run_oneshot_pipeline
+    from streamkit_tpu.nodes import register_nodes
+    from streamkit_tpu.nodes.audio.filters import _RESAMPLER_TABLES
+
+    reg = NodeRegistry()
+    register_nodes(reg)
+    x = (np.sin(2 * np.pi * 440 * np.arange(48000) / 48000) * 0.5).astype(np.float32)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(48000)
+        w.writeframes((x * 32767).astype("<i2").tobytes())
+    body = buf.getvalue()
+    yaml_text = """
+mode: oneshot
+steps:
+  - kind: streamkit::http_input
+  - kind: containers::wav::demuxer
+  - kind: audio::resampler
+    params: {target_sample_rate: 16000}
+  - kind: containers::wav::muxer
+  - kind: streamkit::http_output
+"""
+
+    async def run_once(batcher):
+        async def stream():
+            yield body
+
+        res = await run_oneshot_pipeline(
+            reg, compile_yaml(yaml_text), input_stream=stream(), batcher=batcher
+        )
+        return await res.read_all()
+
+    plain = asyncio.run(run_once(None))
+
+    async def run_batched():
+        b = DeviceBatcher(tick_ms=5.0)
+        b.start()
+        out = await run_once(b)
+        b.stop()
+        return out
+
+    batched = asyncio.run(run_batched())
+    assert batched == plain  # identical kernel + state logic → identical bytes
+    kind = "resample:48000:16000:960:1"
+    table, _ = _RESAMPLER_TABLES[kind]
+    assert table.in_use == 0  # slot released at node completion
