@@ -23,9 +23,16 @@ from __future__ import annotations
 
 import ast
 import asyncio
+import os
+import re
 import sys
+import threading
 import time
-from typing import Any, Dict, List, Optional
+import urllib.error
+import urllib.parse
+import urllib.request
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
 
 from ...core import (
     ChannelClosed,
@@ -45,6 +52,7 @@ from ...core import (
 from ...core.state import NodeState, StopReason
 
 _ALLOWED_NODES = (
+    ast.Try, ast.ExceptHandler, ast.Raise,  # so scripts can handle fetch() failures
     ast.Module, ast.FunctionDef, ast.arguments, ast.arg, ast.Return, ast.Pass,
     ast.Expr, ast.Assign, ast.AugAssign, ast.AnnAssign, ast.If, ast.For, ast.While,
     ast.Break, ast.Continue, ast.BoolOp, ast.BinOp, ast.UnaryOp, ast.Lambda,
@@ -65,7 +73,185 @@ _SAFE_BUILTINS = {
     "dict": dict, "set": set, "tuple": tuple, "sorted": sorted, "reversed": reversed,
     "enumerate": enumerate, "zip": zip, "range": range, "any": any, "all": all,
     "isinstance": isinstance, "repr": repr, "None": None, "True": True, "False": False,
+    "Exception": Exception, "ValueError": ValueError, "RuntimeError": RuntimeError,
+    "TypeError": TypeError, "KeyError": KeyError,
 }
+
+
+# ---------------------------------------------------------------------------
+# fetch(): allowlisted outbound HTTP (reference script.rs:83-141 AllowlistRule,
+# 168-268 pattern matching + semaphore, 869-1060 fetch registration).
+# Secure by default: empty global allowlist blocks every call.
+# ---------------------------------------------------------------------------
+
+_FETCH_TIMEOUT_SECS = 5.0  # reference: 5s connect + 5s send + 5s body read
+_FETCH_MAX_BODY = 8 * 1024 * 1024  # defensive cap (reference reads unbounded)
+_FETCH_SEMAPHORE = threading.BoundedSemaphore(
+    max(1, int(os.environ.get("SK_SCRIPT_FETCH_MAX_INFLIGHT", "16")))
+)
+
+
+@dataclass
+class ScriptSecret:
+    """Server-loaded secret, injectable into fetch() headers only
+    (reference ``script.rs:106-121``)."""
+
+    value: str
+    allowed_fetch_urls: List[str] = field(default_factory=list)
+
+
+@dataclass
+class GlobalScriptConfig:
+    """Server-wide script policy (reference ``script.rs:95-104``): there is
+    deliberately no per-pipeline allowlist override."""
+
+    fetch_allowlist: List[dict] = field(default_factory=list)  # {"url","methods"}
+    secrets: Dict[str, ScriptSecret] = field(default_factory=dict)
+
+
+_GLOBAL_SCRIPT_CONFIG = GlobalScriptConfig()
+
+
+def set_global_script_config(
+    fetch_allowlist: Optional[List[dict]] = None,
+    secrets: Optional[Dict[str, ScriptSecret]] = None,
+) -> None:
+    """Install server-level fetch policy (called once at server startup)."""
+    global _GLOBAL_SCRIPT_CONFIG
+    _GLOBAL_SCRIPT_CONFIG = GlobalScriptConfig(
+        list(fetch_allowlist or []), dict(secrets or {})
+    )
+
+
+def _wildmatch(pattern: str, s: str) -> bool:
+    """``*``/``?`` wildcard match (reference uses the wildmatch crate)."""
+    rx = "".join(
+        ".*" if c == "*" else "." if c == "?" else re.escape(c) for c in pattern
+    )
+    return re.fullmatch(rx, s) is not None
+
+
+def parse_allowlist_pattern(pattern: str) -> Optional[Tuple[str, str, str]]:
+    """``https://host[:port]/path*`` → (scheme, host_pattern, path_pattern);
+    missing path defaults to ``/*`` (reference ``script.rs:198-220``)."""
+    if "://" not in pattern:
+        return None
+    scheme, _, rest = pattern.partition("://")
+    scheme, rest = scheme.strip().lower(), rest.strip()
+    if not scheme or not rest:
+        return None
+    host, sep, path = rest.partition("/")
+    if not host.strip():
+        return None
+    return scheme, host, ("/" + path) if sep else "/*"
+
+
+def _url_matches(url: str, scheme_pat: str, host_pat: str, path_pat: str) -> bool:
+    try:
+        parsed = urllib.parse.urlsplit(url)
+    except ValueError:
+        return False
+    if not parsed.hostname:
+        return False
+    if parsed.scheme.lower() != scheme_pat:
+        return False
+    # rule with an explicit port pattern matches host:port, else host only
+    candidate = parsed.hostname
+    if ":" in host_pat:
+        candidate = f"{parsed.hostname}:{parsed.port}" if parsed.port else parsed.hostname
+    if not _wildmatch(host_pat, candidate):
+        return False
+    return _wildmatch(path_pat, parsed.path or "/")
+
+
+def _url_allowed_by_patterns(url: str, patterns: List[str]) -> bool:
+    for pat in patterns:
+        parts = parse_allowlist_pattern(pat)
+        if parts and _url_matches(url, *parts):
+            return True
+    return False
+
+
+def is_url_allowed(url: str, method: str, allowlist: List[dict]) -> bool:
+    """Fail-safe allowlist check (reference ``script.rs:775-831``)."""
+    if not allowlist:
+        return False  # empty allowlist = block all
+    for rule in allowlist:
+        methods = rule.get("methods") or []
+        if not any(m.upper() == method.upper() for m in methods):
+            continue
+        parts = parse_allowlist_pattern(rule.get("url", ""))
+        if parts and _url_matches(url, *parts):
+            return True
+    return False
+
+
+# fetch time is credited back to the script's line-trace deadline: the 5s
+# network budget is fetch's own, not the per-packet compute budget's.
+_DEADLINE_CREDIT = threading.local()
+
+
+def _do_fetch(
+    url: str,
+    options: Optional[dict],
+    header_mappings: List[dict],
+) -> str:
+    """Blocking allowlisted HTTP call; returns the response body text.
+
+    Mirrors reference semantics: method from options (default GET), secret
+    headers injected host-side (URL-scoped), script headers additive, JSON
+    body only for POST/PUT/PATCH, 5s timeout, bounded concurrency.
+    """
+    cfg = _GLOBAL_SCRIPT_CONFIG
+    options = options or {}
+    method = str(options.get("method", "GET")).upper()
+    if not is_url_allowed(url, method, cfg.fetch_allowlist):
+        reason = (
+            "global allowlist is empty"
+            if not cfg.fetch_allowlist
+            else "URL not in global allowlist"
+        )
+        raise RuntimeError(f"fetch blocked: {reason}")
+    headers: Dict[str, str] = {}
+    for mapping in header_mappings:
+        secret = cfg.secrets.get(mapping.get("secret", ""))
+        if secret is None:
+            continue  # unknown secret: header silently not added (reference)
+        if secret.allowed_fetch_urls and not _url_allowed_by_patterns(
+            url, secret.allowed_fetch_urls
+        ):
+            continue  # secret is URL-scoped and this URL isn't in scope
+        template = mapping.get("template", "{}")
+        headers[mapping["header"]] = template.replace("{}", secret.value)
+    for k, v in (options.get("headers") or {}).items():
+        headers[str(k)] = str(v)
+    data = None
+    if method in ("POST", "PUT", "PATCH") and options.get("body") is not None:
+        data = str(options["body"]).encode()
+        headers.setdefault("Content-Type", "application/json")
+
+    if not _FETCH_SEMAPHORE.acquire(timeout=_FETCH_TIMEOUT_SECS):
+        raise RuntimeError("fetch blocked: too many concurrent fetch() calls")
+    t0 = time.monotonic()
+    try:
+        req = urllib.request.Request(url, data=data, headers=headers, method=method)
+        with urllib.request.urlopen(req, timeout=_FETCH_TIMEOUT_SECS) as resp:
+            body = resp.read(_FETCH_MAX_BODY + 1)
+            if len(body) > _FETCH_MAX_BODY:
+                raise RuntimeError("fetch failed: response exceeds 8 MiB cap")
+            charset = resp.headers.get_content_charset() or "utf-8"
+            return body.decode(charset, errors="replace")
+    except urllib.error.HTTPError as e:
+        # non-2xx still has a readable body (reference returns response.text())
+        body = e.read(_FETCH_MAX_BODY)
+        return body.decode("utf-8", errors="replace")
+    except (urllib.error.URLError, OSError, TimeoutError) as e:
+        raise RuntimeError(f"fetch failed: {e}") from e
+    finally:
+        _FETCH_SEMAPHORE.release()
+        holder = getattr(_DEADLINE_CREDIT, "holder", None)
+        if holder is not None:
+            holder[0] += time.monotonic() - t0
 
 
 def _validate_script(tree: ast.AST) -> None:
@@ -78,6 +264,13 @@ def _validate_script(tree: ast.AST) -> None:
             raise ConfigurationError(f"dunder name not allowed: {node.id}")
         if isinstance(node, ast.Attribute) and node.attr.startswith("_"):
             raise ConfigurationError(f"private attribute not allowed: {node.attr}")
+        if isinstance(node, ast.ExceptHandler):
+            # a bare/BaseException handler could swallow the deadline signal
+            if node.type is None:
+                raise ConfigurationError("bare 'except:' not allowed (catch Exception)")
+            for sub in ast.walk(node.type):
+                if isinstance(sub, ast.Name) and sub.id == "BaseException":
+                    raise ConfigurationError("catching BaseException not allowed")
 
 
 class _PacketProxy:
@@ -104,13 +297,27 @@ class ScriptNode(ProcessorNode):
     def __init__(self, params: Optional[dict]) -> None:
         cfg = parse_config_optional(
             params,
-            {"script": None, "timeout_ms": 100.0, "pass_audio_through": True, "max_events_per_sec": 100.0},
+            {
+                "script": None,
+                "timeout_ms": 100.0,
+                "pass_audio_through": True,
+                "max_events_per_sec": 100.0,
+                # fetch() secret→header injection (reference HeaderMapping,
+                # script.rs:24-44): [{"secret", "header", "template"}]
+                "headers": [],
+            },
         )
         if not cfg["script"]:
             raise ConfigurationError("script node requires a 'script' parameter")
         self.timeout = float(cfg["timeout_ms"]) / 1000.0
         self.pass_audio = bool(cfg["pass_audio_through"])
         self.max_events_per_sec = float(cfg["max_events_per_sec"])
+        self.header_mappings = list(cfg["headers"] or [])
+        for m in self.header_mappings:
+            if not isinstance(m, dict) or "secret" not in m or "header" not in m:
+                raise ConfigurationError(
+                    "headers entries must be {secret, header[, template]} mappings"
+                )
         try:
             tree = ast.parse(cfg["script"])
         except SyntaxError as e:
@@ -136,6 +343,10 @@ class ScriptNode(ProcessorNode):
             "text_packet": lambda s: {"__packet__": "text", "text": str(s)},
             "custom_packet": lambda tid, data: {"__packet__": "custom", "type_id": tid, "data": data},
             "state": {},  # persistent per-node scratch dict
+            # allowlisted blocking HTTP (reference fetch(), script.rs:869+)
+            "fetch": lambda url, options=None: _do_fetch(
+                url, options, self.header_mappings
+            ),
         }
         exec(self._code, env)  # define process() — validated AST, safe builtins
         process = env.get("process")
@@ -165,6 +376,10 @@ class ScriptNode(ProcessorNode):
                 except _ScriptTimeout as e:
                     stats.packet_errored()
                     telemetry.emit("script.timeout", {"ms": e.elapsed_ms})
+                    # reference passes the packet through on timeout
+                    # (script.rs:760-770)
+                    await ctx.output.send("out", pkt)
+                    stats.packet_sent()
                     continue
                 except Exception as e:  # noqa: BLE001 — script errors don't kill the node
                     stats.packet_errored()
@@ -209,7 +424,10 @@ class ScriptNode(ProcessorNode):
         return original
 
 
-class _ScriptTimeout(Exception):
+class _ScriptTimeout(BaseException):
+    """BaseException so sandbox scripts (which may only catch Exception)
+    cannot swallow the deadline signal."""
+
     def __init__(self, elapsed_ms: float) -> None:
         super().__init__(f"script exceeded budget ({elapsed_ms:.0f} ms)")
         self.elapsed_ms = elapsed_ms
@@ -220,13 +438,16 @@ def _run_with_deadline(fn, arg, timeout_secs: float):
 
     sys.settrace fires per line of *Python* script code, so loops written in
     the sandbox abort at the deadline (C-level builtins can still overrun —
-    the sandbox whitelist keeps those bounded).
+    the sandbox whitelist keeps those bounded). Time spent inside fetch()
+    is credited back: network waits have their own 5s budget and must not
+    consume the per-packet compute budget.
     """
-    deadline = time.monotonic() + timeout_secs
+    credit = [0.0]
+    _DEADLINE_CREDIT.holder = credit
     t0 = time.monotonic()
 
     def tracer(frame, event, _arg):
-        if time.monotonic() > deadline:
+        if time.monotonic() > t0 + timeout_secs + credit[0]:
             raise _ScriptTimeout((time.monotonic() - t0) * 1000)
         return tracer
 
@@ -235,3 +456,4 @@ def _run_with_deadline(fn, arg, timeout_secs: float):
         return fn(arg)
     finally:
         sys.settrace(None)
+        _DEADLINE_CREDIT.holder = None

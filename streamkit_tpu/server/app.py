@@ -65,6 +65,18 @@ class AppState:
             else None
         )
         set_security_paths(config.allowed_file_paths, config.allowed_write_paths)
+        # script fetch() policy: allowlist from config, secret values from
+        # env vars at startup (reference server.rs:1323-1360)
+        from ..nodes.core_nodes.script import ScriptSecret, set_global_script_config
+
+        secrets = {}
+        for name, sc in (config.script_secrets or {}).items():
+            value = os.environ.get(sc.get("env", ""))
+            if value is None:
+                log.warning("script secret %r: env var %r unset, skipped", name, sc.get("env"))
+                continue
+            secrets[name] = ScriptSecret(value, list(sc.get("allowed_fetch_urls", [])))
+        set_global_script_config(config.script_fetch_allowlist, secrets)
         # persistent XLA compilation cache: recompiling whisper-large costs
         # minutes; cached programs load in seconds across restarts
         try:

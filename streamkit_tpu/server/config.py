@@ -55,6 +55,11 @@ class ServerConfig:
     allowed_file_paths: List[str] = field(default_factory=list)
     allowed_write_paths: List[str] = field(default_factory=list)
 
+    # script policy (reference [script], config.rs:440-510): fetch allowlist
+    # rules {url, methods} and secrets {name: {env, allowed_fetch_urls}}
+    script_fetch_allowlist: List[dict] = field(default_factory=list)
+    script_secrets: Dict[str, dict] = field(default_factory=dict)
+
     # permissions
     default_role: str = "admin"
     role_header: Optional[str] = None
@@ -125,6 +130,11 @@ def load_config(path: Optional[str] = None) -> ServerConfig:
     cfg.prewarm = resources.get("prewarm", cfg.prewarm)
     cfg.allowed_file_paths = security.get("allowed_file_paths", cfg.allowed_file_paths)
     cfg.allowed_write_paths = security.get("allowed_write_paths", cfg.allowed_write_paths)
+    script = doc.get("script", {})
+    cfg.script_fetch_allowlist = script.get(
+        "global_fetch_allowlist", cfg.script_fetch_allowlist
+    )
+    cfg.script_secrets = script.get("secrets", cfg.script_secrets)
     cfg.default_role = permissions.get("default_role", cfg.default_role)
     cfg.role_header = permissions.get("role_header", cfg.role_header)
     cfg.roles = permissions.get("roles", cfg.roles)
