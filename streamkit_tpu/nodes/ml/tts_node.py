@@ -87,7 +87,8 @@ class TtsNode(ProcessorNode):
         cfg = parse_config_optional(
             params,
             {
-                "model_path": None,  # acoustic+vocoder weights dir (npz)
+                "model_path": None,  # npz (fastspeech) or HF VitsModel dir
+                "backend": "auto",  # auto | vits | fastspeech
                 "sample_rate": 24000,
                 "frames_per_char": 6,  # mel frames per input char (≈70ms/char)
                 "speed": 1.0,
@@ -96,6 +97,9 @@ class TtsNode(ProcessorNode):
             },
         )
         self.model_path = cfg["model_path"]
+        self.backend = str(cfg["backend"])
+        if self.backend not in ("auto", "vits", "fastspeech"):
+            raise ConfigurationError(f"unknown tts backend: {self.backend!r}")
         self.sample_rate = int(cfg["sample_rate"])
         self.frames_per_char = float(cfg["frames_per_char"])
         self.speed = float(cfg["speed"])
@@ -107,27 +111,63 @@ class TtsNode(ProcessorNode):
     def output_pins(self) -> List[OutputPin]:
         return [OutputPin("out", PacketType.raw_audio(AudioFormat(self.sample_rate, 1)))]
 
+    def _use_vits(self) -> bool:
+        if self.backend == "vits":
+            return True
+        if self.backend == "fastspeech":
+            return False
+        import os
+
+        return bool(
+            self.model_path
+            and os.path.isdir(self.model_path)
+            and os.path.exists(os.path.join(self.model_path, "config.json"))
+        )
+
     async def _load(self, ctx: NodeContext):
+        use_vits = self._use_vits()
+
         async def loader():
             loop = asyncio.get_running_loop()
 
             def build():
+                import os
+
+                if use_vits:
+                    from ...models.vits import (
+                        VitsCharTokenizer,
+                        VitsConfig,
+                        load_vits,
+                        vits_init_params,
+                    )
+
+                    if self.model_path and os.path.isdir(self.model_path):
+                        return ("vits",) + load_vits(self.model_path)
+                    if not self.allow_random_init:
+                        raise ConfigurationError(f"model not found: {self.model_path}")
+                    vcfg = VitsConfig(sampling_rate=self.sample_rate)
+                    tok = VitsCharTokenizer(
+                        {c: i + 1 for i, c in enumerate(
+                            "abcdefghijklmnopqrstuvwxyz0123456789 .,!?'-"
+                        )}
+                    )
+                    return "vits", vcfg, vits_init_params(vcfg), tok
                 acfg = AcousticConfig()
                 vcfg = HifiGanConfig(upsample_rates=(5, 5, 4, 2), upsample_kernel_sizes=(10, 10, 8, 4))
                 if self.model_path:
-                    import os
-
                     if not os.path.exists(self.model_path):
                         if not self.allow_random_init:
                             raise ConfigurationError(f"model not found: {self.model_path}")
-                        return acfg, acoustic_init_params(acfg), vcfg, hifigan_init_params(vcfg)
+                        return "fastspeech", acfg, acoustic_init_params(acfg), vcfg, hifigan_init_params(vcfg)
                     blob = np.load(self.model_path, allow_pickle=True)
-                    return acfg, blob["acoustic"].item(), vcfg, blob["vocoder"].item()
-                return acfg, acoustic_init_params(acfg), vcfg, hifigan_init_params(vcfg)
+                    return "fastspeech", acfg, blob["acoustic"].item(), vcfg, blob["vocoder"].item()
+                return "fastspeech", acfg, acoustic_init_params(acfg), vcfg, hifigan_init_params(vcfg)
 
             return await loop.run_in_executor(None, build)
 
-        key = ResourceKey.from_params("kokoro", {"path": self.model_path})
+        key = ResourceKey.from_params(
+            "tts", {"path": self.model_path, "vits": use_vits}
+        )
         if ctx.resources is not None:
             return await ctx.resources.get_or_create(key, loader)
         return await loader()
@@ -135,26 +175,53 @@ class TtsNode(ProcessorNode):
     async def run(self, ctx: NodeContext) -> None:
         stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
         telemetry = TelemetryEmitter(ctx.node_name, ctx.telemetry_tx)
-        acfg, aparams, vcfg, vparams = await self._load(ctx)
+        loaded = await self._load(ctx)
         ctx.emit_state(NodeState.running())
         splitter = SentenceSplitter()
         loop = asyncio.get_running_loop()
-        fmt = AudioFormat(self.sample_rate, 1)
         seq = 0
 
-        def synth_sync(sentence: str) -> np.ndarray:
-            ids = np.frombuffer(sentence.encode()[: acfg.max_text], np.uint8).astype(np.int32)
-            if len(ids) == 0:
-                return np.zeros(0, np.float32)
-            # frame budget: chars × frames_per_char / speed, frame-bucketed to
-            # limit recompiles (powers-of-two buckets)
-            want = int(len(ids) * self.frames_per_char / self.speed)
-            n_frames = 1 << max(5, (want - 1).bit_length())
-            n_frames = min(n_frames, acfg.max_frames)
-            mel = acoustic_generate(aparams, acfg, jnp.asarray(ids[None]), n_frames)
-            wav = hifigan_generate(vparams, vcfg, mel)
-            keep = int(want * np.prod(vcfg.upsample_rates))
-            return np.asarray(wav[0][:keep], np.float32)
+        if loaded[0] == "vits":
+            from ...models.vits import synthesize as vits_synthesize
+
+            _, mcfg, mparams, tok = loaded
+            fmt = AudioFormat(mcfg.sampling_rate, 1)
+
+            def synth_sync(sentence: str) -> np.ndarray:
+                ids = tok.encode(sentence) if tok else np.frombuffer(
+                    sentence.encode(), np.uint8
+                ).astype(np.int32) % mcfg.vocab_size
+                # pow-2 frame buckets bound the number of jit shapes; if the
+                # predicted length saturates a bucket, grow and resynthesize
+                n_frames = 1 << max(6, int(len(ids) * 4 - 1).bit_length())
+                for _ in range(4):
+                    wave, n_valid = vits_synthesize(
+                        mparams, mcfg, ids[None],
+                        max_frames=n_frames,
+                        speaking_rate=self.speed,
+                    )
+                    n = int(n_valid[0])
+                    if n < n_frames * mcfg.hop:
+                        return np.asarray(wave[0][:n], np.float32)
+                    n_frames *= 2
+                return np.asarray(wave[0], np.float32)
+        else:
+            _, acfg, aparams, vcfg, vparams = loaded
+            fmt = AudioFormat(self.sample_rate, 1)
+
+            def synth_sync(sentence: str) -> np.ndarray:
+                ids = np.frombuffer(sentence.encode()[: acfg.max_text], np.uint8).astype(np.int32)
+                if len(ids) == 0:
+                    return np.zeros(0, np.float32)
+                # frame budget: chars × frames_per_char / speed, frame-bucketed to
+                # limit recompiles (powers-of-two buckets)
+                want = int(len(ids) * self.frames_per_char / self.speed)
+                n_frames = 1 << max(5, (want - 1).bit_length())
+                n_frames = min(n_frames, acfg.max_frames)
+                mel = acoustic_generate(aparams, acfg, jnp.asarray(ids[None]), n_frames)
+                wav = hifigan_generate(vparams, vcfg, mel)
+                keep = int(want * np.prod(vcfg.upsample_rates))
+                return np.asarray(wav[0][:keep], np.float32)
 
         async def emit_sentence(sentence: str) -> None:
             nonlocal seq
@@ -163,7 +230,7 @@ class TtsNode(ProcessorNode):
                 return
             telemetry.emit("tts.sentence", {"text": sentence[:120], "samples": int(wav.shape[0])})
             # emit in 20ms frames for downstream pacing/encoding
-            frame = (self.sample_rate * 20) // 1000
+            frame = (fmt.sample_rate * 20) // 1000
             for i in range(0, len(wav), frame):
                 chunk = wav[i : i + frame]
                 f = AudioFrame(chunk, fmt)

@@ -95,3 +95,25 @@ steps:
     lines = [json.loads(l) for l in data.decode().strip().splitlines()]
     assert len(lines) == 1
     assert "Text" in lines[0]  # translated text packet made it through
+
+
+def test_tts_pipeline_vits_backend(registry):
+    """piper/MMS-class VITS backend: text in → synthesized WAV out (random
+    weights, tiny config via the demo init path)."""
+    yaml_text = """
+mode: oneshot
+steps:
+  - kind: streamkit::http_input
+  - kind: core::text_chunker
+    params: {min_length: 10}
+  - kind: plugin::native::kokoro
+    params: {backend: vits, sample_rate: 16000}
+  - kind: containers::wav::muxer
+  - kind: streamkit::http_output
+"""
+    data, ctype = run_text_pipeline(registry, yaml_text, b"Hello world. Ok.")
+    assert ctype == "audio/wav"
+    code, ch, rate = struct.unpack("<HHI", data[20:28])
+    assert rate == 16000 and ch == 1
+    y = np.frombuffer(data[44:], dtype="<i2")
+    assert len(y) > 1600  # at least 100ms synthesized
