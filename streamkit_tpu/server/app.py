@@ -323,6 +323,30 @@ async def get_config(request: web.Request) -> web.Response:
     return web.json_response(state.config.to_json())
 
 
+async def validate_pipeline(request: web.Request) -> web.Response:
+    """POST /api/v1/validate {yaml} → {valid, pipeline?|error?}.
+
+    Compile-only check used by the Design view (no session is created)."""
+    try:
+        body = await request.json()
+    except Exception:  # noqa: BLE001
+        return web.json_response({"error": "invalid JSON body"}, status=422)
+    try:
+        pipeline = compile_yaml(body.get("yaml", ""))
+    except (ConfigurationError, Exception) as e:  # noqa: BLE001
+        return web.json_response({"valid": False, "error": str(e)})
+    state: AppState = request.app["state"]
+    known = set(state.registry.kinds())
+    unknown = sorted(
+        {n.kind for n in pipeline.nodes.values() if n.kind not in known}
+    )
+    if unknown:
+        return web.json_response(
+            {"valid": False, "error": f"unknown node kind(s): {', '.join(unknown)}"}
+        )
+    return web.json_response({"valid": True, "pipeline": pipeline.to_json()})
+
+
 async def schema_nodes(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     role, perms = state.roles.extract(request.headers)
@@ -467,6 +491,7 @@ def create_app(config: Optional[ServerConfig] = None) -> web.Application:
     app.router.add_get(f"{prefix}/api/v1/control", ws_control)
     app.router.add_get(f"{prefix}/api/v1/permissions", get_permissions)
     app.router.add_get(f"{prefix}/api/v1/config", get_config)
+    app.router.add_post(f"{prefix}/api/v1/validate", validate_pipeline)
     app.router.add_get(f"{prefix}/api/v1/schema/nodes", schema_nodes)
     app.router.add_get(f"{prefix}/api/v1/schema/packets", schema_packets)
     app.router.add_post(f"{prefix}/api/v1/sessions", create_session_http)

@@ -1,17 +1,21 @@
 # SPDX-License-Identifier: Apache-2.0
-"""Built-in monitor UI: a single static page over the public API.
+"""Built-in web UI.
 
-The reference ships a full React app (``ui/``, Design/Monitor/Convert/
-Stream views). The API contract here matches the reference's, so that UI can
-be pointed at this server; this module provides a dependency-free live
-monitor (sessions, pipelines, event stream) for development.
+``/`` and ``/ui`` serve the full dependency-free app
+(``webui/index.html``: Design / Convert / Stream / Monitor views —
+functional parity with the reference React app's core workflows,
+``ui/src/views/``); ``/monitor`` keeps the original minimal live monitor.
 """
 
 from __future__ import annotations
 
+import os
+
 from aiohttp import web
 
 __all__ = ["add_ui_routes"]
+
+_WEBUI = os.path.join(os.path.dirname(__file__), "webui", "index.html")
 
 _PAGE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>streamkit-tpu monitor</title>
@@ -97,11 +101,19 @@ setInterval(refresh, 5000);
 """
 
 
-async def index(request: web.Request) -> web.Response:
+async def index(request: web.Request) -> web.StreamResponse:
+    if os.path.exists(_WEBUI):
+        return web.FileResponse(_WEBUI)
+    return web.Response(text=_PAGE, content_type="text/html")
+
+
+async def monitor(request: web.Request) -> web.Response:
     return web.Response(text=_PAGE, content_type="text/html")
 
 
 def add_ui_routes(app: web.Application, prefix: str) -> None:
     app.router.add_get(prefix + "/", index)
+    app.router.add_get(prefix + "/ui", index)
+    app.router.add_get(prefix + "/monitor", monitor)
     if prefix:
         app.router.add_get(prefix, index)

@@ -370,7 +370,7 @@ def test_plugin_endpoints(tmp_path):
 def test_monitor_ui_served():
     async def main():
         client = await make_client()
-        resp = await client.get("/")
+        resp = await client.get("/monitor")
         text = await resp.text()
         assert resp.status == 200
         assert "streamkit-tpu monitor" in text
@@ -451,5 +451,62 @@ def test_session_ownership_on_http_routes():
         r = await client.delete(f"/api/v1/sessions/{sid}", headers={"X-Role": "alice"})
         assert r.status == 200
         await client.close()
+
+    run(main())
+
+
+def test_validate_endpoint():
+    """POST /api/v1/validate: compile check + unknown-kind rejection
+    (Design view contract)."""
+
+    async def main():
+        client = await make_client()
+        try:
+            r = await client.post("/api/v1/validate", json={"yaml": DOUBLE_VOLUME_YAML})
+            body = await r.json()
+            assert body["valid"] is True
+            assert len(body["pipeline"]["nodes"]) == 5
+            assert body["pipeline"]["mode"] == "oneshot"
+
+            r = await client.post(
+                "/api/v1/validate",
+                json={"yaml": "mode: oneshot\nsteps:\n  - kind: no::such::node\n"},
+            )
+            body = await r.json()
+            assert body["valid"] is False and "no::such::node" in body["error"]
+
+            r = await client.post(
+                "/api/v1/validate", json={"yaml": "steps: [}"}
+            )
+            body = await r.json()
+            assert body["valid"] is False
+
+            r = await client.post(
+                "/api/v1/validate", data=b"not json",
+                headers={"Content-Type": "application/json"},
+            )
+            assert r.status == 422
+        finally:
+            await client.close()
+
+    run(main())
+
+
+def test_web_ui_served():
+    """/ and /ui serve the full web app; /monitor keeps the legacy page."""
+
+    async def main():
+        client = await make_client()
+        try:
+            for path in ("/", "/ui"):
+                r = await client.get(path)
+                assert r.status == 200
+                text = await r.text()
+                assert "Design" in text and "Convert" in text and "Stream" in text
+            r = await client.get("/monitor")
+            assert r.status == 200
+            assert "monitor" in (await r.text())
+        finally:
+            await client.close()
 
     run(main())
