@@ -39,7 +39,7 @@ def main() -> None:
     model_name = os.environ.get("SK_BENCH_MODEL", "large-v3")
     dtype = jnp.bfloat16 if os.environ.get("SK_BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
     max_tokens = int(os.environ.get("SK_BENCH_TOKENS", "48"))
-    default_batches = "8,16" if "large" in model_name else "32,64,128"
+    default_batches = "24,48" if "large" in model_name else "32,64,128"
     batches = [int(b) for b in os.environ.get("SK_BENCH_BATCHES", default_batches).split(",")]
 
     cfg = WHISPER_CONFIGS[model_name]
@@ -49,19 +49,31 @@ def main() -> None:
 
     n_samples = 30 * 16000
 
+    # two programs, not one: encode and decode peaks then don't stack, which
+    # admits larger batches (fused large-v3 OOMs at batch 22; split fits) —
+    # and the serving node issues them as separate batcher calls anyway
     @jax.jit
-    def stt_window(params, audio):
+    def enc_window(params, audio):
         mel = log_mel_spectrogram(audio, cfg.n_mels).astype(dtype)
-        audio_states = encode(params, cfg, mel)
+        return encode(params, cfg, mel)
+
+    @jax.jit
+    def dec_window(params, audio_states):
         prefix = jnp.broadcast_to(
             jnp.asarray(
                 [cfg.token_sot, cfg.token_language(0), cfg.token_transcribe, cfg.token_no_timestamps],
                 jnp.int32,
             ),
-            (audio.shape[0], 4),
+            (audio_states.shape[0], 4),
         )
-        tokens, lengths = _greedy_loop(params, cfg, audio_states, prefix, max_tokens)
+        tokens, lengths = _greedy_loop(
+            params, cfg, audio_states, prefix, max_tokens,
+            cross_kv_int8=os.environ.get("SK_KV_INT8", "1") == "1",
+        )
         return tokens
+
+    def stt_window(params, audio):
+        return dec_window(params, enc_window(params, audio))
 
     rng = np.random.RandomState(0)
     best_sessions = 0.0

@@ -34,18 +34,22 @@ def pad_or_trim(audio: np.ndarray, length: int = N_SAMPLES_30S) -> np.ndarray:
     return np.pad(audio, pad)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_tokens"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_tokens", "cross_kv_int8"))
 def _greedy_loop(
     params: Params,
     cfg: WhisperConfig,
     audio_states: jnp.ndarray,  # [batch, n_audio_ctx, d]
     prefix: jnp.ndarray,  # [batch, n_prefix] forced tokens
     max_tokens: int,
+    cross_kv_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode → (tokens [batch, max_tokens], lengths [batch])."""
     batch = audio_states.shape[0]
     n_prefix = prefix.shape[1]
-    cache = init_kv_cache(params, cfg, audio_states, max_len=max_tokens + n_prefix)
+    cache = init_kv_cache(
+        params, cfg, audio_states, max_len=max_tokens + n_prefix,
+        cross_kv_int8=cross_kv_int8,
+    )
     eot = jnp.int32(cfg.token_eot)
 
     # feed the forced prefix (one step at a time keeps the cache layout simple;
@@ -87,10 +91,22 @@ def greedy_decode(
     language_index: int = 0,
     task: str = "transcribe",
     max_tokens: int = 224,
+    cross_kv_int8: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode + greedy decode with the standard forced prefix
-    ``<|sot|><|lang|><|task|><|notimestamps|>``."""
+    ``<|sot|><|lang|><|task|><|notimestamps|>``.
+
+    ``cross_kv_int8`` defaults to on for bf16 serving (halves the dominant
+    decode HBM stream; scores shift below greedy sensitivity) and off for
+    f32 parity paths. Override explicitly or via ``SK_KV_INT8=0``."""
+    import os
+
     audio_states = encode(params, cfg, mel)
+    if cross_kv_int8 is None:
+        cross_kv_int8 = (
+            audio_states.dtype == jnp.bfloat16
+            and os.environ.get("SK_KV_INT8", "1") == "1"
+        )
     batch = mel.shape[0]
     task_token = cfg.token_transcribe if task == "transcribe" else cfg.token_translate
     prefix = jnp.broadcast_to(
@@ -100,7 +116,9 @@ def greedy_decode(
         ),
         (batch, 4),
     )
-    tokens, lengths = _greedy_loop(params, cfg, audio_states, prefix, max_tokens)
+    tokens, lengths = _greedy_loop(
+        params, cfg, audio_states, prefix, max_tokens, cross_kv_int8=cross_kv_int8
+    )
     return np.asarray(tokens), np.asarray(lengths)
 
 

@@ -183,3 +183,38 @@ def test_load_pretrained_from_checkpoint_dir(tmp_path):
 
     detok = WhisperDetokenizer.from_model_dir(str(tmp_path))
     assert detok.decode([1, 2]) == "hello world"
+
+
+def test_cross_kv_int8_close_to_exact(hf_pair):
+    """Per-token int8 cross-KV shifts decode logits by <1% of their range
+    and (on this fixture) preserves greedy tokens."""
+    _, cfg, params = hf_pair
+    rng = np.random.RandomState(5)
+    mel = jnp.asarray(rng.randn(2, cfg.n_audio_ctx * 2, cfg.n_mels).astype(np.float32) * 0.5)
+    tokens = jnp.asarray(rng.randint(0, cfg.n_vocab, size=(2, 5)), dtype=jnp.int32)
+    with jax.default_matmul_precision("highest"):
+        audio_states = encode(params, cfg, mel)
+        exact = init_kv_cache(params, cfg, audio_states, max_len=8)
+        quant = init_kv_cache(params, cfg, audio_states, max_len=8, cross_kv_int8=True)
+        assert quant.xk.dtype == jnp.int8 and quant.cross_quantized
+        assert not exact.cross_quantized
+        for i in range(5):
+            le, exact = decode_step(params, cfg, tokens[:, i], exact)
+            lq, quant = decode_step(params, cfg, tokens[:, i], quant)
+            le, lq = np.asarray(le), np.asarray(lq)
+            span = np.abs(le).max()
+            assert np.max(np.abs(le - lq)) < 0.01 * span
+            np.testing.assert_array_equal(le.argmax(-1), lq.argmax(-1))
+
+
+def test_greedy_decode_int8_flag():
+    """cross_kv_int8 greedy runs end-to-end and matches exact tokens on the
+    tiny fixture."""
+    cfg = TINY
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(6)
+    mel = jnp.asarray(rng.randn(2, cfg.n_audio_ctx * 2, cfg.n_mels).astype(np.float32))
+    te, le = greedy_decode(params, cfg, mel, max_tokens=12, cross_kv_int8=False)
+    tq, lq = greedy_decode(params, cfg, mel, max_tokens=12, cross_kv_int8=True)
+    np.testing.assert_array_equal(te, tq)
+    np.testing.assert_array_equal(le, lq)
