@@ -64,6 +64,11 @@ class AppState:
             if config.oneshot_concurrency_limit > 0
             else None
         )
+        # OTLP push telemetry (reference telemetry.rs 5s periodic reader);
+        # started on app startup when an endpoint is configured
+        from .otlp import pusher_from_config
+
+        self.otlp = pusher_from_config(config, self)
         set_security_paths(config.allowed_file_paths, config.allowed_write_paths)
         # script fetch() policy: allowlist from config, secret values from
         # env vars at startup (reference server.rs:1323-1360)
@@ -102,6 +107,10 @@ class AppState:
 
     def broadcast(self, event: dict) -> None:
         """Fan an event out to every connected control client."""
+        if self.otlp is not None:
+            payload = event.get("payload", event)
+            if isinstance(payload, dict):
+                self.otlp.record_event(payload)
         data = json.dumps(event)
         for ws in list(self._ws_clients):
             if ws.closed:
@@ -228,12 +237,25 @@ async def process_oneshot(request: web.Request) -> web.StreamResponse:
             await response.write_eof()
         except StreamKitError as e:
             log.error("oneshot pipeline failed mid-stream: %s", e)
-        except (ConnectionResetError, asyncio.CancelledError, Exception) as e:  # noqa: BLE001
-            # client went away mid-stream: abort the pipeline so node tasks
-            # don't block forever on bounded channels
-            log.info("oneshot client disconnected: %s", type(e).__name__)
+        except asyncio.CancelledError:
             result.cancel()
             raise
+        except (ConnectionResetError, ConnectionError) as e:
+            # client went away mid-stream: abort the pipeline so node tasks
+            # don't block forever on bounded channels. Swallow (don't
+            # re-raise): aiohttp would log a full ERROR traceback for what
+            # is a routine client abort.
+            log.info("oneshot client disconnected: %s", type(e).__name__)
+            result.cancel()
+        except Exception as e:  # noqa: BLE001
+            is_reset = "ConnectionReset" in type(e).__name__
+            if is_reset:  # aiohttp's ClientConnectionResetError subclass
+                log.info("oneshot client disconnected: %s", type(e).__name__)
+            else:
+                log.exception("oneshot streaming failed")
+            result.cancel()
+            if not is_reset:
+                raise
         return response
     finally:
         if sem is not None:
@@ -510,9 +532,20 @@ def create_app(config: Optional[ServerConfig] = None) -> web.Application:
     add_plugin_routes(app, prefix)
     add_ui_routes(app, prefix)
 
-    async def on_shutdown(app):
-        await app["state"].sessions.destroy_all()
+    async def on_startup(app):
+        state = app["state"]
+        if state.otlp is not None:
+            state.otlp.start()
+            log.info("OTLP push telemetry → %s every %.0fs",
+                     state.otlp.endpoint, state.otlp.interval)
 
+    async def on_shutdown(app):
+        state = app["state"]
+        if state.otlp is not None:
+            await state.otlp.stop()
+        await state.sessions.destroy_all()
+
+    app.on_startup.append(on_startup)
     app.on_shutdown.append(on_shutdown)
     return app
 

@@ -65,6 +65,11 @@ class ServerConfig:
     role_header: Optional[str] = None
     roles: Dict[str, dict] = field(default_factory=dict)
 
+    # telemetry (reference [telemetry]/OTEL_* env: OTLP push, telemetry.rs)
+    otlp_endpoint: Optional[str] = None
+    otlp_interval_secs: float = 5.0
+    otlp_headers: Dict[str, str] = field(default_factory=dict)
+
     # storage
     samples_dir: str = "samples"
     assets_dir: str = "samples/audio"
@@ -138,6 +143,12 @@ def load_config(path: Optional[str] = None) -> ServerConfig:
     cfg.default_role = permissions.get("default_role", cfg.default_role)
     cfg.role_header = permissions.get("role_header", cfg.role_header)
     cfg.roles = permissions.get("roles", cfg.roles)
+    telemetry = doc.get("telemetry", {})
+    cfg.otlp_endpoint = telemetry.get("otlp_endpoint", cfg.otlp_endpoint)
+    cfg.otlp_interval_secs = float(
+        telemetry.get("otlp_interval_secs", cfg.otlp_interval_secs)
+    )
+    cfg.otlp_headers = telemetry.get("otlp_headers", cfg.otlp_headers)
     cfg.samples_dir = storage.get("samples_dir", cfg.samples_dir)
     cfg.assets_dir = storage.get("assets_dir", cfg.assets_dir)
     cfg.plugins_dir = storage.get("plugins_dir", cfg.plugins_dir)

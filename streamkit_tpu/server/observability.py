@@ -31,35 +31,55 @@ __all__ = ["add_observability_routes"]
 _START_TIME = time.time()
 
 
-def _render_metrics(state) -> str:
-    lines = [
-        "# TYPE skit_uptime_seconds gauge",
-        f"skit_uptime_seconds {time.time() - _START_TIME:.1f}",
-        "# TYPE skit_sessions_active gauge",
-        f"skit_sessions_active {len(state.sessions.list())}",
-        "# TYPE skit_ws_clients gauge",
-        f"skit_ws_clients {len(state._ws_clients)}",
-        "# TYPE skit_resource_cache_entries gauge",
-        f"skit_resource_cache_entries {state.resources.stats()['entries']}",
-        "# TYPE skit_resource_cache_hits counter",
-        f"skit_resource_cache_hits {state.resources.hits}",
-        f"skit_resource_cache_misses {state.resources.misses}",
+def collect_metrics(state):
+    """Shared metric collection → ``[(name, kind, value, labels)]``
+    (``kind`` is ``gauge`` or ``counter``). Feeds both the Prometheus pull
+    endpoint and the OTLP push exporter (:mod:`.otlp`)."""
+    out = [
+        ("skit_uptime_seconds", "gauge", time.time() - _START_TIME, {}),
+        ("skit_sessions_active", "gauge", len(state.sessions.list()), {}),
+        ("skit_ws_clients", "gauge", len(state._ws_clients), {}),
+        ("skit_resource_cache_entries", "gauge", state.resources.stats()["entries"], {}),
+        ("skit_resource_cache_hits", "counter", state.resources.hits, {}),
+        ("skit_resource_cache_misses", "counter", state.resources.misses, {}),
     ]
+    # system metrics (reference pumps sysinfo gauges, telemetry.rs:86-110)
+    try:
+        with open("/proc/self/statm") as f:
+            rss_pages = int(f.read().split()[1])
+        out.append(("skit_process_rss_bytes", "gauge", rss_pages * 4096, {}))
+    except OSError:
+        pass
     # per-session node stats + distributor counters
     for session in state.sessions.list():
         engine = session.handle._engine
         sid = session.id[:8]
         for name, stats in engine.stats_snapshots.items():
-            base = f'{{session="{sid}",node="{name}"}}'
-            lines.append(f"skit_node_packets_received{base} {stats.received}")
-            lines.append(f"skit_node_packets_sent{base} {stats.sent}")
-            lines.append(f"skit_node_packets_discarded{base} {stats.discarded}")
-            lines.append(f"skit_node_packets_errored{base} {stats.errored}")
+            labels = {"session": sid, "node": name}
+            out.append(("skit_node_packets_received", "counter", stats.received, labels))
+            out.append(("skit_node_packets_sent", "counter", stats.sent, labels))
+            out.append(("skit_node_packets_discarded", "counter", stats.discarded, labels))
+            out.append(("skit_node_packets_errored", "counter", stats.errored, labels))
         for node_name, entry in engine.nodes.items():
             for pin, dist in entry.distributors.items():
-                base = f'{{session="{sid}",node="{node_name}",pin="{pin}"}}'
-                lines.append(f"skit_distributor_packets{base} {dist.packets}")
-                lines.append(f"skit_distributor_drops{base} {dist.drops}")
+                labels = {"session": sid, "node": node_name, "pin": pin}
+                out.append(("skit_distributor_packets", "counter", dist.packets, labels))
+                out.append(("skit_distributor_drops", "counter", dist.drops, labels))
+    return out
+
+
+def _render_metrics(state) -> str:
+    lines = []
+    seen_types = set()
+    for name, kind, value, labels in collect_metrics(state):
+        if name not in seen_types:
+            seen_types.add(name)
+            lines.append(f"# TYPE {name} {kind}")
+        if labels:
+            lab = ",".join(f'{k}="{v}"' for k, v in labels.items())
+            lines.append(f"{name}{{{lab}}} {value}")
+        else:
+            lines.append(f"{name} {value}")
     return "\n".join(lines) + "\n"
 
 
