@@ -57,7 +57,9 @@ _ALLOWED_NODES = (
     ast.Expr, ast.Assign, ast.AugAssign, ast.AnnAssign, ast.If, ast.For, ast.While,
     ast.Break, ast.Continue, ast.BoolOp, ast.BinOp, ast.UnaryOp, ast.Lambda,
     ast.IfExp, ast.Dict, ast.Set, ast.ListComp, ast.SetComp, ast.DictComp,
-    ast.GeneratorExp, ast.Compare, ast.Call, ast.Constant, ast.Attribute,
+    # NOTE: ast.GeneratorExp is deliberately NOT allowed — a live generator
+    # object exposes gi_frame/send() which walk out of the sandbox.
+    ast.Compare, ast.Call, ast.Constant, ast.Attribute,
     ast.Subscript, ast.Starred, ast.Name, ast.List, ast.Tuple, ast.Slice,
     ast.comprehension, ast.keyword, ast.JoinedStr, ast.FormattedValue,
     ast.Load, ast.Store, ast.Del,
@@ -66,6 +68,35 @@ _ALLOWED_NODES = (
     ast.BitAnd, ast.Not, ast.Invert, ast.UAdd, ast.USub, ast.Eq, ast.NotEq,
     ast.Lt, ast.LtE, ast.Gt, ast.GtE, ast.Is, ast.IsNot, ast.In, ast.NotIn,
 )
+
+# Attribute access is allowlist-only: the packet-proxy fields plus known-safe
+# methods of str/dict/list/set/tuple. Anything else (frame/generator/function
+# introspection like gi_frame, f_back, f_globals, send, throw, __class__…) is
+# rejected at parse time. str.format/format_map are excluded because format
+# strings can traverse attributes ("{0.__class__}").
+_ALLOWED_ATTRS = frozenset(
+    # packet proxy fields
+    ["kind", "text", "data", "type_id", "metadata", "content_type"]
+    # str
+    + ["upper", "lower", "strip", "lstrip", "rstrip", "split", "rsplit",
+       "splitlines", "join", "replace", "startswith", "endswith", "find",
+       "rfind", "count", "title", "capitalize", "casefold", "center",
+       "ljust", "rjust", "zfill", "isdigit", "isalpha", "isalnum",
+       "isspace", "isupper", "islower", "encode", "decode"]
+    # dict
+    + ["get", "keys", "values", "items", "update", "pop", "popitem",
+       "setdefault", "clear", "copy"]
+    # list
+    + ["append", "extend", "insert", "remove", "sort", "reverse", "index"]
+    # set
+    + ["add", "discard", "union", "intersection", "difference",
+       "symmetric_difference", "issubset", "issuperset"]
+)
+
+# Parse-time resource caps (reference MAX_SCRIPT_BYTES = 256 KiB,
+# script.rs; the depth cap guards ast.parse/compile recursion).
+_MAX_SCRIPT_BYTES = 256 * 1024
+_MAX_NESTING_DEPTH = 100
 
 _SAFE_BUILTINS = {
     "len": len, "min": min, "max": max, "abs": abs, "sum": sum, "round": round,
@@ -89,6 +120,20 @@ _FETCH_MAX_BODY = 8 * 1024 * 1024  # defensive cap (reference reads unbounded)
 _FETCH_SEMAPHORE = threading.BoundedSemaphore(
     max(1, int(os.environ.get("SK_SCRIPT_FETCH_MAX_INFLIGHT", "16")))
 )
+
+
+class _NoRedirectHandler(urllib.request.HTTPRedirectHandler):
+    """Never follow redirects: an allowlisted endpoint that 302s to an
+    attacker host would otherwise leak injected secret headers and bypass
+    the allowlist (reference sets redirect Policy::none, script.rs:176).
+    Returning None makes urllib raise HTTPError for the 3xx, which the
+    caller returns as-is."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):  # noqa: D102
+        return None
+
+
+_FETCH_OPENER = urllib.request.build_opener(_NoRedirectHandler)
 
 
 @dataclass
@@ -235,7 +280,7 @@ def _do_fetch(
     t0 = time.monotonic()
     try:
         req = urllib.request.Request(url, data=data, headers=headers, method=method)
-        with urllib.request.urlopen(req, timeout=_FETCH_TIMEOUT_SECS) as resp:
+        with _FETCH_OPENER.open(req, timeout=_FETCH_TIMEOUT_SECS) as resp:
             body = resp.read(_FETCH_MAX_BODY + 1)
             if len(body) > _FETCH_MAX_BODY:
                 raise RuntimeError("fetch failed: response exceeds 8 MiB cap")
@@ -254,6 +299,25 @@ def _do_fetch(
             holder[0] += time.monotonic() - t0
 
 
+def _check_source_limits(src: str) -> None:
+    """Pre-parse resource caps: size and bracket-nesting depth (a deeply
+    nested literal can exhaust the parser/compiler stack in-process)."""
+    if len(src.encode("utf-8", errors="replace")) > _MAX_SCRIPT_BYTES:
+        raise ConfigurationError(
+            f"script exceeds {_MAX_SCRIPT_BYTES // 1024} KiB limit"
+        )
+    depth = 0
+    for ch in src:
+        if ch in "([{":
+            depth += 1
+            if depth > _MAX_NESTING_DEPTH:
+                raise ConfigurationError(
+                    f"script nesting exceeds depth {_MAX_NESTING_DEPTH}"
+                )
+        elif ch in ")]}":
+            depth = max(0, depth - 1)
+
+
 def _validate_script(tree: ast.AST) -> None:
     for node in ast.walk(tree):
         if not isinstance(node, _ALLOWED_NODES):
@@ -262,8 +326,8 @@ def _validate_script(tree: ast.AST) -> None:
             )
         if isinstance(node, ast.Name) and node.id.startswith("__"):
             raise ConfigurationError(f"dunder name not allowed: {node.id}")
-        if isinstance(node, ast.Attribute) and node.attr.startswith("_"):
-            raise ConfigurationError(f"private attribute not allowed: {node.attr}")
+        if isinstance(node, ast.Attribute) and node.attr not in _ALLOWED_ATTRS:
+            raise ConfigurationError(f"attribute not allowed: {node.attr}")
         if isinstance(node, ast.ExceptHandler):
             # a bare/BaseException handler could swallow the deadline signal
             if node.type is None:
@@ -318,6 +382,7 @@ class ScriptNode(ProcessorNode):
                 raise ConfigurationError(
                     "headers entries must be {secret, header[, template]} mappings"
                 )
+        _check_source_limits(cfg["script"])
         try:
             tree = ast.parse(cfg["script"])
         except SyntaxError as e:

@@ -187,6 +187,9 @@ class WsDispatcher:
         return None  # fire-and-forget: no response
 
     async def _h_getpipeline(self, p, role, perms):
+        # reference handle_get_pipeline (websocket_handlers.rs:959) requires
+        # list_sessions before returning pipeline contents
+        perms.check("list_sessions")
         session = self._session(p, role, perms)
         snapshot = await session.handle.get_pipeline()
         pipeline = {

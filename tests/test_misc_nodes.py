@@ -325,3 +325,61 @@ def test_script_infinite_loop_aborted():
     while not tel_ch.is_empty:
         events.append(tel_ch.try_recv())
     assert any(e.event_type == "script.timeout" for e in events)
+
+
+def test_script_sandbox_escape_vectors_rejected():
+    """Frame/generator introspection escapes must be rejected at parse time."""
+    vectors = [
+        # generator expressions expose gi_frame/send
+        "def process(p):\n    g = (x for x in [1])\n    return p",
+        # frame-walk attributes
+        "def process(p):\n    return p.gi_frame",
+        "def process(p):\n    return p.f_back",
+        "def process(p):\n    return p.f_globals",
+        "def process(p):\n    return p.send",
+        "def process(p):\n    return p.throw",
+        # str.format can traverse attributes ("{0.__class__}")
+        "def process(p):\n    return '{0.__class__}'.format(p)",
+        "def process(p):\n    return ''.format_map({})",
+    ]
+    for bad in vectors:
+        with pytest.raises(ConfigurationError):
+            ScriptNode({"script": bad})
+
+
+def test_script_source_limits():
+    # 256 KiB size cap
+    big = "def process(p):\n    return p\n" + "# " + "x" * (256 * 1024)
+    with pytest.raises(ConfigurationError, match="256 KiB"):
+        ScriptNode({"script": big})
+    # bracket-nesting depth cap (parser stack exhaustion guard)
+    nested = "def process(p):\n    return " + "(" * 200 + "1" + ")" * 200
+    with pytest.raises(ConfigurationError, match="nesting"):
+        ScriptNode({"script": nested})
+
+
+def test_script_allowed_attrs_still_work():
+    node = ScriptNode(
+        {
+            "script": (
+                "def process(p):\n"
+                "    parts = p.text.split(',')\n"
+                "    out = []\n"
+                "    for s in parts:\n"
+                "        out.append(s.strip().upper())\n"
+                "    return ' '.join(sorted(out))\n"
+            )
+        }
+    )
+    ctx, in_ch, out_ch, tel_ch = make_ctx(node)
+
+    async def main():
+        task = asyncio.ensure_future(node.run(ctx))
+        in_ch.try_send(Packet.new_text(" b, a ,c"))
+        in_ch.close()
+        await task
+        ctx.output.close()
+        return await drain(out_ch)
+
+    packets = asyncio.run(main())
+    assert packets[0].text == "A B C"

@@ -73,6 +73,15 @@ class _Handler(http.server.BaseHTTPRequestHandler):
 
     def do_GET(self):
         _Handler.last = {"method": "GET", "path": self.path, "headers": dict(self.headers)}
+        if self.path.startswith("/redirect"):
+            body = json.dumps({"redirected": True}).encode()
+            self.send_response(302)
+            self.send_header("Location", "/stolen")
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         self._reply({"ok": True, "path": self.path})
 
     def do_POST(self):
@@ -247,3 +256,24 @@ def test_timeout_cannot_be_caught_by_script():
     )
     outs = asyncio.run(_run_script(node, [Packet.new_text("survive")]))
     assert len(outs) == 1 and outs[0].text == "survive"
+
+
+def test_fetch_redirect_not_followed(http_server):
+    # an allowlisted endpoint that 302s must NOT be followed (secret-header
+    # leak + allowlist bypass; reference sets redirect Policy::none)
+    set_global_script_config(
+        [{"url": f"{http_server}/*", "methods": ["GET"]}],
+        {"api_key": ScriptSecret("s3cret", [f"{http_server}/*"])},
+    )
+    node = ScriptNode(
+        {
+            "script": f"def process(p):\n    return fetch('{http_server}/redirect')\n",
+            "timeout_ms": 5000,
+            "headers": [{"secret": "api_key", "header": "Authorization"}],
+        }
+    )
+    outs = asyncio.run(_run_script(node, [Packet.new_text("go")]))
+    # the 3xx response body is returned as-is
+    assert json.loads(outs[0].text) == {"redirected": True}
+    # the redirect target was never requested
+    assert _Handler.last["path"] == "/redirect"
