@@ -65,9 +65,9 @@ async def run_session(idx: int, model_size: str, seconds: float, batcher, latenc
         {
             "model_size": model_size,
             "partial_transcripts": True,
-            "partial_interval_ms": float(os.environ.get("SK_LAT_PARTIAL_MS", 1000)),
-            "window_buckets": [float(b) for b in os.environ.get("SK_LAT_BUCKETS", "4,8,16,30").split(",")],
-            "vad_block_frames": int(os.environ.get("SK_LAT_VAD_BLOCK", 32)),
+            "partial_interval_ms": float(os.environ.get("SK_LAT_PARTIAL_MS", 250)),
+            "window_buckets": [float(b) for b in os.environ.get("SK_LAT_BUCKETS", "4,8").split(",")],
+            "vad_block_frames": int(os.environ.get("SK_LAT_VAD_BLOCK", 8)),
             "max_tokens": 32,
             "dtype": "bfloat16",
         }
@@ -145,30 +145,43 @@ async def main():
     await run_session(999, model_size, 8.0, batcher, warm)
     print(f"# warmup session done ({len(warm)} transcripts)", file=sys.stderr, flush=True)
 
-    # pre-compile every (kind, bucket, padded-batch) combo the timed phase can
-    # hit — a mid-run XLA compile stalls a batch for ~30-60 s and poisons the
-    # latency distribution
-    buckets = [float(b) for b in os.environ.get("SK_LAT_BUCKETS", "4,8,16,30").split(",")]
-    vad_block = int(os.environ.get("SK_LAT_VAD_BLOCK", 32))
-    from streamkit_tpu.ops.vad import VAD_CONTEXT, VAD_FRAME
+    # pre-compile every (kind, padded-batch) combo the timed phase can hit —
+    # a mid-run XLA compile stalls a batch for ~30-60 s and poisons the
+    # latency distribution. With SK_STT_PAD_TO/SK_VAD_PAD_TO set this is one
+    # program per kind. Warmup uses distinct HIGH slots (sessions allocate
+    # from the low end; VAD state resets on alloc, ring reads mask by length).
+    vad_block = int(os.environ.get("SK_LAT_VAD_BLOCK", 8))
+    from streamkit_tpu.ops.vad import VAD_FRAME
+
+    pad_stt = int(os.environ.get("SK_STT_PAD_TO", "0"))
+    pad_vad = int(os.environ.get("SK_VAD_PAD_TO", "0"))
+
+    def warm_sizes(pad):
+        if pad:
+            return [pad]
+        return [nb for nb in (1, 2, 4, 8, 16) if nb <= max(n_sessions, 1)]
 
     for kind in list(batcher._kinds):
-        for nb in (1, 2, 4, 8):
-            if nb > n_sessions:
-                continue
-            if kind.startswith("whisper:"):
-                for b in buckets:
-                    wire = np.zeros(int(b * 16000), np.int16)
-                    await asyncio.gather(*(batcher.submit(kind, wire) for _ in range(nb)))
-                    print(f"# warmed {kind} bucket={b}s batch={nb}", file=sys.stderr, flush=True)
-            elif kind.startswith("vad:"):
-                # slot-table signature: (slot_id, frames); use distinct high
-                # slots (rows reset on alloc, so warmup writes are harmless)
+        if kind.startswith("whisper_ring:"):
+            window = int(kind.rsplit(":", 1)[1])
+            for nb in warm_sizes(pad_stt):
+                await asyncio.gather(
+                    *(
+                        batcher.submit(
+                            kind, np.int32(120 - j), np.int32(0), np.int32(window)
+                        )
+                        for j in range(nb)
+                    )
+                )
+                print(f"# warmed {kind} batch={nb}", file=sys.stderr, flush=True)
+        elif kind.startswith("vad_ring:"):
+            for nb in warm_sizes(pad_vad):
                 await asyncio.gather(
                     *(
                         batcher.submit(
                             kind,
-                            np.int32(255 - j),
+                            np.int32(120 - j),
+                            np.int32(0),
                             np.zeros((vad_block, VAD_FRAME), np.float32),
                         )
                         for j in range(nb)

@@ -1,0 +1,139 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Device-resident per-session audio rings fused with VAD scoring.
+
+Round-1 partials re-shipped the whole bucketed segment host→device on every
+partial decode (e.g. 128 KiB of int16 per partial per session over the
+device link). Here each audio block crosses the host boundary exactly ONCE —
+inside the VAD-scoring call, which also appends it to a per-session ring in
+HBM — and every later decode (partial or final) references audio by
+``(slot, start_sample, length)``: three scalars instead of a window.
+
+Layout: ``ring [max_slots, ring_samples] int16`` (int16 matches the wire
+quantization the decode path already used), VAD state pytree ``[max_slots,
+...]``. VAD state updates are donated (pure in-place HBM update); ring
+updates are deliberately NOT donated so a decode holding the previous ring
+reference (snapshotted under the lock) stays valid while new blocks land —
+the full-ring copy this costs is ~0.2 ms of HBM traffic per VAD call,
+nothing against a donation race.
+
+Capacity rule: ``ring_samples`` (default 2^19 = 32.77 s @16 kHz) must exceed
+``max_segment_duration_secs`` (30 s) + ``min_silence`` (0.7 s) so a segment
+is never overwritten before its final decode. Reference segmentation bounds:
+``plugins/native/whisper/src/lib.rs:404-490``.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.vad import vad_frame_probs, vad_init_state
+
+__all__ = ["SessionAudioRing", "RING_SAMPLES"]
+
+RING_SAMPLES = 1 << 19  # 32.768 s @ 16 kHz; power of two keeps the mod cheap
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+def _vad_append(vad_state, ring, slot_ids, starts, frames_b, ring_samples):
+    """Score VAD frames AND append them to the rings in one device call.
+
+    ``frames_b [B, n_frames, VAD_FRAME] f32``, ``starts [B] int32`` absolute
+    sample positions (mod applied here). Returns (new_vad_state, new_ring,
+    probs [B, n_frames]).
+    """
+    rows = jax.tree.map(lambda s: s[slot_ids], vad_state)
+    probs, new_rows = vad_frame_probs(rows, frames_b)
+    new_state = jax.tree.map(
+        lambda s, r: s.at[slot_ids].set(r), vad_state, new_rows
+    )
+    b = frames_b.shape[0]
+    flat = frames_b.reshape(b, -1)
+    wire = jnp.clip(flat * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
+    pos = (starts[:, None] + jnp.arange(flat.shape[1], dtype=jnp.int32)) % ring_samples
+    ring = ring.at[slot_ids[:, None], pos].set(wire)
+    return new_state, ring, probs
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _reset_vad_row(vad_state, slot, init_row):
+    return jax.tree.map(lambda s, r: s.at[slot].set(r), vad_state, init_row)
+
+
+def gather_ring_window(ring, slot_ids, starts, lengths, window_samples: int):
+    """Traced helper: ``[B]`` ring coordinates → ``[B, window_samples]`` f32
+    audio, zeroed beyond each row's length. Used inside decode jits."""
+    ring_samples = ring.shape[1]
+    idx = (starts[:, None] + jnp.arange(window_samples, dtype=jnp.int32)) % ring_samples
+    audio = ring[slot_ids[:, None], idx].astype(jnp.float32) / 32768.0
+    mask = jnp.arange(window_samples, dtype=jnp.int32)[None, :] < lengths[:, None]
+    return jnp.where(mask, audio, 0.0)
+
+
+class SessionAudioRing:
+    """Pool of device-resident (VAD state, audio ring) rows keyed by slot."""
+
+    def __init__(self, max_slots: int = 128, ring_samples: int = RING_SAMPLES) -> None:
+        self.max_slots = max_slots
+        self.ring_samples = ring_samples
+        self._vad_state = vad_init_state((max_slots,))
+        self._init_row = vad_init_state()
+        self._ring = jnp.zeros((max_slots, ring_samples), jnp.int16)
+        self._free: List[int] = list(range(max_slots - 1, -1, -1))
+        self._alloc_lock = threading.Lock()
+        # serializes donated VAD-state steps; ring/decode readers snapshot
+        # under it but run outside it
+        self._step_lock = threading.Lock()
+
+    # -- slot lifecycle -----------------------------------------------------
+    def alloc(self) -> int:
+        """Acquire a slot; VAD state resets on acquire. Stale ring contents
+        are harmless (decodes mask by length and only read what VAD wrote)."""
+        with self._alloc_lock:
+            if not self._free:
+                raise RuntimeError(f"audio ring table exhausted ({self.max_slots} slots)")
+            slot = self._free.pop()
+        with self._step_lock:
+            self._vad_state = _reset_vad_row(
+                self._vad_state, jnp.asarray(slot, jnp.int32), self._init_row
+            )
+        return slot
+
+    def free(self, slot: int) -> None:
+        with self._alloc_lock:
+            self._free.append(slot)
+
+    @property
+    def in_use(self) -> int:
+        with self._alloc_lock:
+            return self.max_slots - len(self._free)
+
+    # -- batched steps --------------------------------------------------------
+    def vad_append(self, slot_ids, starts, frames_b) -> np.ndarray:
+        """Batched VAD score + ring append (ONE device call).
+
+        ``slot_ids [B]``, ``starts [B]`` absolute sample positions,
+        ``frames_b [B, n_frames, VAD_FRAME] f32`` → probs ``[B, n_frames]``.
+        """
+        with self._step_lock:
+            self._vad_state, self._ring, probs = _vad_append(
+                self._vad_state,
+                self._ring,
+                jnp.asarray(slot_ids, jnp.int32),
+                jnp.asarray(starts, jnp.int32),
+                frames_b,
+                self.ring_samples,
+            )
+        return probs
+
+    def ring_ref(self):
+        """Snapshot the current ring buffer for a read-only decode. The
+        reference stays valid under concurrent ``vad_append`` calls (ring
+        updates are not donated)."""
+        with self._step_lock:
+            return self._ring

@@ -48,6 +48,10 @@ class BatchKind:
     name: str
     fn: Callable[..., Any]
     max_batch: int = 64
+    # pad every dispatch to exactly this size (when the chunk fits): ONE
+    # XLA program per kind+shape instead of log2(max_batch) — compiles are
+    # 30-60 s each over a remote device, so latency-critical kinds want this
+    pad_to: Optional[int] = None
 
 
 @dataclass
@@ -73,10 +77,16 @@ class DeviceBatcher:
         self.batched_items = 0
 
     # -- registration --------------------------------------------------------
-    def register(self, name: str, fn: Callable[..., Any], max_batch: int = 64) -> None:
+    def register(
+        self,
+        name: str,
+        fn: Callable[..., Any],
+        max_batch: int = 64,
+        pad_to: Optional[int] = None,
+    ) -> None:
         """Idempotent: re-registering a kind keeps the first fn."""
         if name not in self._kinds:
-            self._kinds[name] = BatchKind(name, fn, max_batch)
+            self._kinds[name] = BatchKind(name, fn, max_batch, pad_to)
 
     def is_registered(self, name: str) -> bool:
         return name in self._kinds
@@ -139,11 +149,16 @@ class DeviceBatcher:
                 task.add_done_callback(self._inflight_tasks.discard)
 
     async def _dispatch(self, loop, kind: BatchKind, items: List[_Item]) -> None:
-        # pad the batch to the next power of two (repeating the last row):
-        # every distinct batch size is a separate XLA compilation — power-of-2
-        # bucketing caps compile count at log2(max_batch) per kind+shape
+        # pad the batch (repeating the last row): every distinct batch size is
+        # a separate XLA compilation. Kinds with pad_to get ONE fixed size;
+        # otherwise power-of-2 bucketing caps compiles at log2(max_batch).
+        # Repeated rows are safe for slot-table kinds: duplicates gather the
+        # same state and scatter identical values.
         n = len(items)
-        padded = 1 << (n - 1).bit_length() if n > 1 else 1
+        if kind.pad_to is not None and n <= kind.pad_to:
+            padded = kind.pad_to
+        else:
+            padded = 1 << (n - 1).bit_length() if n > 1 else 1
         rows = items + [items[-1]] * (padded - n)
         stacked = tuple(
             jnp.asarray(np.stack([it.inputs[j] for it in rows]))

@@ -21,7 +21,7 @@ from ...ops.mel import log_mel_spectrogram
 from .config import WhisperConfig
 from .model import Params, decode_step, encode, init_kv_cache
 
-__all__ = ["greedy_decode", "transcribe_window", "pad_or_trim", "N_SAMPLES_30S"]
+__all__ = ["greedy_decode", "transcribe_window", "transcribe_ring", "pad_or_trim", "N_SAMPLES_30S"]
 
 N_SAMPLES_30S = 30 * 16_000
 
@@ -145,3 +145,70 @@ def transcribe_window(
     mel = mel.astype(param_dtype)
     tokens, lengths = greedy_decode(params, cfg, mel, **kw)
     return tokens, lengths
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "window_samples", "language_index", "max_tokens", "cross_kv_int8")
+)
+def _ring_stt(
+    params: Params,
+    cfg: WhisperConfig,
+    ring: jnp.ndarray,  # [slots, ring_samples] int16 (SessionAudioRing)
+    slot_ids: jnp.ndarray,  # [B]
+    starts: jnp.ndarray,  # [B] absolute sample positions
+    lengths: jnp.ndarray,  # [B] valid samples (<= window_samples)
+    window_samples: int,
+    language_index: int,
+    max_tokens: int,
+    cross_kv_int8: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    from ...engine.audio_ring import gather_ring_window
+
+    audio = gather_ring_window(ring, slot_ids, starts, lengths, window_samples)
+    mel = log_mel_spectrogram(audio, cfg.n_mels)
+    param_dtype = params["enc"]["conv1"]["w"].dtype
+    audio_states = encode(params, cfg, mel.astype(param_dtype))
+    prefix = jnp.broadcast_to(
+        jnp.asarray(
+            [cfg.token_sot, cfg.token_language(language_index), cfg.token_transcribe,
+             cfg.token_no_timestamps],
+            dtype=jnp.int32,
+        ),
+        (audio.shape[0], 4),
+    )
+    return _greedy_loop(params, cfg, audio_states, prefix, max_tokens,
+                        cross_kv_int8=cross_kv_int8)
+
+
+def transcribe_ring(
+    params: Params,
+    cfg: WhisperConfig,
+    ring,
+    slot_ids: np.ndarray,
+    starts: np.ndarray,
+    lengths: np.ndarray,
+    window_samples: int,
+    language_index: int = 0,
+    max_tokens: int = 224,
+    cross_kv_int8: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode straight from device-resident audio rings: the submission
+    carries three scalars per session instead of a padded audio window
+    (mel + encode + greedy decode fused into ONE device call — partial
+    buckets are small enough that the fused program's peak fits; the full
+    30 s window at batch ≳ 22 should keep using the split encode/decode
+    path, see PERF_NOTES.md)."""
+    import os
+
+    if cross_kv_int8 is None:
+        param_dtype = params["enc"]["conv1"]["w"].dtype
+        cross_kv_int8 = (
+            param_dtype == jnp.bfloat16 and os.environ.get("SK_KV_INT8", "1") == "1"
+        )
+    return _ring_stt(
+        params, cfg, ring,
+        jnp.asarray(slot_ids, jnp.int32),
+        jnp.asarray(starts, jnp.int32),
+        jnp.asarray(lengths, jnp.int32),
+        window_samples, language_index, max_tokens, cross_kv_int8,
+    )

@@ -169,34 +169,50 @@ class WhisperNode(ProcessorNode):
             return detok.decode(tokens[0][: int(lengths[0])])
 
         # continuous batching: segments from ALL sessions sharing this model
-        # are packed into one batched mel+encode+decode device call. Audio
-        # travels as int16 (half the host->HBM bytes) and is bucketed to the
-        # smallest configured window, so partials don't re-ship 30 s of
-        # padding every interval.
+        # are packed into one batched device call per kind. Each audio block
+        # crosses the host boundary exactly once — inside the VAD call, which
+        # also appends it to the session's device-resident HBM ring
+        # (engine/audio_ring.py). Decodes (partials AND finals) then reference
+        # audio by (slot, start, length): three scalars per session instead of
+        # a padded window per decode.
         batch_kind = None
+        ring = None
+        written = 0  # absolute samples written to the ring (== frames scored × 512)
         if ctx.batcher is not None:
-            from ...models.whisper.decode import pad_or_trim
+            from ...models.whisper.decode import transcribe_ring
 
+            ring = _get_audio_ring()
             model_tag = f"{self.model_path or self.model_size}:{lang_index}:{self.max_tokens}"
-            batch_kind = f"whisper:{model_tag}"
+            batch_kind = f"whisper_ring:{model_tag}"
+            vad_kind = f"vad_ring:{self.vad_block}"
 
-            def batched_stt(audio_i16_b):
-                audio_b = np.asarray(audio_i16_b).astype(np.float32) / 32768.0
-                tokens, lengths = transcribe_window(
-                    params, model_cfg, audio_b,
-                    window_samples=audio_b.shape[-1],
-                    language_index=lang_index, max_tokens=self.max_tokens,
+            def batched_vad(slot_ids, starts, frames_b):
+                return ring.vad_append(slot_ids, starts, frames_b)
+
+            # fixed-size padding (serving knob): one XLA program per kind
+            # instead of one per power-of-2 batch size
+            pad_vad = int(os.environ.get("SK_VAD_PAD_TO", "0")) or None
+            pad_stt = int(os.environ.get("SK_STT_PAD_TO", "0")) or None
+            ctx.batcher.register(vad_kind, batched_vad, max_batch=128, pad_to=pad_vad)
+
+            def make_ring_stt(window: int):
+                def batched_stt(slot_ids, starts, lengths):
+                    tokens, tok_lengths = transcribe_ring(
+                        params, model_cfg, ring.ring_ref(),
+                        slot_ids, starts, lengths,
+                        window_samples=window,
+                        language_index=lang_index, max_tokens=self.max_tokens,
+                    )
+                    return tokens, tok_lengths
+
+                return batched_stt
+
+            for b in self.window_buckets:
+                ctx.batcher.register(
+                    f"{batch_kind}:{int(b * _SR)}",
+                    make_ring_stt(int(b * _SR)),
+                    pad_to=pad_stt,
                 )
-                return tokens, lengths
-
-            ctx.batcher.register(batch_kind, batched_stt)
-
-            vad_kind = f"vad:{self.vad_block}"
-
-            # VAD state lives device-resident in a shared slot table
-            # (SURVEY.md §2.9 HBM-resident session state): submissions carry
-            # only (slot_id, frames); state never crosses the host boundary
-            vad_table = _vad_slot_table(ctx.batcher, vad_kind)
 
         def _bucket_samples(n: int) -> int:
             for b in self.window_buckets:
@@ -204,13 +220,16 @@ class WhisperNode(ProcessorNode):
                     return int(b * _SR)
             return int(self.window_buckets[-1] * _SR)
 
-        async def decode_text(samples: np.ndarray) -> str:
+        async def decode_text(samples: np.ndarray, start_f: int, end_f: int) -> str:
             if batch_kind is not None:
-                from ...models.whisper.decode import pad_or_trim
-
-                window = _bucket_samples(samples.shape[0])
-                wire = np.clip(pad_or_trim(samples, window) * 32768.0, -32768, 32767).astype(np.int16)
-                tokens, length = await ctx.batcher.submit(batch_kind, wire)
+                n = min((end_f - start_f) * VAD_FRAME, int(self.window_buckets[-1] * _SR))
+                window = _bucket_samples(n)
+                tokens, length = await ctx.batcher.submit(
+                    f"{batch_kind}:{window}",
+                    np.int32(vad_slot),
+                    np.int32((start_f * VAD_FRAME) % ring.ring_samples),
+                    np.int32(n),
+                )
                 return detok.decode(tokens[: int(length)])
             return await loop.run_in_executor(None, decode_sync, samples)
 
@@ -223,7 +242,7 @@ class WhisperNode(ProcessorNode):
                 partial_task = None
             if samples.shape[0] < VAD_FRAME:
                 return
-            text = await decode_text(samples)
+            text = await decode_text(samples, start_f, end_f)
             start_ms = start_f * VAD_FRAME * 1000 // _SR
             end_ms = end_f * VAD_FRAME * 1000 // _SR
             data = TranscriptionData(
@@ -242,7 +261,7 @@ class WhisperNode(ProcessorNode):
             stats.packet_sent()
 
         if batch_kind is not None:
-            vad_slot = vad_table.alloc()
+            vad_slot = ring.alloc()
         try:
             while True:
                 pkt = await ctx.recv_with_cancellation("in")
@@ -272,8 +291,12 @@ class WhisperNode(ProcessorNode):
                     all_frames.append(block)
                     if ctx.batcher is not None:
                         probs = await ctx.batcher.submit(
-                            vad_kind, np.int32(vad_slot), block
+                            vad_kind,
+                            np.int32(vad_slot),
+                            np.int32(written % ring.ring_samples),
+                            block,
                         )
+                        written += block.size
                         all_probs.append(np.asarray(probs))
                     else:
                         probs, vad_state = vad_frame_probs(vad_state, jnp.asarray(block))
@@ -315,37 +338,24 @@ class WhisperNode(ProcessorNode):
             if partial_task is not None and not partial_task.done():
                 partial_task.cancel()
             if vad_slot is not None:
-                vad_table.free(vad_slot)
+                ring.free(vad_slot)
         stats.flush()
         ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
 
 
 # ---------------------------------------------------------------------------
-# shared VAD slot tables (one per vad_kind per process)
+# shared device audio ring (one per process; slots allocated per session)
 # ---------------------------------------------------------------------------
-_VAD_TABLES: dict = {}
+_AUDIO_RING = None
 
 
-def _vad_slot_table(batcher, vad_kind: str):
-    """Get/create the device-resident VAD state table and register its
-    batched step with the continuous batcher."""
-    from ...engine.slots import SlotTable
+def _get_audio_ring():
+    """Process-wide :class:`SessionAudioRing` (VAD state + HBM audio rings)."""
+    global _AUDIO_RING
+    if _AUDIO_RING is None:
+        from ...engine.audio_ring import SessionAudioRing
 
-    entry = _VAD_TABLES.get(vad_kind)
-    if entry is None:
-        table = SlotTable(vad_init_state, max_slots=256)
-
-        def vad_step(state_rows, frames_b):
-            probs, new_state = vad_frame_probs(state_rows, frames_b)
-            return new_state, probs
-
-        step = table.make_step(vad_step)
-
-        def batched_vad(slot_ids, frames_b):
-            return step(slot_ids, frames_b)
-
-        entry = (table, batched_vad)
-        _VAD_TABLES[vad_kind] = entry
-    # idempotent per batcher: a new server/batcher re-registers the same fn
-    batcher.register(vad_kind, entry[1], max_batch=128)
-    return entry[0]
+        _AUDIO_RING = SessionAudioRing(
+            max_slots=int(os.environ.get("SK_RING_SLOTS", "128"))
+        )
+    return _AUDIO_RING
