@@ -27,13 +27,25 @@ class LoadTestConfig:
     duration_secs: float = 10.0
     scenario: str = "oneshot"  # oneshot | dynamic | mixed
     # oneshot
+    oneshot_enabled: bool = True
     oneshot_concurrency: int = 4
     oneshot_pipeline: str = ""
     oneshot_input_file: str = ""
     # dynamic
+    dynamic_enabled: bool = True
     session_count: int = 4
     tune_interval_ms: float = 200.0
-    dynamic_pipeline: str = ""
+    dynamic_pipelines: List[str] = field(default_factory=list)
+    # long-lived broadcaster sessions (reference [dynamic.broadcaster])
+    broadcaster_pipeline: str = ""
+    broadcaster_count: int = 0
+    # populate (reference config.rs [populate]): preload plugins before run
+    populate_plugins_native: List[str] = field(default_factory=list)
+    populate_plugins_wasm: List[str] = field(default_factory=list)
+    # output
+    output_format: str = "text"  # text | json
+    real_time_updates: bool = True
+    update_interval_ms: float = 1000.0
 
     @staticmethod
     def from_toml(path: str) -> "LoadTestConfig":
@@ -45,13 +57,30 @@ class LoadTestConfig:
         cfg.duration_secs = float(test.get("duration_secs", cfg.duration_secs))
         cfg.scenario = test.get("scenario", cfg.scenario)
         oneshot = doc.get("oneshot", {})
+        cfg.oneshot_enabled = bool(oneshot.get("enabled", cfg.oneshot_enabled))
         cfg.oneshot_concurrency = int(oneshot.get("concurrency", cfg.oneshot_concurrency))
         cfg.oneshot_pipeline = oneshot.get("pipeline", cfg.oneshot_pipeline)
         cfg.oneshot_input_file = oneshot.get("input_file", cfg.oneshot_input_file)
         dyn = doc.get("dynamic", {})
+        cfg.dynamic_enabled = bool(dyn.get("enabled", cfg.dynamic_enabled))
         cfg.session_count = int(dyn.get("session_count", cfg.session_count))
         cfg.tune_interval_ms = float(dyn.get("tune_interval_ms", cfg.tune_interval_ms))
-        cfg.dynamic_pipeline = dyn.get("pipeline", cfg.dynamic_pipeline)
+        pipelines = dyn.get("pipelines")
+        if pipelines:
+            cfg.dynamic_pipelines = list(pipelines)
+        elif dyn.get("pipeline"):
+            cfg.dynamic_pipelines = [dyn["pipeline"]]
+        bc = dyn.get("broadcaster", {})
+        cfg.broadcaster_pipeline = bc.get("pipeline", "")
+        cfg.broadcaster_count = int(bc.get("count", 1 if cfg.broadcaster_pipeline else 0))
+        pop = doc.get("populate", {})
+        if pop.get("load_plugins"):
+            cfg.populate_plugins_native = list(pop.get("plugins_native", []))
+            cfg.populate_plugins_wasm = list(pop.get("plugins_wasm", []))
+        out = doc.get("output", {})
+        cfg.output_format = out.get("format", cfg.output_format)
+        cfg.real_time_updates = bool(out.get("real_time_updates", cfg.real_time_updates))
+        cfg.update_interval_ms = float(out.get("update_interval_ms", cfg.update_interval_ms))
         return cfg
 
 
@@ -121,10 +150,39 @@ async def _oneshot_worker(cfg: LoadTestConfig, metrics: Metrics, stop: asyncio.E
                 metrics.record(time.perf_counter() - t0, False)
 
 
-async def _session_worker(cfg: LoadTestConfig, metrics: Metrics, stop: asyncio.Event) -> None:
-    yaml_text = open(cfg.dynamic_pipeline).read() if cfg.dynamic_pipeline else None
+def _find_tunable(yaml_text: Optional[str]) -> Optional[tuple]:
+    """Locate a live-tunable node in the pipeline (first audio::gain)."""
+    if not yaml_text:
+        return None
+    try:
+        import yaml as _yaml
+
+        doc = _yaml.safe_load(yaml_text) or {}
+        for node_id, spec in (doc.get("nodes") or {}).items():
+            if isinstance(spec, dict) and spec.get("kind") == "audio::gain":
+                return (node_id, "gain")
+    except Exception:
+        pass
+    return None
+
+
+async def _session_worker(
+    cfg: LoadTestConfig, metrics: Metrics, tunes: Metrics, stop: asyncio.Event, idx: int
+) -> None:
+    pipelines = cfg.dynamic_pipelines or [""]
+    texts = [open(p).read() if p else None for p in pipelines]
+    rng = random.Random(idx)
     async with SkitClient(cfg.server) as client:
+        ws_ok = True
+        try:
+            await client.connect_ws()
+        except Exception:
+            ws_ok = False
+        n = 0
         while not stop.is_set():
+            yaml_text = texts[(idx + n) % len(texts)]
+            n += 1
+            tunable = _find_tunable(yaml_text)
             t0 = time.perf_counter()
             sid = None
             try:
@@ -133,10 +191,19 @@ async def _session_worker(cfg: LoadTestConfig, metrics: Metrics, stop: asyncio.E
                 metrics.record(time.perf_counter() - t0, True)
             except Exception:
                 metrics.record(time.perf_counter() - t0, False)
-            # tune loop for the session's lifetime slice
+            # live-tune loop for the session's lifetime slice (reference
+            # workers.rs dynamic workers tune params at tune_interval_ms)
             t_end = time.monotonic() + cfg.tune_interval_ms / 1000.0 * 5
             while not stop.is_set() and time.monotonic() < t_end:
                 await asyncio.sleep(cfg.tune_interval_ms / 1000.0)
+                if sid and tunable and ws_ok:
+                    node_id, param = tunable
+                    tt = time.perf_counter()
+                    try:
+                        await client.tune(sid, node_id, {param: round(rng.uniform(0.25, 2.0), 3)})
+                        tunes.record(time.perf_counter() - tt, True)
+                    except Exception:
+                        tunes.record(time.perf_counter() - tt, False)
             if sid:
                 try:
                     await client.destroy_session_http(sid)
@@ -144,26 +211,80 @@ async def _session_worker(cfg: LoadTestConfig, metrics: Metrics, stop: asyncio.E
                     pass
 
 
-async def run_load_test(cfg: LoadTestConfig, realtime: bool = True) -> Dict[str, dict]:
+async def _broadcaster_worker(cfg: LoadTestConfig, metrics: Metrics, stop: asyncio.Event) -> None:
+    """Long-lived publisher session (reference [dynamic.broadcaster])."""
+    yaml_text = open(cfg.broadcaster_pipeline).read()
+    async with SkitClient(cfg.server) as client:
+        t0 = time.perf_counter()
+        sid = None
+        try:
+            info = await client.create_session_http(name="broadcaster", yaml_text=yaml_text)
+            sid = info["session_id"]
+            metrics.record(time.perf_counter() - t0, True)
+        except Exception:
+            metrics.record(time.perf_counter() - t0, False)
+        await stop.wait()
+        if sid:
+            try:
+                await client.destroy_session_http(sid)
+            except Exception:
+                pass
+
+
+async def _populate(cfg: LoadTestConfig) -> None:
+    """Preload plugins before the run (reference workers.rs populate phase)."""
+    paths = [(p, "native") for p in cfg.populate_plugins_native] + [
+        (p, "wasm") for p in cfg.populate_plugins_wasm
+    ]
+    if not paths:
+        return
+    import aiohttp
+
+    async with aiohttp.ClientSession() as http:
+        for path, runtime in paths:
+            try:
+                data = open(path, "rb").read()
+                name = path.rsplit("/", 1)[-1]
+                await http.post(
+                    f"{cfg.server}/api/v1/plugins",
+                    data=data,
+                    params={"name": name, "runtime": runtime},
+                )
+            except Exception as e:
+                print(f"populate: failed to load {path}: {e}", flush=True)
+
+
+async def run_load_test(cfg: LoadTestConfig, realtime: Optional[bool] = None) -> Dict[str, dict]:
+    if realtime is None:
+        realtime = cfg.real_time_updates
+    await _populate(cfg)
     stop = asyncio.Event()
     metrics: Dict[str, Metrics] = {}
     workers: List[asyncio.Task] = []
-    if cfg.scenario in ("oneshot", "mixed"):
+    if cfg.scenario in ("oneshot", "mixed") and cfg.oneshot_enabled and cfg.oneshot_pipeline:
         m = metrics["oneshot"] = Metrics("oneshot")
         workers += [
             asyncio.ensure_future(_oneshot_worker(cfg, m, stop))
             for _ in range(cfg.oneshot_concurrency)
         ]
-    if cfg.scenario in ("dynamic", "mixed"):
+    if cfg.scenario in ("dynamic", "mixed") and cfg.dynamic_enabled:
+        if cfg.broadcaster_pipeline and cfg.broadcaster_count > 0:
+            mb = metrics["broadcaster"] = Metrics("broadcaster")
+            workers += [
+                asyncio.ensure_future(_broadcaster_worker(cfg, mb, stop))
+                for _ in range(cfg.broadcaster_count)
+            ]
         m = metrics["dynamic"] = Metrics("dynamic")
+        mt = metrics["tune"] = Metrics("tune")
         workers += [
-            asyncio.ensure_future(_session_worker(cfg, m, stop))
-            for _ in range(cfg.session_count)
+            asyncio.ensure_future(_session_worker(cfg, m, mt, stop, i))
+            for i in range(cfg.session_count)
         ]
 
     t0 = time.monotonic()
+    tick = max(0.1, cfg.update_interval_ms / 1000.0)
     while time.monotonic() - t0 < cfg.duration_secs:
-        await asyncio.sleep(1.0)
+        await asyncio.sleep(min(tick, cfg.duration_secs - (time.monotonic() - t0)) or 0.1)
         if realtime:
             parts = [
                 f"{m.name}: {m.ok} ok / {m.failed} failed, p50 {m.percentile(50)*1000:.0f}ms"

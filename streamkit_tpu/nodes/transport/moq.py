@@ -166,24 +166,72 @@ class MoqPeerNode(ProcessorNode):
 
 
 class MoqSubscriberNode(ProcessorNode):
-    """Subscribes to a gateway path, emits Opus packets (``transport::moq::subscriber``)."""
+    """Subscribes to a broadcast, emits Opus packets (``transport::moq::subscriber``).
+
+    Two sources (reference ``pull.rs:22-42`` subscribes to an external relay
+    broadcast; our relay is in-process):
+
+    * ``broadcast`` — subscribe to the named broadcast on the in-process
+      relay (meets ``transport::moq::publisher`` nodes and external
+      WebTransport/WS publishers bridged onto the relay). A reference-style
+      ``url`` param is accepted and ignored (the relay is local).
+    * ``gateway_path`` — legacy: register an external gateway route and
+      consume frames from a remote publisher connection.
+    """
 
     KIND = "transport::moq::subscriber"
 
     def __init__(self, params: Optional[dict]) -> None:
-        cfg = parse_config_optional(params, {"gateway_path": None})
-        if params is not None:
-            require_param(params, "gateway_path")
+        cfg = parse_config_optional(
+            params, {"gateway_path": None, "broadcast": None, "url": None}
+        )
         self.gateway_path = cfg["gateway_path"]
+        self.broadcast = cfg["broadcast"]
+        if params is not None and not (self.gateway_path or self.broadcast):
+            raise ConfigurationError(
+                "transport::moq::subscriber requires 'broadcast' or 'gateway_path'"
+            )
 
     def output_pins(self) -> List[OutputPin]:
         return [OutputPin("out", PacketType.opus_audio())]
 
-    async def run(self, ctx: NodeContext) -> None:
+    async def _emit(self, ctx, stats, payload: bytes, ts_us: int, seq: int) -> None:
+        await ctx.output.send(
+            "out",
+            Packet.new_binary(
+                payload,
+                content_type="audio/opus",
+                metadata=PacketMetadata(timestamp_us=ts_us, sequence=seq),
+            ),
+        )
+        stats.packet_sent()
+
+    async def _run_relay(self, ctx: NodeContext, stats: NodeStatsTracker) -> None:
+        from ...moq import get_moq_relay
+
+        relay = get_moq_relay()
+        ctx.emit_state(NodeState.running())
+        seq = 0
+        consumer = await relay.subscribe(self.broadcast)
+        try:
+            if consumer is None:
+                raise ConfigurationError(
+                    f"broadcast {self.broadcast!r} was not announced within the wait window"
+                )
+            while not ctx.cancelled:
+                frame = await consumer.recv()
+                if frame is None:
+                    break
+                await self._emit(ctx, stats, frame.payload, frame.timestamp_us, seq)
+                seq += 1
+        finally:
+            if consumer is not None:
+                consumer.close()
+
+    async def _run_gateway(self, ctx: NodeContext, stats: NodeStatsTracker) -> None:
         gateway = get_moq_gateway()
         if gateway is None:
             raise ConfigurationError("MoQ gateway not initialized")
-        stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
         route = await gateway.register_route(self.gateway_path)
         ctx.emit_state(NodeState.running())
         seq = 0
@@ -197,22 +245,22 @@ class MoqSubscriberNode(ProcessorNode):
                     if frame is None:
                         break
                     payload, ts_us, _key = decode_media_frame(frame)
-                    await ctx.output.send(
-                        "out",
-                        Packet.new_binary(
-                            payload,
-                            content_type="audio/opus",
-                            metadata=PacketMetadata(timestamp_us=ts_us, sequence=seq),
-                        ),
-                    )
+                    await self._emit(ctx, stats, payload, ts_us, seq)
                     seq += 1
-                    stats.packet_sent()
+        finally:
+            await gateway.unregister_route(self.gateway_path)
+
+    async def run(self, ctx: NodeContext) -> None:
+        stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
+        try:
+            if self.broadcast:
+                await self._run_relay(ctx, stats)
+            else:
+                await self._run_gateway(ctx, stats)
         except ChannelClosed:
             ctx.emit_state(NodeState.stopped(StopReason.OUTPUT_CLOSED))
             stats.flush()
             return
-        finally:
-            await gateway.unregister_route(self.gateway_path)
         stats.flush()
         ctx.emit_state(NodeState.stopped(StopReason.COMPLETED))
 
@@ -225,21 +273,60 @@ class MoqPublisherNode(ProcessorNode):
     def __init__(self, params: Optional[dict]) -> None:
         cfg = parse_config_optional(
             params,
-            {"gateway_path": None, "group_duration_ms": 40, "initial_delay_ms": 0},
+            {
+                "gateway_path": None,
+                "broadcast": None,
+                "url": None,
+                "group_duration_ms": 40,
+                "initial_delay_ms": 0,
+            },
         )
-        if params is not None:
-            require_param(params, "gateway_path")
         self.gateway_path = cfg["gateway_path"]
+        self.broadcast = cfg["broadcast"]
+        if params is not None and not (self.gateway_path or self.broadcast):
+            raise ConfigurationError(
+                "transport::moq::publisher requires 'broadcast' or 'gateway_path'"
+            )
+        self.group_duration_us = max(0, int(cfg["group_duration_ms"])) * 1000
         self.initial_delay = float(cfg["initial_delay_ms"]) / 1000.0
 
     def input_pins(self) -> List[InputPin]:
         return [InputPin("in", [PacketType.opus_audio()])]
 
-    async def run(self, ctx: NodeContext) -> None:
+    async def _run_relay(self, ctx: NodeContext, stats: NodeStatsTracker) -> None:
+        """Publish into the in-process relay (reference push.rs:18-37 group
+        cadence: a new group starts every group_duration_ms)."""
+        from ...moq import get_moq_relay
+
+        relay = get_moq_relay()
+        b = relay.announce(self.broadcast)
+        ctx.emit_state(NodeState.running())
+        if self.initial_delay > 0:
+            await asyncio.sleep(self.initial_delay)
+        group_start_ts: Optional[int] = None
+        try:
+            while True:
+                pkt = await ctx.recv_with_cancellation("in")
+                if pkt is None:
+                    break
+                stats.packet_received()
+                if pkt.binary is None:
+                    continue
+                ts = pkt.metadata.timestamp_us if pkt.metadata and pkt.metadata.timestamp_us else 0
+                key = False
+                if group_start_ts is None or (
+                    self.group_duration_us and ts - group_start_ts >= self.group_duration_us
+                ):
+                    key = True
+                    group_start_ts = ts
+                b.publish(pkt.binary, ts, key=key)
+        finally:
+            b.end()
+
+    async def _run_gateway(self, ctx: NodeContext, stats: NodeStatsTracker) -> None:
         gateway = get_moq_gateway()
         if gateway is None:
             raise ConfigurationError("MoQ gateway not initialized")
-        stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
         route = await gateway.register_route(self.gateway_path)
         ctx.emit_state(NodeState.running())
         subscribers: List[MoqConnection] = []
@@ -276,5 +363,12 @@ class MoqPublisherNode(ProcessorNode):
             await gateway.unregister_route(self.gateway_path)
             for conn in subscribers:
                 conn.close()
+
+    async def run(self, ctx: NodeContext) -> None:
+        stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
+        if self.broadcast:
+            await self._run_relay(ctx, stats)
+        else:
+            await self._run_gateway(ctx, stats)
         stats.flush()
         ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
