@@ -1,0 +1,174 @@
+# SPDX-License-Identifier: Apache-2.0
+"""QUIC v1 + TLS 1.3 stack tests: crypto vectors, varints, loopback
+handshake, stream transfer integrity, datagrams, fingerprint pinning,
+loss recovery (PTO retransmit)."""
+
+import asyncio
+import hashlib
+import random
+
+import pytest
+
+from streamkit_tpu.quic.crypto import hkdf_expand_label, initial_secrets
+from streamkit_tpu.quic.packet import decode_varint, encode_varint
+from streamkit_tpu.quic.tls import generate_self_signed
+from streamkit_tpu.quic.endpoint import connect, serve
+from streamkit_tpu.quic.connection import DatagramEvent, StreamEvent
+
+
+def test_varint_roundtrip():
+    for v in [0, 1, 63, 64, 16383, 16384, 2**30 - 1, 2**30, 2**62 - 1]:
+        enc = encode_varint(v)
+        dec, off = decode_varint(enc)
+        assert dec == v and off == len(enc)
+
+
+def test_initial_secrets_rfc9001_vectors():
+    """RFC 9001 Appendix A.1: keys for DCID 0x8394c8f03e515708."""
+    client, server = initial_secrets(bytes.fromhex("8394c8f03e515708"))
+    assert client.key == bytes.fromhex("1f369613dd76d5467730efcbe3b1a22d")
+    assert client.iv == bytes.fromhex("fa044b2f42a3fd3b46fb255c")
+    assert client.hp == bytes.fromhex("9f50449e04a0e810283a1e9933adedd2")
+    assert server.key == bytes.fromhex("cf3a5331653c364c88f0f379b6067e37")
+    assert server.iv == bytes.fromhex("0ac1493ca1905853b0bba03e")
+    assert server.hp == bytes.fromhex("c206b8d9b9f0f37644430b490eeaa314")
+
+
+def test_hkdf_expand_label_vector():
+    # RFC 9001 A.1 client_initial_secret from initial_secret
+    from streamkit_tpu.quic.crypto import hkdf_extract, INITIAL_SALT_V1
+
+    initial = hkdf_extract(INITIAL_SALT_V1, bytes.fromhex("8394c8f03e515708"))
+    client = hkdf_expand_label(initial, "client in", b"", 32)
+    assert client == bytes.fromhex(
+        "c00cf151ca5be075ed0ebfb5c80323c42d6b7db67881289af4008f1f6c357aea"
+    )
+
+
+async def _echo_server(cert, key, drop=0.0, seed=1):
+    """Start an echo server; returns (server, port, closer)."""
+
+    async def on_conn(proto):
+        await proto.handshake_done
+        while True:
+            ev = await proto.events.get()
+            if isinstance(ev, StreamEvent):
+                if ev.data or ev.fin:
+                    proto.conn.send_stream_data(ev.stream_id, ev.data, fin=ev.fin)
+                    proto.transmit()
+            elif isinstance(ev, DatagramEvent):
+                proto.conn.send_datagram(b"dg:" + ev.data)
+                proto.transmit()
+
+    server, transport = await serve("127.0.0.1", 0, cert, key, on_conn)
+    port = transport.get_extra_info("sockname")[1]
+    if drop > 0:
+        rng = random.Random(seed)
+        real_sendto = transport.sendto
+
+        def lossy_sendto(data, addr=None):
+            if rng.random() >= drop:
+                real_sendto(data, addr)
+
+        transport.sendto = lossy_sendto
+    return server, port
+
+
+def test_handshake_and_stream_echo():
+    async def main():
+        cert, key = generate_self_signed()
+        fp = hashlib.sha256(cert).digest()
+        server, port = await _echo_server(cert, key)
+        client, proto = await connect("127.0.0.1", port, [fp])
+        assert proto.handshake_done.result() == "h3"
+
+        sid = proto.conn.open_bidi_stream()
+        proto.conn.send_stream_data(sid, b"hello quic", fin=True)
+        proto.conn.send_datagram(b"ping")
+        proto.transmit()
+        echoed = bytearray()
+        dg = None
+        fin = False
+        while not (fin and dg):
+            ev = await asyncio.wait_for(proto.events.get(), timeout=5)
+            if isinstance(ev, StreamEvent) and ev.stream_id == sid:
+                echoed += ev.data
+                fin = fin or ev.fin
+            elif isinstance(ev, DatagramEvent):
+                dg = ev.data
+        client.close()
+        server.close()
+        return bytes(echoed), dg
+
+    echoed, dg = asyncio.run(main())
+    assert echoed == b"hello quic"
+    assert dg == b"dg:ping"
+
+
+def test_large_transfer_integrity():
+    """512 KiB over one bidi stream, echoed back intact (exercises
+    fragmentation, flow control windows, ACK ranges)."""
+
+    async def main():
+        cert, key = generate_self_signed()
+        fp = hashlib.sha256(cert).digest()
+        server, port = await _echo_server(cert, key)
+        client, proto = await connect("127.0.0.1", port, [fp])
+        blob = bytes(random.Random(7).randbytes(512 * 1024))
+        sid = proto.conn.open_bidi_stream()
+        proto.conn.send_stream_data(sid, blob, fin=True)
+        proto.transmit()
+        out = bytearray()
+        while True:
+            ev = await asyncio.wait_for(proto.events.get(), timeout=15)
+            if isinstance(ev, StreamEvent) and ev.stream_id == sid:
+                out += ev.data
+                if ev.fin:
+                    break
+        client.close()
+        server.close()
+        return blob, bytes(out)
+
+    blob, out = asyncio.run(main())
+    assert out == blob
+
+
+def test_loss_recovery():
+    """10% datagram loss on the server->client path: PTO retransmits must
+    still deliver the stream intact."""
+
+    async def main():
+        cert, key = generate_self_signed()
+        fp = hashlib.sha256(cert).digest()
+        server, port = await _echo_server(cert, key, drop=0.10, seed=3)
+        client, proto = await connect("127.0.0.1", port, [fp], timeout=20)
+        blob = bytes(random.Random(11).randbytes(64 * 1024))
+        sid = proto.conn.open_bidi_stream()
+        proto.conn.send_stream_data(sid, blob, fin=True)
+        proto.transmit()
+        out = bytearray()
+        while True:
+            ev = await asyncio.wait_for(proto.events.get(), timeout=30)
+            if isinstance(ev, StreamEvent) and ev.stream_id == sid:
+                out += ev.data
+                if ev.fin:
+                    break
+        client.close()
+        server.close()
+        return blob, bytes(out)
+
+    blob, out = asyncio.run(main())
+    assert out == blob
+
+
+def test_fingerprint_pinning_rejects_unknown_cert():
+    async def main():
+        cert, key = generate_self_signed()
+        server, port = await _echo_server(cert, key)
+        try:
+            with pytest.raises((ConnectionError, asyncio.TimeoutError)):
+                await connect("127.0.0.1", port, [b"\x00" * 32], timeout=3)
+        finally:
+            server.close()
+
+    asyncio.run(main())
