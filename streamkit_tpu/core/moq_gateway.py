@@ -105,6 +105,10 @@ class MoqGateway:
     def routes(self) -> list:
         return sorted(self._routes)
 
+    def has_route(self, path: str) -> bool:
+        ch = self._routes.get(path)
+        return ch is not None and not ch.is_closed
+
 
 _GATEWAY: Optional[MoqGateway] = None
 

@@ -95,6 +95,20 @@ class AppState:
         from ..engine.batcher import DeviceBatcher
 
         self.moq_gateway = init_moq_gateway()
+        from ..moq.relay import init_moq_relay
+
+        self.moq_relay = init_moq_relay()
+        # WebTransport/QUIC acceptor (reference server.rs:1975-2085); the
+        # UDP endpoint itself starts on app startup when moq_enabled
+        from .webtransport import WebTransportServer
+
+        self.webtransport = (
+            WebTransportServer(
+                self.moq_relay, self.moq_gateway, config.moq_host, config.moq_port
+            )
+            if config.moq_enabled
+            else None
+        )
         # one process-wide batcher: device work from ALL sessions is packed
         # into shared per-node-type batches (the TPU-native data plane)
         self.batcher = DeviceBatcher()
@@ -531,6 +545,8 @@ def create_app(config: Optional[ServerConfig] = None) -> web.Application:
     add_observability_routes(app, prefix)
     add_plugin_routes(app, prefix)
     add_ui_routes(app, prefix)
+    if app["state"].webtransport is not None:
+        app["state"].webtransport.register_http(app)
 
     async def on_startup(app):
         state = app["state"]
@@ -538,11 +554,19 @@ def create_app(config: Optional[ServerConfig] = None) -> web.Application:
             state.otlp.start()
             log.info("OTLP push telemetry → %s every %.0fs",
                      state.otlp.endpoint, state.otlp.interval)
+        if state.webtransport is not None:
+            try:
+                await state.webtransport.start()
+            except OSError as e:
+                log.warning("WebTransport acceptor failed to bind: %s", e)
+                state.webtransport = None
 
     async def on_shutdown(app):
         state = app["state"]
         if state.otlp is not None:
             await state.otlp.stop()
+        if state.webtransport is not None:
+            await state.webtransport.stop()
         await state.sessions.destroy_all()
 
     app.on_startup.append(on_startup)

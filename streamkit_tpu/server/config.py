@@ -65,6 +65,11 @@ class ServerConfig:
     role_header: Optional[str] = None
     roles: Dict[str, dict] = field(default_factory=dict)
 
+    # MoQ WebTransport acceptor (reference [moq]: server.rs:1975-2085)
+    moq_enabled: bool = True
+    moq_host: str = "127.0.0.1"
+    moq_port: int = 4443
+
     # telemetry (reference [telemetry]/OTEL_* env: OTLP push, telemetry.rs)
     otlp_endpoint: Optional[str] = None
     otlp_interval_secs: float = 5.0
@@ -143,6 +148,10 @@ def load_config(path: Optional[str] = None) -> ServerConfig:
     cfg.default_role = permissions.get("default_role", cfg.default_role)
     cfg.role_header = permissions.get("role_header", cfg.role_header)
     cfg.roles = permissions.get("roles", cfg.roles)
+    moq = doc.get("moq", {})
+    cfg.moq_enabled = bool(moq.get("enabled", cfg.moq_enabled))
+    cfg.moq_host = moq.get("host", cfg.moq_host)
+    cfg.moq_port = int(moq.get("port", cfg.moq_port))
     telemetry = doc.get("telemetry", {})
     cfg.otlp_endpoint = telemetry.get("otlp_endpoint", cfg.otlp_endpoint)
     cfg.otlp_interval_secs = float(
