@@ -101,18 +101,31 @@ def main() -> None:
             best_sessions = sessions
             best_batch = b
 
-    print(
-        json.dumps(
-            {
-                "metric": f"concurrent realtime whisper-{model_name} STT sessions/chip "
-                f"(30s windows, {max_tokens} decode tokens, batch={best_batch})",
-                "value": round(best_sessions, 1),
-                "unit": "sessions",
-                "vs_baseline": round(best_sessions / 64.0, 2),
-            }
-        )
-    )
+    return {
+        "metric": f"concurrent realtime whisper-{model_name} STT sessions/chip "
+        f"(30s windows, {max_tokens} decode tokens, batch={best_batch})",
+        "value": round(best_sessions, 1),
+        "unit": "sessions",
+        "vs_baseline": round(best_sessions / 64.0, 2),
+    }
 
 
 if __name__ == "__main__":
-    main()
+    # Two numbers (VERDICT r1 "make the headline bench end-to-end"):
+    #   * engine  — sessions sustained through the dynamic data path
+    #               (packets → VAD rings → continuous batcher → decode);
+    #               the honest headline, printed as THE json line
+    #   * model   — device-capacity ceiling (kernels only), carried in the
+    #               "ceiling_model_only" field
+    mode = os.environ.get("SK_BENCH_MODE", "both")
+    ceiling = main() if mode in ("model", "both") else None
+    if mode == "model":
+        print(json.dumps(ceiling))
+    else:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        from engine_bench import main as engine_main
+
+        result = engine_main()
+        if ceiling is not None:
+            result["ceiling_model_only"] = ceiling
+        print(json.dumps(result))

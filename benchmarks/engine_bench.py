@@ -1,0 +1,157 @@
+# SPDX-License-Identifier: Apache-2.0
+"""End-to-end engine throughput benchmark: sessions/chip *through the
+dynamic data path* — audio packets → WhisperNode (VAD rings + continuous
+batcher + slot tables) → sink — not just the model kernels.
+
+Each of N concurrent sessions feeds S seconds of synthesized speech in
+20 ms AudioFrame packets as fast as channel backpressure admits (finals
+only: the serving configuration). Sustained realtime sessions/chip =
+N × S / wall_time: if the engine digests N×S seconds of audio in T seconds
+of wall clock, it can sustain that many realtime sessions.
+
+Run: python benchmarks/engine_bench.py (or via bench.py)
+Env: SK_ENG_MODEL (large-v3), SK_ENG_SESSIONS (32), SK_ENG_SECONDS (30),
+     SK_ENG_TICK_MS (10).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _speech(seconds: float, seed: int, sr: int = 16000) -> np.ndarray:
+    from streamkit_tpu.utils.speechsynth import synth_speech_with_plan
+
+    audio, _ = synth_speech_with_plan(seconds, sr, seed=seed)
+    return audio
+
+
+async def run_session(idx: int, model_size: str, audio: np.ndarray, batcher, counts: list):
+    from streamkit_tpu.core import (
+        AudioFormat,
+        AudioFrame,
+        Channel,
+        NodeContext,
+        OutputSender,
+        Packet,
+    )
+    from streamkit_tpu.nodes.ml.whisper_node import WhisperNode
+
+    sr = 16000
+    frame = 320  # 20 ms packets, the realistic serving granularity
+    node = WhisperNode(
+        {
+            "model_size": model_size,
+            "partial_transcripts": False,
+            "window_buckets": [float(b) for b in os.environ.get("SK_ENG_BUCKETS", "4,8").split(",")],
+            "vad_block_frames": int(os.environ.get("SK_ENG_VAD_BLOCK", 16)),
+            "max_tokens": int(os.environ.get("SK_ENG_TOKENS", "32")),
+            "dtype": "bfloat16",
+        }
+    )
+    in_ch = Channel(256)
+    out_ch = Channel(4096)
+    ctx = NodeContext(
+        node_name=f"stt{idx}",
+        inputs={"in": in_ch},
+        output=OutputSender(f"stt{idx}", direct={"out": out_ch}),
+        batcher=batcher,
+    )
+    task = asyncio.ensure_future(node.run(ctx))
+    fmt = AudioFormat(sr, 1)
+
+    async def feeder():
+        n_frames = len(audio) // frame
+        for i in range(n_frames):
+            await in_ch.send(
+                Packet.new_audio(AudioFrame(audio[i * frame : (i + 1) * frame], fmt))
+            )
+            if i % 8 == 0:
+                await asyncio.sleep(0)  # cooperative yield under full-speed feed
+        in_ch.close()
+
+    async def collector():
+        n = 0
+        while True:
+            pkt = await out_ch.recv_optional()
+            if pkt is None:
+                counts.append(n)
+                return
+            if pkt.transcription is not None:
+                n += 1
+
+    feed = asyncio.ensure_future(feeder())
+    collect = asyncio.ensure_future(collector())
+    await feed
+    await task
+    ctx.output.close()
+    await collect
+
+
+async def amain() -> dict:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/skit-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from streamkit_tpu.engine.batcher import DeviceBatcher
+
+    model_size = os.environ.get("SK_ENG_MODEL", "large-v3")
+    n_sessions = int(os.environ.get("SK_ENG_SESSIONS", "32"))
+    seconds = float(os.environ.get("SK_ENG_SECONDS", "30"))
+
+    batcher = DeviceBatcher(tick_ms=float(os.environ.get("SK_ENG_TICK_MS", 10)))
+    batcher.start()
+
+    # warmup: compile all (kind, padded-batch) programs outside the timed run
+    warm_counts: list = []
+    await run_session(9999, model_size, _speech(10.0, seed=777), batcher, warm_counts)
+    print(f"# warmup done ({warm_counts} finals)", file=sys.stderr, flush=True)
+
+    audios = [_speech(seconds, seed=i) for i in range(n_sessions)]
+    counts: list = []
+    t0 = time.perf_counter()
+    await asyncio.gather(
+        *[run_session(i, model_size, audios[i], batcher, counts) for i in range(n_sessions)]
+    )
+    wall = time.perf_counter() - t0
+    batcher.stop()
+
+    total_audio = sum(len(a) for a in audios) / 16000.0
+    sessions = total_audio / wall
+    finals = sum(counts)
+    print(
+        f"# engine: {n_sessions} sessions x {seconds:.0f}s in {wall:.2f}s wall, "
+        f"{finals} final transcripts -> {sessions:.1f} sustained realtime sessions/chip",
+        file=sys.stderr,
+        flush=True,
+    )
+    return {
+        "metric": f"sustained realtime whisper-{model_size} sessions/chip through the "
+        f"dynamic engine (20ms packets, VAD rings + continuous batcher, finals)",
+        "value": round(sessions, 1),
+        "unit": "sessions",
+        "vs_baseline": round(sessions / 64.0, 2),
+        "detail": {
+            "wall_s": round(wall, 2),
+            "fed_sessions": n_sessions,
+            "audio_s_per_session": seconds,
+            "final_transcripts": finals,
+        },
+    }
+
+
+def main() -> dict:
+    return asyncio.run(amain())
+
+
+if __name__ == "__main__":
+    print(json.dumps(main()))

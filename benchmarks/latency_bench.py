@@ -28,23 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) i
 
 
 def synth_speech(seconds: float, seed: int, sr: int = 16000) -> np.ndarray:
-    """Speech-like test signal: utterances with pauses (deterministic)."""
-    rng = np.random.RandomState(seed)
-    x = np.zeros(int(seconds * sr), dtype=np.float32)
-    t = 0.0
-    while t < seconds - 2.0:
-        dur = rng.uniform(1.5, 4.0)
-        gap = rng.uniform(0.8, 1.5)
-        sl = slice(int(t * sr), int(min(seconds, t + dur) * sr))
-        ts = np.arange(sl.stop - sl.start) / sr
-        f0 = rng.uniform(120, 240)
-        x[sl] = (
-            0.35 * np.sin(2 * np.pi * f0 * ts) * (0.6 + 0.4 * np.sin(2 * np.pi * 4.5 * ts))
-            + 0.2 * np.sin(2 * np.pi * f0 * 3.1 * ts)
-            + 0.08 * np.sin(2 * np.pi * f0 * 7.3 * ts)
-        ).astype(np.float32)
-        t += dur + gap
-    return x
+    """Speech-like test signal: formant-synth utterances with pauses."""
+    from streamkit_tpu.utils.speechsynth import synth_speech_with_plan
+
+    audio, _ = synth_speech_with_plan(seconds, sr, seed=seed)
+    return audio
 
 
 async def run_session(idx: int, model_size: str, seconds: float, batcher, latencies: list):

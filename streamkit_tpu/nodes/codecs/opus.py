@@ -202,8 +202,16 @@ class OpusEncoderNode(ProcessorNode):
     KIND = "audio::opus::encoder"
 
     def __init__(self, params: Optional[dict]) -> None:
-        cfg = parse_config_optional(params, {"bitrate": 64000})
+        cfg = parse_config_optional(
+            params, {"bitrate": 64000, "frame_size": 960, "complexity": None}
+        )
         self.bitrate = int(cfg["bitrate"])
+        self.frame_size = int(cfg["frame_size"])  # samples per opus frame @48k
+        if self.frame_size not in (120, 240, 480, 960, 1920, 2880):
+            raise ConfigurationError(
+                f"opus encoder: invalid frame_size {self.frame_size} "
+                "(valid: 120/240/480/960/1920/2880 @48kHz)"
+            )
 
     def input_pins(self) -> List[InputPin]:
         return [InputPin("in", [PacketType.raw_audio()])]
@@ -216,7 +224,7 @@ class OpusEncoderNode(ProcessorNode):
         stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
         encoder: Optional[OpusEncoder] = None
         buf = np.zeros(0, dtype=np.float32)
-        frame_samples = 960  # 20 ms @ 48k per channel
+        frame_samples = self.frame_size  # samples @48k per channel (default 20 ms)
         loop = asyncio.get_running_loop()
         seq = 0
         fmt: Optional[AudioFormat] = None

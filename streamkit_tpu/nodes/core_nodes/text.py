@@ -96,8 +96,15 @@ class TextChunkerNode(ProcessorNode):
                 "min_length": None,  # reference param name (text_chunker.rs)
                 "max_chunk_chars": 400,
                 "emit_partial_on_eof": True,
+                "split_mode": "sentences",  # reference core::text_chunker
             },
         )
+        if str(cfg["split_mode"]) not in ("sentences", "clauses"):
+            raise ConfigurationError(
+                f"text_chunker: unknown split_mode {cfg['split_mode']!r} "
+                "(sentences | clauses)"
+            )
+        self.split_mode = str(cfg["split_mode"])
         self.min_chunk = int(cfg["min_length"] or cfg["min_chunk_chars"])
         self.max_chunk = int(cfg["max_chunk_chars"])
         self.emit_partial = bool(cfg["emit_partial_on_eof"])

@@ -16,23 +16,33 @@ def register_ml_nodes(registry) -> None:
     registry.register(
         TranslateNode.KIND, lambda p: TranslateNode(p), "NLLB text translation (device model)"
     )
-    # helsinki role: same node class, separate kind for reference-yaml compat
+    from .marian_node import MarianTranslateNode
+
     registry.register(
-        "plugin::native::helsinki",
-        lambda p: TranslateNode(p),
-        "Opus-MT style translation (device model)",
+        MarianTranslateNode.KIND,
+        lambda p: MarianTranslateNode(p),
+        "Helsinki opus-mt (Marian) translation (device model)",
     )
     from .tts_node import TtsNode
 
     registry.register(TtsNode.KIND, lambda p: TtsNode(p), "Kokoro-class streaming TTS (device model)")
-    for kind, desc in [
-        ("plugin::native::piper", "Piper-class streaming TTS (device model)"),
-        ("plugin::native::matcha", "Matcha-class streaming TTS (device model)"),
-    ]:
-        registry.register(kind, lambda p: TtsNode(p), desc)
-    # sensevoice: alternative STT role backed by the whisper stack
+    # piper: the VITS stack IS piper's architecture (TtsNode vits backend)
     registry.register(
-        "plugin::native::sensevoice",
-        lambda p: WhisperNode(p),
-        "SenseVoice-class speech-to-text (device model)",
+        "plugin::native::piper",
+        lambda p: TtsNode(p),
+        "Piper (VITS) streaming TTS (device model)",
+    )
+    from .matcha_node import MatchaTtsNode
+
+    registry.register(
+        MatchaTtsNode.KIND,
+        lambda p: MatchaTtsNode(p),
+        "Matcha-TTS flow-matching TTS (device model)",
+    )
+    from .sensevoice_node import SenseVoiceNode
+
+    registry.register(
+        SenseVoiceNode.KIND,
+        lambda p: SenseVoiceNode(p),
+        "SenseVoice non-autoregressive STT (device model)",
     )

@@ -68,20 +68,25 @@ class TranslateNode(ProcessorNode):
             params,
             {
                 "model_path": None,
+                "model_dir": None,  # reference param name
                 "source_lang": "eng_Latn",
                 "target_lang": "spa_Latn",
+                "source_language": None,  # reference aliases
+                "target_language": None,
+                "max_length": None,
                 "beam_size": 1,  # reference exposes beam size; greedy for now
                 "max_tokens": 128,
                 "allow_random_init": True,
                 "device": None,  # accepted for reference-yaml compat
                 "compute_type": None,
+                "num_threads": None,
                 "dtype": "float32",
             },
         )
-        self.model_path = cfg["model_path"]
-        self.source_lang = cfg["source_lang"]
-        self.target_lang = cfg["target_lang"]
-        self.max_tokens = int(cfg["max_tokens"])
+        self.model_path = cfg["model_path"] or cfg["model_dir"]
+        self.source_lang = cfg["source_language"] or cfg["source_lang"]
+        self.target_lang = cfg["target_language"] or cfg["target_lang"]
+        self.max_tokens = int(cfg["max_length"] or cfg["max_tokens"])
         self.allow_random_init = bool(cfg["allow_random_init"])
         self.dtype = jnp.bfloat16 if cfg["dtype"] == "bfloat16" else jnp.float32
 

@@ -88,15 +88,25 @@ class TtsNode(ProcessorNode):
             params,
             {
                 "model_path": None,  # npz (fastspeech) or HF VitsModel dir
+                "model_dir": None,  # reference param name (kokoro/piper config)
                 "backend": "auto",  # auto | vits | fastspeech
                 "sample_rate": 24000,
                 "frames_per_char": 6,  # mel frames per input char (≈70ms/char)
                 "speed": 1.0,
+                "noise_scale": 0.667,  # piper/VITS sampling temperature
+                "noise_scale_w": 0.8,  # duration-noise (stochastic duration)
+                "length_scale": 1.0,
+                "speaker_id": 0,
                 "voice": None,  # accepted for reference-yaml compat
+                "num_threads": None,  # reference compat (XLA owns scheduling)
+                "min_sentence_length": None,
+                "execution_provider": None,
+                "emit_telemetry": True,
+                "telemetry_preview_chars": 120,
                 "allow_random_init": True,
             },
         )
-        self.model_path = cfg["model_path"]
+        self.model_path = cfg["model_path"] or cfg["model_dir"]
         self.backend = str(cfg["backend"])
         if self.backend not in ("auto", "vits", "fastspeech"):
             raise ConfigurationError(f"unknown tts backend: {self.backend!r}")

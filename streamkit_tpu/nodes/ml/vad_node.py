@@ -119,11 +119,26 @@ class VadNode(ProcessorNode):
                 "min_silence_duration_ms": 700,
                 "max_segment_duration_secs": 30.0,
                 "emit_telemetry": True,
+                "output_mode": "events",  # events | filtered_audio (vad_node.rs:232-244)
+                "min_silence_duration_s": None,  # reference second-denominated aliases
+                "min_speech_duration_s": None,
+                "max_speech_duration_s": None,
                 "model_path": None,  # accepted for reference-pipeline compat
+                "vad_model_path": None,
             },
         )
+        self.output_mode = str(cfg["output_mode"])
+        if self.output_mode not in ("events", "filtered_audio"):
+            raise ConfigurationError(
+                f"vad: unknown output_mode {self.output_mode!r} (events | filtered_audio)"
+            )
         self.threshold = float(cfg["threshold"])
+        if cfg["min_silence_duration_s"] is not None:
+            cfg["min_silence_duration_ms"] = float(cfg["min_silence_duration_s"]) * 1000.0
+        if cfg["max_speech_duration_s"] is not None:
+            cfg["max_segment_duration_secs"] = float(cfg["max_speech_duration_s"])
         self.min_silence_ms = float(cfg["min_silence_duration_ms"])
+        self.min_speech_s = float(cfg["min_speech_duration_s"] or 0.0)
         self.max_segment_secs = float(cfg["max_segment_duration_secs"])
         self.emit_telemetry = bool(cfg["emit_telemetry"])
 
@@ -133,6 +148,10 @@ class VadNode(ProcessorNode):
         return [InputPin("in", [PacketType.raw_audio(AudioFormat(16000, 0))])]
 
     def output_pins(self) -> List[OutputPin]:
+        from ...core import AudioFormat
+
+        if self.output_mode == "filtered_audio":
+            return [OutputPin("out", PacketType.raw_audio(AudioFormat(16000, 1)))]
         return [OutputPin("out", PacketType.custom(VAD_EVENT_TYPE_ID))]
 
     async def run(self, ctx: NodeContext) -> None:
@@ -153,6 +172,19 @@ class VadNode(ProcessorNode):
                 t_end_ms = end_f * VAD_FRAME * 1000 // _SR
                 if self.emit_telemetry:
                     telemetry.emit("vad.speech_end", {"t_ms": t_end_ms})
+                if self.output_mode == "filtered_audio":
+                    # RawAudio speech segments (vad_node.rs FilteredAudio mode)
+                    from ...core import AudioFormat, AudioFrame
+
+                    await ctx.output.send(
+                        "out",
+                        Packet.new_audio(
+                            AudioFrame(samples, AudioFormat(16000, 1)),
+                            PacketMetadata(timestamp_us=int(t_start_ms) * 1000),
+                        ),
+                    )
+                    stats.packet_sent()
+                    continue
                 data = CustomPacketData(
                     VAD_EVENT_TYPE_ID,
                     {

@@ -183,7 +183,8 @@ class MoqSubscriberNode(ProcessorNode):
 
     def __init__(self, params: Optional[dict]) -> None:
         cfg = parse_config_optional(
-            params, {"gateway_path": None, "broadcast": None, "url": None}
+            params,
+            {"gateway_path": None, "broadcast": None, "url": None, "backoff_cap": None, "max_retries": None},
         )
         self.gateway_path = cfg["gateway_path"]
         self.broadcast = cfg["broadcast"]

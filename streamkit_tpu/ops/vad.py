@@ -6,12 +6,20 @@ frames with RNN state + 64-sample context (``plugins/native/whisper/src/
 vad.rs:19-60``). Silero ONNX weights are not redistributable here, so this
 module provides:
 
-* :func:`vad_frame_probs` — a deterministic, weight-free spectral VAD with
-  the same I/O contract (512-sample frames → prob per frame, carried state).
-  It combines band-limited speech energy (200–4000 Hz), spectral flatness,
-  and an adaptive noise floor (EMA, asymmetric attack/decay) — all jittable,
-  batched over sessions. A learned GRU scorer with Silero's state layout can
-  be slotted in via ``streamkit_tpu.models`` when weights are provided.
+two backends behind one contract (512-sample frames → prob per frame,
+carried per-session state pytree, batched over sessions):
+
+* **learned** (default when weights are present) — the Silero-class LSTM
+  scorer in :mod:`streamkit_tpu.models.silero_vad`, state ``(h, c, context)``
+  ≙ the reference's ``[2, B, 128]`` + 64-sample context. Weights come from
+  ``SK_VAD_WEIGHTS`` or the bundled ``models/weights/vad_synth.npz``
+  (trained offline on synthesized speech/noise, ``tools/train_vad.py``).
+* **spectral** (fallback; force with ``SK_VAD_BACKEND=spectral``) — a
+  deterministic weight-free scorer: band-limited speech energy (200–4000 Hz),
+  spectral flatness, adaptive noise floor with attack/decay EMA.
+
+The backend is resolved once, at first use — slot tables persist state rows
+whose pytree structure must not change afterwards.
 
 The host-side segmentation state machine (min-silence 700 ms, max-segment
 30 s) lives in the whisper node, mirroring ``whisper/src/lib.rs:404-490``.
@@ -26,7 +34,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["VadState", "vad_init_state", "vad_frame_probs", "VAD_FRAME", "VAD_CONTEXT"]
+__all__ = [
+    "VadState",
+    "vad_init_state",
+    "vad_frame_probs",
+    "vad_backend",
+    "load_vad_weights",
+    "VAD_FRAME",
+    "VAD_CONTEXT",
+]
 
 VAD_FRAME = 512  # 32 ms @ 16 kHz, reference vad.rs:19
 VAD_CONTEXT = 64  # samples of left context, reference vad.rs:23
@@ -39,7 +55,7 @@ class VadState(NamedTuple):
     prob_ema: jax.Array  # [...] smoothed probability
 
 
-def vad_init_state(batch_shape=()) -> VadState:
+def _spectral_init_state(batch_shape=()) -> VadState:
     return VadState(
         noise_floor=jnp.full(batch_shape, -6.0, dtype=jnp.float32),
         context=jnp.zeros(batch_shape + (VAD_CONTEXT,), dtype=jnp.float32),
@@ -68,7 +84,7 @@ def _band_bases():
 
 
 @jax.jit
-def vad_frame_probs(state: VadState, frames: jax.Array) -> tuple:
+def _spectral_frame_probs(state: VadState, frames: jax.Array) -> tuple:
     """Score a block of VAD frames.
 
     ``frames``: ``[..., n_frames, VAD_FRAME]`` f32 @16 kHz.
@@ -106,3 +122,80 @@ def vad_frame_probs(state: VadState, frames: jax.Array) -> tuple:
     frames_t = jnp.moveaxis(frames, -2, 0)  # [n_frames, ..., VAD_FRAME]
     new_state, probs_t = jax.lax.scan(step, state, frames_t)
     return jnp.moveaxis(probs_t, 0, -1), new_state
+
+
+# ---------------------------------------------------------------------------
+# backend dispatch
+
+_BACKEND = None  # "learned" | "spectral", frozen at first use
+_LEARNED_APPLY = None
+
+
+def _bundled_weights_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "models",
+        "weights",
+        "vad_synth.npz",
+    )
+
+
+def load_vad_weights(path: str) -> None:
+    """Install learned-VAD weights (must happen before any state is created)."""
+    global _BACKEND, _LEARNED_APPLY
+    from ..models import silero_vad as sv
+
+    params = sv.load_params(path)  # raises on schema mismatch
+
+    @jax.jit
+    def apply_fn(state, frames):
+        return sv.apply(params, state, frames)
+
+    _LEARNED_APPLY = apply_fn
+    _BACKEND = "learned"
+
+
+def _ensure_backend() -> str:
+    global _BACKEND
+    if _BACKEND is not None:
+        return _BACKEND
+    import os
+
+    forced = os.environ.get("SK_VAD_BACKEND", "").lower()
+    if forced == "spectral":
+        _BACKEND = "spectral"
+        return _BACKEND
+    path = os.environ.get("SK_VAD_WEIGHTS") or _bundled_weights_path()
+    if os.path.exists(path):
+        try:
+            load_vad_weights(path)
+            return _BACKEND
+        except Exception:
+            if os.environ.get("SK_VAD_WEIGHTS"):
+                raise  # an explicitly requested weights file must load
+    _BACKEND = "spectral"
+    return _BACKEND
+
+
+def vad_backend() -> str:
+    """Resolved backend name ("learned" or "spectral")."""
+    return _ensure_backend()
+
+
+def vad_init_state(batch_shape=()):
+    if _ensure_backend() == "learned":
+        from ..models import silero_vad as sv
+
+        return sv.init_state(batch_shape)
+    return _spectral_init_state(batch_shape)
+
+
+def vad_frame_probs(state, frames: jax.Array) -> tuple:
+    """Score VAD frames: ``[..., n_frames, VAD_FRAME]`` f32 @16 kHz →
+    ``(probs [..., n_frames], new_state)``. Dispatches to the resolved
+    backend; both carry per-row state pytrees suitable for slot tables."""
+    if _ensure_backend() == "learned":
+        return _LEARNED_APPLY(state, frames)
+    return _spectral_frame_probs(state, frames)

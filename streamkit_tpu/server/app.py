@@ -36,6 +36,7 @@ from ..engine.dynamic import DynamicEngineConfig
 from ..engine.oneshot import run_oneshot_pipeline
 from ..nodes import register_nodes
 from ..nodes.core_nodes.file_io import set_security_paths
+
 from .config import ServerConfig
 from .permissions import PermissionDenied, RoleStore
 from .sessions import Session, SessionManager
@@ -44,6 +45,21 @@ from .websocket import MAX_WS_MESSAGE_BYTES, WsDispatcher
 log = logging.getLogger(__name__)
 
 __all__ = ["AppState", "create_app", "run_server"]
+
+def _load_wasm_dir(registry, directory):
+    """Load any .wasm plugins already on disk (mirrors load_plugins_dir)."""
+    plugins = []
+    if os.path.isdir(directory):
+        from ..plugins.wasm import load_wasm_plugin
+
+        for name in sorted(os.listdir(directory)):
+            if name.endswith(".wasm"):
+                try:
+                    plugins.append(load_wasm_plugin(registry, os.path.join(directory, name)))
+                except Exception as e:  # noqa: BLE001 — a bad plugin must not kill startup
+                    log.warning("failed to load wasm plugin %s: %s", name, e)
+    return plugins
+
 
 
 class AppState:
@@ -115,6 +131,9 @@ class AppState:
         # native plugins: scan the configured directory at startup
         from ..plugins.native import load_plugins_dir
 
+        self.wasm_plugins = _load_wasm_dir(
+            self.registry, os.path.join(config.plugins_dir, "wasm")
+        )
         self.native_plugins = load_plugins_dir(
             self.registry, os.path.join(config.plugins_dir, "native")
         )

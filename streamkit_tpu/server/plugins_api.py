@@ -20,20 +20,26 @@ __all__ = ["add_plugin_routes"]
 
 async def list_plugins(request: web.Request) -> web.Response:
     state = request.app["state"]
-    return web.json_response(
+    plugins = [
         {
-            "plugins": [
-                {
-                    "kind": p.kind,
-                    "description": p.description,
-                    "path": p.path,
-                    "abi_version": int(p.api.abi_version),
-                    "runtime": "native",
-                }
-                for p in state.native_plugins
-            ]
+            "kind": p.kind,
+            "description": p.description,
+            "path": p.path,
+            "abi_version": int(p.api.abi_version),
+            "runtime": "native",
         }
-    )
+        for p in state.native_plugins
+    ] + [
+        {
+            "kind": p.kind,
+            "description": f"WASM plugin {p.name}",
+            "path": p.path,
+            "abi_version": 1,
+            "runtime": "wasm",
+        }
+        for p in state.wasm_plugins
+    ]
+    return web.json_response({"plugins": plugins})
 
 
 async def upload_plugin(request: web.Request) -> web.Response:
@@ -45,9 +51,11 @@ async def upload_plugin(request: web.Request) -> web.Response:
         return web.json_response({"error": str(e)}, status=403)
     reader = await request.multipart()
     saved_path = None
+    runtime = None
     async for part in reader:
-        if part.name == "file" and part.filename and part.filename.endswith(".so"):
-            plugins_dir = os.path.join(state.config.plugins_dir, "native")
+        if part.name == "file" and part.filename and part.filename.endswith((".so", ".wasm")):
+            runtime = "wasm" if part.filename.endswith(".wasm") else "native"
+            plugins_dir = os.path.join(state.config.plugins_dir, runtime)
             os.makedirs(plugins_dir, exist_ok=True)
             name = os.path.basename(part.filename)
             saved_path = os.path.join(plugins_dir, name)
@@ -58,7 +66,19 @@ async def upload_plugin(request: web.Request) -> web.Response:
                         break
                     f.write(chunk)
     if saved_path is None:
-        return web.json_response({"error": "no .so file part"}, status=422)
+        return web.json_response({"error": "no .so or .wasm file part"}, status=422)
+    if runtime == "wasm":
+        from ..plugins.wasm import load_wasm_plugin
+
+        try:
+            plugin = load_wasm_plugin(state.registry, saved_path)
+        except (ValueError, RuntimeError) as e:
+            os.remove(saved_path)
+            return web.json_response({"error": str(e)}, status=422)
+        state.wasm_plugins.append(plugin)
+        return web.json_response(
+            {"kind": plugin.kind, "description": f"WASM plugin {plugin.name}"}, status=201
+        )
     from ..plugins.native import load_native_plugin
 
     try:
@@ -78,6 +98,11 @@ async def delete_plugin(request: web.Request) -> web.Response:
     except PermissionDenied as e:
         return web.json_response({"error": str(e)}, status=403)
     kind = request.match_info["kind"]
+    for p in list(state.wasm_plugins):
+        if p.kind == kind:
+            state.registry.unregister(kind)
+            state.wasm_plugins.remove(p)
+            return web.json_response({"removed": kind})
     for p in list(state.native_plugins):
         if p.kind == kind:
             state.registry.unregister(kind)

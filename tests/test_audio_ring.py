@@ -170,16 +170,16 @@ def test_ring_decode_matches_window_decode():
 # whisper node through the batcher: partial-transcript contract
 # ---------------------------------------------------------------------------
 def _speech_audio(secs=4.0, sr=16000):
-    """1 s silence, 1.5 s speech burst, trailing silence."""
-    t = np.arange(int(secs * sr)) / sr
-    x = np.zeros(int(secs * sr), np.float32)
-    sl = slice(sr, int(2.5 * sr))
-    ts = t[sl]
-    x[sl] = (
-        0.4 * np.sin(2 * np.pi * 180 * ts) * (0.6 + 0.4 * np.sin(2 * np.pi * 5 * ts))
-        + 0.25 * np.sin(2 * np.pi * 700 * ts)
-        + 0.1 * np.sin(2 * np.pi * 1500 * ts)
+    """1 s silence, ~1.5 s speech-like utterance, trailing silence (formant
+    synth — the learned VAD backend accepts speech, not bare tones)."""
+    from streamkit_tpu.utils.speechsynth import synth_speech_with_plan
+
+    utt, _ = synth_speech_with_plan(
+        1.6, sr, seed=42, pause_range=(0.01, 0.02), utt_range=(1.5, 1.55), lead_silence_s=0.0
     )
+    x = np.zeros(int(secs * sr), np.float32)
+    n = min(len(utt), int(1.5 * sr))
+    x[sr : sr + n] = utt[:n]
     return x
 
 

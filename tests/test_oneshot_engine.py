@@ -183,12 +183,13 @@ steps:
 """
     import json
 
+    from streamkit_tpu.utils.speechsynth import synth_speech_with_plan
+
     sr = 16000
-    t = np.arange(sr) / sr
-    speech = (
-        0.4 * np.sin(2 * np.pi * 220 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 4 * t))
-        + 0.2 * np.sin(2 * np.pi * 700 * t)
-    ).astype(np.float32)
+    speech, _ = synth_speech_with_plan(
+        1.0, sr, seed=9, pause_range=(0.01, 0.02), utt_range=(0.95, 1.0), lead_silence_s=0.0
+    )
+    speech = speech[:sr]
     silence = np.zeros(sr, dtype=np.float32)
     x = np.concatenate([silence, speech, silence])
     wav = make_wav(x, rate=16000)

@@ -186,16 +186,16 @@ def test_log_mel_matches_torch_reference():
 
 # ------------------------------------------------------------------- vad
 def test_vad_speech_vs_silence():
+    from streamkit_tpu.utils.speechsynth import synth_speech_with_plan
+
     rng = np.random.RandomState(4)
     sr = 16000
-    # 1 s silence (tiny noise), then 1 s of speech-like modulated tone mix
+    # 1 s silence (tiny noise), then 1 s of synthesized speech
     silence = (rng.randn(sr) * 1e-4).astype(np.float32)
-    t = np.arange(sr) / sr
-    speech = (
-        0.3 * np.sin(2 * np.pi * 220 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 4 * t))
-        + 0.2 * np.sin(2 * np.pi * 700 * t)
-        + 0.1 * np.sin(2 * np.pi * 1400 * t)
-    ).astype(np.float32)
+    speech, _ = synth_speech_with_plan(
+        1.0, sr, seed=9, pause_range=(0.01, 0.02), utt_range=(0.95, 1.0), lead_silence_s=0.0
+    )
+    speech = speech[:sr]
     x = np.concatenate([silence, speech])
     n_frames = len(x) // VAD_FRAME
     frames = jnp.asarray(x[: n_frames * VAD_FRAME].reshape(n_frames, VAD_FRAME))

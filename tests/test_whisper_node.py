@@ -24,17 +24,15 @@ def registry():
 
 
 def speech_wav(rate=16000, secs=3) -> bytes:
-    rng = np.random.RandomState(0)
-    t = np.arange(rate * secs) / rate
+    from streamkit_tpu.utils.speechsynth import synth_speech_with_plan
+
     x = np.zeros(rate * secs, dtype=np.float32)
-    # 1s silence, speech-like burst, trailing silence
-    sl = slice(rate, rate * 2)
-    ts = t[sl]
-    x[sl] = (
-        0.4 * np.sin(2 * np.pi * 180 * ts) * (0.6 + 0.4 * np.sin(2 * np.pi * 5 * ts))
-        + 0.25 * np.sin(2 * np.pi * 700 * ts)
-        + 0.1 * np.sin(2 * np.pi * 1500 * ts)
+    # 1s silence, ~1s speech-like utterance, trailing silence
+    utt, _ = synth_speech_with_plan(
+        1.1, rate, seed=9, pause_range=(0.01, 0.02), utt_range=(1.0, 1.05), lead_silence_s=0.0
     )
+    n = min(len(utt), rate)
+    x[rate : rate + n] = utt[:n]
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
