@@ -112,9 +112,50 @@ async def amain() -> dict:
     batcher.start()
 
     # warmup: compile all (kind, padded-batch) programs outside the timed run
+    # (same recipe as latency_bench — a mid-run XLA compile stalls a batch by
+    # 30-60 s and poisons the measurement)
     warm_counts: list = []
     await run_session(9999, model_size, _speech(10.0, seed=777), batcher, warm_counts)
-    print(f"# warmup done ({warm_counts} finals)", file=sys.stderr, flush=True)
+    print(f"# warmup session done ({warm_counts} finals)", file=sys.stderr, flush=True)
+
+    vad_block = int(os.environ.get("SK_ENG_VAD_BLOCK", 16))
+    from streamkit_tpu.ops.vad import VAD_FRAME
+
+    pad_stt = int(os.environ.get("SK_STT_PAD_TO", "0"))
+    pad_vad = int(os.environ.get("SK_VAD_PAD_TO", "0"))
+
+    def warm_sizes(pad):
+        if pad:
+            return [pad]
+        sizes = [nb for nb in (1, 2, 4, 8, 16, 32, 64) if nb <= max(n_sessions, 1)]
+        return sizes or [1]
+
+    for kind in list(batcher._kinds):
+        if kind.startswith("whisper_ring:"):
+            window = int(kind.rsplit(":", 1)[1])
+            for nb in warm_sizes(pad_stt):
+                await asyncio.gather(
+                    *(
+                        batcher.submit(kind, np.int32(120 - j), np.int32(0), np.int32(window))
+                        for j in range(nb)
+                    )
+                )
+                print(f"# warmed {kind} batch={nb}", file=sys.stderr, flush=True)
+        elif kind.startswith("vad_ring:"):
+            for nb in warm_sizes(pad_vad):
+                await asyncio.gather(
+                    *(
+                        batcher.submit(
+                            kind,
+                            np.int32(120 - j),
+                            np.int32(0),
+                            np.zeros((vad_block, VAD_FRAME), np.float32),
+                        )
+                        for j in range(nb)
+                    )
+                )
+                print(f"# warmed {kind} batch={nb}", file=sys.stderr, flush=True)
+    print("# compile warmup done", file=sys.stderr, flush=True)
 
     audios = [_speech(seconds, seed=i) for i in range(n_sessions)]
     counts: list = []

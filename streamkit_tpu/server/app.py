@@ -338,6 +338,35 @@ async def moq_media_ws(request: web.Request) -> web.WebSocketResponse:
     direction = request.query.get("direction", "publish")
     ws = web.WebSocketResponse()
     await ws.prepare(request)
+    # resolve against gateway routes first (moq-peer sessions), then the
+    # relay broadcast namespace (publisher nodes / WebTransport publishers)
+    bname = path.lstrip("/")
+    use_relay = (
+        not state.moq_gateway.has_route(path)
+        and direction == "subscribe"
+        and state.moq_relay.get(bname) is not None
+    )
+    if use_relay:
+        from ..core.moq_gateway import encode_media_frame
+
+        consumer = await state.moq_relay.subscribe(bname, wait=5.0)
+        if consumer is None:
+            await ws.close(code=4004, message=b"no such broadcast")
+            return ws
+        try:
+            while True:
+                frame = await consumer.recv()
+                if frame is None:
+                    break
+                await ws.send_bytes(
+                    encode_media_frame(frame.payload, frame.timestamp_us, frame.key)
+                )
+        except (ConnectionResetError, RuntimeError):
+            pass
+        finally:
+            consumer.close()
+        return ws
+
     conn = MoqConnection(path=path, direction=direction, remote=str(request.remote))
     accepted = await state.moq_gateway.accept_connection(conn)
     if not accepted:
