@@ -69,6 +69,29 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("shell", help="interactive session shell")
     _add_server_arg(p)
 
+    p = sub.add_parser("config", help="show effective server config")
+    _add_server_arg(p)
+
+    p = sub.add_parser("plugins", help="manage plugins")
+    _add_server_arg(p)
+    p.add_argument("action", choices=["list", "load", "delete"])
+    p.add_argument("target", nargs="?", help="plugin file (.so/.wasm) or kind")
+
+    p = sub.add_parser("assets", help="manage audio assets")
+    _add_server_arg(p)
+    p.add_argument("action", choices=["list", "upload", "delete"])
+    p.add_argument("target", nargs="?", help="file to upload or asset id")
+
+    p = sub.add_parser("control", help="raw control-plane operations")
+    _add_server_arg(p)
+    csub = p.add_subparsers(dest="cop", required=True)
+    c = csub.add_parser("add-node"); c.add_argument("session_id"); c.add_argument("node_id"); c.add_argument("kind"); c.add_argument("params", nargs="?")
+    c = csub.add_parser("remove-node"); c.add_argument("session_id"); c.add_argument("node_id")
+    c = csub.add_parser("connect"); c.add_argument("session_id"); c.add_argument("from_node"); c.add_argument("to_node"); c.add_argument("--from-pin", default="out"); c.add_argument("--to-pin", default="in")
+    c = csub.add_parser("disconnect"); c.add_argument("session_id"); c.add_argument("from_node"); c.add_argument("to_node"); c.add_argument("--from-pin", default="out"); c.add_argument("--to-pin", default="in")
+    c = csub.add_parser("validate-batch"); c.add_argument("session_id"); c.add_argument("ops_file", help="JSON list of ops")
+    c = csub.add_parser("apply-batch"); c.add_argument("session_id"); c.add_argument("ops_file")
+
     p = sub.add_parser("loadtest", aliases=["lt"], help="run a load test")
     p.add_argument("config", help="load-test TOML config")
 
@@ -123,6 +146,52 @@ async def _run(args) -> int:
             print("watching events (ctrl-c to stop)...", file=sys.stderr)
             async for ev in client.events():
                 print(json.dumps(ev))
+        elif cmd == "config":
+            print(json.dumps(await client.get_config(), indent=2))
+        elif cmd == "plugins":
+            if args.action == "list":
+                print(json.dumps(await client.list_plugins(), indent=2))
+            elif args.action == "load":
+                print(json.dumps(await client.upload_plugin(args.target), indent=2))
+            else:
+                await client.delete_plugin(args.target)
+                print("deleted", args.target)
+        elif cmd == "assets":
+            if args.action == "list":
+                print(json.dumps(await client.list_assets(), indent=2))
+            elif args.action == "upload":
+                print(json.dumps(await client.upload_asset(args.target), indent=2))
+            else:
+                await client.delete_asset(args.target)
+                print("deleted", args.target)
+        elif cmd == "control":
+            # raw WS control ops (reference ControlCommands, main.rs:509-562)
+            op = args.cop
+            if op == "add-node":
+                params = json.loads(args.params) if args.params else None
+                await client.request(
+                    "addnode", session_id=args.session_id, node_id=args.node_id,
+                    kind=args.kind, params=params,
+                )
+            elif op == "remove-node":
+                await client.request(
+                    "removenode", session_id=args.session_id, node_id=args.node_id
+                )
+            elif op in ("connect", "disconnect"):
+                await client.request(
+                    op, session_id=args.session_id,
+                    from_node=args.from_node, from_pin=args.from_pin,
+                    to_node=args.to_node, to_pin=args.to_pin,
+                )
+            elif op in ("validate-batch", "apply-batch"):
+                ops = json.loads(open(args.ops_file).read())
+                resp = await client.request(
+                    "validatebatch" if op == "validate-batch" else "applybatch",
+                    session_id=args.session_id, operations=ops,
+                )
+                print(json.dumps(resp, indent=2))
+                return 0
+            print("ok")
     return 0
 
 

@@ -114,7 +114,59 @@ async def profile_device(request: web.Request) -> web.Response:
     )
 
 
+async def profile_heap(request: web.Request) -> web.Response:
+    """Heap profile via tracemalloc (the jemalloc/DHAT analog in the
+    reference, apps/skit/src/profiling.rs): samples allocations for
+    ``duration_secs`` and reports top allocation sites + totals. Device
+    (HBM) memory is reported separately from live arrays."""
+    import tracemalloc
+
+    duration = min(60.0, float(request.query.get("duration_secs", 5)))
+    top_n = min(100, int(request.query.get("top", 30)))
+    was_tracing = tracemalloc.is_tracing()
+    if not was_tracing:
+        tracemalloc.start(10)
+    before = tracemalloc.take_snapshot()
+    await asyncio.sleep(duration)
+    after = tracemalloc.take_snapshot()
+    current, peak = tracemalloc.get_traced_memory()
+    if not was_tracing:
+        tracemalloc.stop()
+    growth = after.compare_to(before, "lineno")[:top_n]
+    top = [
+        {
+            "site": str(stat.traceback),
+            "size_kb": round(stat.size / 1024, 1),
+            "size_diff_kb": round(stat.size_diff / 1024, 1),
+            "count": stat.count,
+        }
+        for stat in growth
+    ]
+    # device (HBM) live-buffer accounting
+    device = {}
+    try:
+        import jax
+
+        live = list(jax.live_arrays())
+        device = {
+            "live_arrays": len(live),
+            "live_bytes": int(sum(a.nbytes for a in live)),
+        }
+    except Exception:  # noqa: BLE001 — device introspection is best-effort
+        pass
+    return web.json_response(
+        {
+            "duration_secs": duration,
+            "host_current_kb": round(current / 1024, 1),
+            "host_peak_kb": round(peak / 1024, 1),
+            "top_growth": top,
+            "device": device,
+        }
+    )
+
+
 def add_observability_routes(app: web.Application, prefix: str) -> None:
     app.router.add_get(f"{prefix}/api/v1/metrics", metrics_handler)
     app.router.add_get(f"{prefix}/api/v1/profile/cpu", profile_cpu)
     app.router.add_get(f"{prefix}/api/v1/profile/device", profile_device)
+    app.router.add_get(f"{prefix}/api/v1/profile/heap", profile_heap)
