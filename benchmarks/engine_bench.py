@@ -34,6 +34,21 @@ def _speech(seconds: float, seed: int, sr: int = 16000) -> np.ndarray:
     return audio
 
 
+_RM = None
+
+
+def _resources():
+    """One process-wide ResourceManager: the model loads ONCE and is shared
+    across sessions (the server's single-flight cache semantics) — without
+    it every session materializes its own copy of the weights."""
+    global _RM
+    if _RM is None:
+        from streamkit_tpu.core import ResourceManager, ResourcePolicy
+
+        _RM = ResourceManager(ResourcePolicy(keep_loaded=True))
+    return _RM
+
+
 async def run_session(idx: int, model_size: str, audio: np.ndarray, batcher, counts: list):
     from streamkit_tpu.core import (
         AudioFormat,
@@ -64,6 +79,7 @@ async def run_session(idx: int, model_size: str, audio: np.ndarray, batcher, cou
         inputs={"in": in_ch},
         output=OutputSender(f"stt{idx}", direct={"out": out_ch}),
         batcher=batcher,
+        resources=_resources(),
     )
     task = asyncio.ensure_future(node.run(ctx))
     fmt = AudioFormat(sr, 1)
@@ -97,6 +113,9 @@ async def run_session(idx: int, model_size: str, audio: np.ndarray, batcher, cou
 
 
 async def amain() -> dict:
+    import faulthandler
+
+    faulthandler.dump_traceback_later(120, repeat=True, file=open("/tmp/engbench_stacks.txt", "w"))
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/skit-jax-cache")
@@ -160,9 +179,20 @@ async def amain() -> dict:
     audios = [_speech(seconds, seed=i) for i in range(n_sessions)]
     counts: list = []
     t0 = time.perf_counter()
+
+    async def progress():
+        while True:
+            await asyncio.sleep(10)
+            print(
+                f"# t={time.perf_counter()-t0:.0f}s sessions_done={len(counts)}/{n_sessions}",
+                file=sys.stderr, flush=True,
+            )
+
+    prog = asyncio.ensure_future(progress())
     await asyncio.gather(
         *[run_session(i, model_size, audios[i], batcher, counts) for i in range(n_sessions)]
     )
+    prog.cancel()
     wall = time.perf_counter() - t0
     batcher.stop()
 

@@ -35,6 +35,21 @@ def synth_speech(seconds: float, seed: int, sr: int = 16000) -> np.ndarray:
     return audio
 
 
+_RM = None
+
+
+def _resources():
+    """One process-wide ResourceManager: the model loads ONCE and is shared
+    across sessions (the server's single-flight cache semantics) — without
+    it every session materializes its own copy of the weights."""
+    global _RM
+    if _RM is None:
+        from streamkit_tpu.core import ResourceManager, ResourcePolicy
+
+        _RM = ResourceManager(ResourcePolicy(keep_loaded=True))
+    return _RM
+
+
 async def run_session(idx: int, model_size: str, seconds: float, batcher, latencies: list):
     from streamkit_tpu.core import (
         AudioFormat,
@@ -67,6 +82,7 @@ async def run_session(idx: int, model_size: str, seconds: float, batcher, latenc
         inputs={"in": in_ch},
         output=OutputSender(f"stt{idx}", direct={"out": out_ch}),
         batcher=batcher,
+        resources=_resources(),
     )
     print(f"# session {idx}: starting", file=sys.stderr, flush=True)
     task = asyncio.ensure_future(node.run(ctx))
