@@ -6,6 +6,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 
 from .config import ServerConfig, load_config
@@ -99,6 +100,43 @@ plugins_dir = "{c.plugins_dir}"
 """
 
 
+class _JsonFormatter(logging.Formatter):
+    """Structured log lines (reference logging.rs JSON layer)."""
+
+    def format(self, record):
+        import time as _t
+
+        doc = {
+            "ts": _t.strftime("%Y-%m-%dT%H:%M:%S", _t.gmtime(record.created)),
+            "level": record.levelname,
+            "target": record.name,
+            "message": record.getMessage(),
+        }
+        if record.exc_info:
+            doc["exception"] = self.formatException(record.exc_info)
+        return json.dumps(doc)
+
+
+def _setup_logging(level: str, log_file, log_format: str) -> None:
+    """Console + optional file layer, text or JSON (reference
+    logging.rs:88-171); SK_LOG env-filter overrides the level."""
+    level = (os.environ.get("SK_LOG") or level).upper()
+    root = logging.getLogger()
+    root.setLevel(getattr(logging, level, logging.INFO))
+    fmt = (
+        _JsonFormatter()
+        if log_format == "json"
+        else logging.Formatter("%(asctime)s %(levelname)s %(name)s %(message)s")
+    )
+    console = logging.StreamHandler()
+    console.setFormatter(fmt)
+    root.addHandler(console)
+    if log_file:
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(fmt)
+        root.addHandler(fh)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="skit-tpu", description="TPU-native StreamKit server")
     sub = parser.add_subparsers(dest="command")
@@ -108,6 +146,8 @@ def main(argv=None) -> int:
     serve.add_argument("--address", default=None)
     serve.add_argument("--port", "-p", type=int, default=None)
     serve.add_argument("--log-level", default="info")
+    serve.add_argument("--log-file", default=None, help="also log to this file")
+    serve.add_argument("--log-format", default="text", choices=["text", "json"])
 
     cfg_cmd = sub.add_parser("config", help="config utilities")
     cfg_sub = cfg_cmd.add_subparsers(dest="config_command")
@@ -131,9 +171,10 @@ def main(argv=None) -> int:
             config.address = args.address
         if getattr(args, "port", None):
             config.port = args.port
-        logging.basicConfig(
-            level=getattr(logging, getattr(args, "log_level", "info").upper(), logging.INFO),
-            format="%(asctime)s %(levelname)s %(name)s %(message)s",
+        _setup_logging(
+            getattr(args, "log_level", "info"),
+            getattr(args, "log_file", None),
+            getattr(args, "log_format", "text"),
         )
         from .app import run_server
 
