@@ -126,6 +126,11 @@ async def amain() -> dict:
     model_size = os.environ.get("SK_ENG_MODEL", "large-v3")
     n_sessions = int(os.environ.get("SK_ENG_SESSIONS", "32"))
     seconds = float(os.environ.get("SK_ENG_SECONDS", "30"))
+    # default the batch pad to the session count BEFORE any node registers
+    # its batcher kinds: ONE compiled program per kind instead of a
+    # power-of-two sweep (each remote compile costs 30-60 s)
+    os.environ.setdefault("SK_STT_PAD_TO", str(n_sessions))
+    os.environ.setdefault("SK_VAD_PAD_TO", str(n_sessions))
 
     batcher = DeviceBatcher(tick_ms=float(os.environ.get("SK_ENG_TICK_MS", 10)))
     batcher.start()

@@ -84,3 +84,55 @@ def test_quick_dynamic_loadtest_run():
     assert results["dynamic"]["success_rate"] == 1.0, results["dynamic"]
     assert results["tune"]["requests"] >= 2
     assert results["tune"]["success_rate"] == 1.0, results["tune"]
+
+
+def test_moq_fanout_broadcaster_and_subscribers():
+    """The dynamic-moq-fanout scenario shape: one broadcaster session
+    publishing lt-live, N subscriber sessions transcoding it (meets at the
+    in-process relay; reference samples/loadtest/dynamic-moq-fanout.toml)."""
+    from aiohttp import web
+
+    from streamkit_tpu.server import ServerConfig, create_app
+
+    async def main():
+        app = create_app(ServerConfig())
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", 0)
+        await site.start()
+        port = site._server.sockets[0].getsockname()[1]
+        state = app["state"]
+
+        from streamkit_tpu.cli.client import SkitClient
+
+        async with SkitClient(f"http://127.0.0.1:{port}") as client:
+            bc = await client.create_session_http(
+                "bcast", open("samples/loadtest/pipelines/moq_broadcaster.yml").read()
+            )
+            subs = []
+            for i in range(3):
+                subs.append(
+                    await client.create_session_http(
+                        f"sub{i}",
+                        open("samples/loadtest/pipelines/moq_subscriber_transcode.yml").read(),
+                    )
+                )
+            # let media flow broadcaster → relay → subscribers
+            for _ in range(100):
+                await asyncio.sleep(0.1)
+                b = state.moq_relay.get("lt-live")
+                if b is not None and b.frames_published > 20 and b.subscriber_count >= 3:
+                    break
+            b = state.moq_relay.get("lt-live")
+            result = (
+                b.frames_published if b else 0,
+                b.subscriber_count if b else 0,
+            )
+            for s in [bc] + subs:
+                await client.destroy_session_http(s["session_id"])
+        await runner.cleanup()
+        return result
+
+    frames, sub_count = asyncio.run(main())
+    assert frames > 20, f"broadcaster only published {frames} frames"
+    assert sub_count >= 3, f"only {sub_count} subscriber sessions attached"
