@@ -141,6 +141,7 @@ async def main():
     n_sessions = int(os.environ.get("SK_LAT_SESSIONS", "8"))
     seconds = float(os.environ.get("SK_LAT_SECONDS", "30"))
 
+    os.environ.setdefault("SK_STT_GATHER_MS", "60")
     batcher = DeviceBatcher(tick_ms=float(os.environ.get("SK_LAT_TICK_MS", 20)))
     batcher.start()
     # warmup: compile the batched STT path once before the timed run

@@ -52,12 +52,19 @@ class BatchKind:
     # XLA program per kind+shape instead of log2(max_batch) — compiles are
     # 30-60 s each over a remote device, so latency-critical kinds want this
     pad_to: Optional[int] = None
+    # hold a partial batch up to this long waiting for co-arriving sessions
+    # (classic gather window). 0 = dispatch at the next tick. Expensive kinds
+    # (whisper partial decode) coalesce far better with a small window: N
+    # sessions' partials land within one window -> one padded call instead
+    # of N half-empty ones.
+    gather_ms: float = 0.0
 
 
 @dataclass
 class _Item:
     inputs: Tuple[np.ndarray, ...]
     future: asyncio.Future
+    t: float = field(default_factory=time.monotonic)
 
 
 class DeviceBatcher:
@@ -83,10 +90,11 @@ class DeviceBatcher:
         fn: Callable[..., Any],
         max_batch: int = 64,
         pad_to: Optional[int] = None,
+        gather_ms: float = 0.0,
     ) -> None:
         """Idempotent: re-registering a kind keeps the first fn."""
         if name not in self._kinds:
-            self._kinds[name] = BatchKind(name, fn, max_batch, pad_to)
+            self._kinds[name] = BatchKind(name, fn, max_batch, pad_to, gather_ms)
 
     def is_registered(self, name: str) -> bool:
         return name in self._kinds
@@ -132,8 +140,18 @@ class DeviceBatcher:
             batches = self._pending
             self._pending = defaultdict(list)
             dispatches = []
+            now = time.monotonic()
             for key, items in batches.items():
                 kind = self._kinds[key[0]]
+                full = kind.pad_to or kind.max_batch
+                if (
+                    kind.gather_ms > 0
+                    and len(items) < full
+                    and (now - items[0].t) * 1000.0 < kind.gather_ms
+                ):
+                    # hold the partial batch for co-arriving sessions
+                    self._pending[key].extend(items)
+                    continue
                 # oversize groups split into max_batch chunks
                 for i in range(0, len(items), kind.max_batch):
                     chunk = items[i : i + kind.max_batch]

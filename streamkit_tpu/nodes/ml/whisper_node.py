@@ -195,23 +195,32 @@ class WhisperNode(ProcessorNode):
             pad_stt = int(os.environ.get("SK_STT_PAD_TO", "0")) or None
             ctx.batcher.register(vad_kind, batched_vad, max_batch=128, pad_to=pad_vad)
 
-            def make_ring_stt(window: int):
+            def make_ring_stt(window: int, tok_budget: int):
                 def batched_stt(slot_ids, starts, lengths):
                     tokens, tok_lengths = transcribe_ring(
                         params, model_cfg, ring.ring_ref(),
                         slot_ids, starts, lengths,
                         window_samples=window,
-                        language_index=lang_index, max_tokens=self.max_tokens,
+                        language_index=lang_index, max_tokens=tok_budget,
                     )
                     return tokens, tok_lengths
 
                 return batched_stt
 
+            # gather window: hold a partial decode batch briefly so
+            # co-arriving sessions coalesce into one padded call (decode is
+            # the expensive kind; VAD stays immediate)
+            gather_ms = float(os.environ.get("SK_STT_GATHER_MS", "0"))
             for b in self.window_buckets:
+                # token budget scales with the bucket: speech averages
+                # ~2.5 tok/s, so short partial buckets never need the full
+                # budget — sequential decode steps are the latency cost
+                tok_budget = min(self.max_tokens, max(12, int(b * 4) + 8))
                 ctx.batcher.register(
                     f"{batch_kind}:{int(b * _SR)}",
-                    make_ring_stt(int(b * _SR)),
+                    make_ring_stt(int(b * _SR), tok_budget),
                     pad_to=pad_stt,
+                    gather_ms=gather_ms,
                 )
 
         def _bucket_samples(n: int) -> int:
