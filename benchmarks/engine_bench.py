@@ -124,8 +124,8 @@ async def amain() -> dict:
     from streamkit_tpu.engine.batcher import DeviceBatcher
 
     model_size = os.environ.get("SK_ENG_MODEL", "large-v3")
-    n_sessions = int(os.environ.get("SK_ENG_SESSIONS", "32"))
-    seconds = float(os.environ.get("SK_ENG_SECONDS", "30"))
+    n_sessions = int(os.environ.get("SK_ENG_SESSIONS", "48"))
+    seconds = float(os.environ.get("SK_ENG_SECONDS", "20"))
     # default the batch pad to the session count BEFORE any node registers
     # its batcher kinds: ONE compiled program per kind instead of a
     # power-of-two sweep (each remote compile costs 30-60 s)
@@ -221,6 +221,7 @@ async def amain() -> dict:
             "fed_sessions": n_sessions,
             "audio_s_per_session": seconds,
             "final_transcripts": finals,
+            "batcher": batcher.stats(),
         },
     }
 
