@@ -42,8 +42,15 @@ def _greedy_loop(
     prefix: jnp.ndarray,  # [batch, n_prefix] forced tokens
     max_tokens: int,
     cross_kv_int8: bool = False,
+    token_caps: Optional[jnp.ndarray] = None,  # [batch] per-row budget
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy decode → (tokens [batch, max_tokens], lengths [batch])."""
+    """Greedy decode → (tokens [batch, max_tokens], lengths [batch]).
+
+    ``token_caps`` bounds each row's emission (over-generation guard: real
+    speech averages ~2.5 tok/s, so a row covering n seconds of audio never
+    needs more than ~4n tokens — whisper.cpp applies the same per-segment
+    bound). The batch exits when every row is done OR capped, so short
+    partial segments stop paying for the full static budget."""
     batch = audio_states.shape[0]
     n_prefix = prefix.shape[1]
     cache = init_kv_cache(
@@ -61,10 +68,15 @@ def _greedy_loop(
 
     cache, logits = jax.lax.fori_loop(0, n_prefix, feed, (cache, jnp.zeros((batch, cfg.n_vocab))))
 
+    caps = (
+        jnp.full((batch,), max_tokens, jnp.int32)
+        if token_caps is None
+        else jnp.clip(token_caps.astype(jnp.int32), 1, max_tokens)
+    )
     tokens0 = jnp.full((batch, max_tokens), eot, dtype=jnp.int32)
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first)
-    done0 = first == eot
+    done0 = jnp.logical_or(first == eot, caps <= 1)
 
     def cond(carry):
         i, _, _, done = carry
@@ -76,7 +88,7 @@ def _greedy_loop(
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eot, nxt)
         tokens = tokens.at[:, i + 1].set(nxt)
-        done = jnp.logical_or(done, nxt == eot)
+        done = jnp.logical_or(done, jnp.logical_or(nxt == eot, i + 2 > caps))
         return i + 1, tokens, cache, done
 
     _, tokens, _, done = jax.lax.while_loop(cond, body, (jnp.int32(0), tokens0, cache, done0))
@@ -168,6 +180,8 @@ def _ring_stt(
     mel = log_mel_spectrogram(audio, cfg.n_mels)
     param_dtype = params["enc"]["conv1"]["w"].dtype
     audio_states = encode(params, cfg, mel.astype(param_dtype))
+    # per-row token budget from actual audio length: ~4 tok/s + slack
+    token_caps = lengths // 4000 + 4
     prefix = jnp.broadcast_to(
         jnp.asarray(
             [cfg.token_sot, cfg.token_language(language_index), cfg.token_transcribe,
@@ -177,7 +191,7 @@ def _ring_stt(
         (audio.shape[0], 4),
     )
     return _greedy_loop(params, cfg, audio_states, prefix, max_tokens,
-                        cross_kv_int8=cross_kv_int8)
+                        cross_kv_int8=cross_kv_int8, token_caps=token_caps)
 
 
 def transcribe_ring(
