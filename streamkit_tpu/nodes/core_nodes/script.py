@@ -386,6 +386,16 @@ class ScriptNode(ProcessorNode):
         try:
             tree = ast.parse(cfg["script"])
         except SyntaxError as e:
+            src = cfg["script"].lstrip()
+            if src.startswith(("function ", "const ", "let ", "var ", "(", "async function")):
+                # reference scripts are QuickJS JavaScript; ours is a Python
+                # sandbox dialect — say so instead of a bare syntax error
+                raise ConfigurationError(
+                    "script looks like JavaScript (the Rust reference's QuickJS "
+                    "dialect); this runtime executes a sandboxed *Python* dialect — "
+                    "port the script: def process(packet): ... returning "
+                    "{'type': 'Text', 'data': ...} (see docs/nodes.md core::script)"
+                ) from e
             raise ConfigurationError(f"script syntax error: {e}") from e
         _validate_script(tree)
         self._code = compile(tree, "<script-node>", "exec")
