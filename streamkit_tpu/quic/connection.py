@@ -117,7 +117,11 @@ class _RecvStream:
         if fin:
             self.fin_at = offset + len(data)
         if data:
-            self.segments[offset] = data
+            # keep the longest segment seen at an offset (a shorter
+            # retransmit must not clobber a longer original)
+            prev = self.segments.get(offset)
+            if prev is None or len(prev) < len(data):
+                self.segments[offset] = data
         out = bytearray()
         while True:
             # find a segment covering self.offset
