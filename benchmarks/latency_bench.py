@@ -142,6 +142,8 @@ async def main():
     seconds = float(os.environ.get("SK_LAT_SECONDS", "30"))
 
     os.environ.setdefault("SK_STT_GATHER_MS", "60")
+    os.environ.setdefault("SK_STT_PAD_TO", os.environ.get("SK_LAT_SESSIONS", "8"))
+    os.environ.setdefault("SK_VAD_PAD_TO", os.environ.get("SK_LAT_SESSIONS", "8"))
     batcher = DeviceBatcher(tick_ms=float(os.environ.get("SK_LAT_TICK_MS", 20)))
     batcher.start()
     # warmup: compile the batched STT path once before the timed run
