@@ -243,12 +243,7 @@ class WhisperNode(ProcessorNode):
             return await loop.run_in_executor(None, decode_sync, samples)
 
         async def emit_transcription(samples, start_f, end_f, is_final: bool) -> None:
-            nonlocal seq, partial_task
-            if is_final and partial_task is not None and not partial_task.done():
-                # a stale partial must never land after (and outsequence) the
-                # final transcript for its segment
-                partial_task.cancel()
-                partial_task = None
+            nonlocal seq
             if samples.shape[0] < VAD_FRAME:
                 return
             text = await decode_text(samples, start_f, end_f)
@@ -271,6 +266,48 @@ class WhisperNode(ProcessorNode):
 
         if batch_kind is not None:
             vad_slot = ring.alloc()
+
+        # Transcription emission runs on a per-session sequential worker so
+        # the ingest/VAD loop NEVER stalls behind a decode (finals previously
+        # ran inline and blocked the session for the decode duration).
+        # FIFO on one worker preserves the ordering contract: a segment's
+        # final is its last packet, sequence numbers stay monotonic.
+        emit_q: asyncio.Queue = asyncio.Queue()
+        seg_gen = [0]  # bumped when a segment closes; stales queued partials
+        inflight_partial: list = [None]
+
+        def enqueue_final(seg_samples, start_f, end_f) -> None:
+            seg_gen[0] += 1
+            t = inflight_partial[0]
+            if t is not None and not t.done():
+                # the stale partial must never land after (and outsequence)
+                # its segment's final
+                t.cancel()
+            emit_q.put_nowait(("final", seg_samples, start_f, end_f, seg_gen[0]))
+
+        async def emit_worker() -> None:
+            while True:
+                item = await emit_q.get()
+                if item is None:
+                    return
+                kind_, samples_, start_f_, end_f_, gen_ = item
+                if kind_ == "partial":
+                    if gen_ != seg_gen[0]:
+                        continue  # segment already closed: stale
+                    t = asyncio.ensure_future(
+                        emit_transcription(samples_, start_f_, end_f_, False)
+                    )
+                    inflight_partial[0] = t
+                    try:
+                        await t
+                    except asyncio.CancelledError:
+                        pass
+                    finally:
+                        inflight_partial[0] = None
+                else:
+                    await emit_transcription(samples_, start_f_, end_f_, True)
+
+        emit_task = asyncio.ensure_future(emit_worker())
         try:
             while True:
                 pkt = await ctx.recv_with_cancellation("in")
@@ -319,33 +356,39 @@ class WhisperNode(ProcessorNode):
                             telemetry.emit("vad.speech_start", {})
                         else:
                             telemetry.emit("vad.speech_end", {})
-                            await emit_transcription(seg_samples, start_f, end_f, True)
-                # live partials while a segment is open (extension): decoded
-                # as a side task so ingest/VAD never stalls behind a decode;
-                # a new partial is skipped while the previous is in flight
+                            enqueue_final(seg_samples, start_f, end_f)
+                # live partials while a segment is open (extension): a partial
+                # is only enqueued when the emit worker is idle, and a final
+                # closing the segment cancels any in-flight partial decode
                 if self.partials and seg.in_speech:
                     now = time.monotonic()
                     if (
                         now - last_partial >= self.partial_interval
                         and seg._segment
-                        and (partial_task is None or partial_task.done())
+                        and emit_q.empty()
+                        and inflight_partial[0] is None
                     ):
                         last_partial = now
                         partial_audio = np.concatenate(seg._segment)
-                        partial_task = asyncio.ensure_future(
-                            emit_transcription(
-                                partial_audio, seg._segment_start_frame, seg._frame_idx, False
-                            )
+                        emit_q.put_nowait(
+                            ("partial", partial_audio, seg._segment_start_frame,
+                             seg._frame_idx, seg_gen[0])
                         )
             for kind, seg_samples, start_f, end_f in seg.flush():
-                await emit_transcription(seg_samples, start_f, end_f, True)
+                enqueue_final(seg_samples, start_f, end_f)
+            emit_q.put_nowait(None)
+            await emit_task
         except ChannelClosed:
             ctx.emit_state(NodeState.stopped(StopReason.OUTPUT_CLOSED))
             stats.flush()
             return
         finally:
-            if partial_task is not None and not partial_task.done():
-                partial_task.cancel()
+            if not emit_task.done():
+                emit_q.put_nowait(None)
+                try:
+                    await asyncio.wait_for(emit_task, timeout=5)
+                except (asyncio.TimeoutError, asyncio.CancelledError):
+                    emit_task.cancel()
             if vad_slot is not None:
                 ring.free(vad_slot)
         stats.flush()
