@@ -193,7 +193,13 @@ class WhisperNode(ProcessorNode):
             # instead of one per power-of-2 batch size
             pad_vad = int(os.environ.get("SK_VAD_PAD_TO", "0")) or None
             pad_stt = int(os.environ.get("SK_STT_PAD_TO", "0")) or None
-            ctx.batcher.register(vad_kind, batched_vad, max_batch=128, pad_to=pad_vad)
+            ctx.batcher.register(
+                vad_kind,
+                batched_vad,
+                max_batch=128,
+                pad_to=pad_vad,
+                gather_ms=float(os.environ.get("SK_VAD_GATHER_MS", "0")),
+            )
 
             def make_ring_stt(window: int, tok_budget: int):
                 def batched_stt(slot_ids, starts, lengths):
