@@ -126,10 +126,13 @@ async def amain() -> dict:
     model_size = os.environ.get("SK_ENG_MODEL", "large-v3")
     n_sessions = int(os.environ.get("SK_ENG_SESSIONS", "48"))
     seconds = float(os.environ.get("SK_ENG_SECONDS", "20"))
-    # default the batch pad to the session count BEFORE any node registers
-    # its batcher kinds: ONE compiled program per kind instead of a
-    # power-of-two sweep (each remote compile costs 30-60 s)
-    os.environ.setdefault("SK_STT_PAD_TO", str(n_sessions))
+    # default the batch pads BEFORE any node registers its batcher kinds:
+    # ONE compiled program per kind instead of a power-of-two sweep (each
+    # remote compile costs 30-60 s). Decode pads to 24, not the session
+    # count: measured mean decode batch is ~17 at 48 sessions, and pad-48
+    # decode programs waste >60% of their compute (48->24 pad measured
+    # 32.4 -> 57.3 sessions/chip); oversize batches split into pad-24 calls.
+    os.environ.setdefault("SK_STT_PAD_TO", str(min(24, n_sessions)))
     os.environ.setdefault("SK_VAD_PAD_TO", str(n_sessions))
 
     batcher = DeviceBatcher(tick_ms=float(os.environ.get("SK_ENG_TICK_MS", 10)))
