@@ -94,6 +94,12 @@ class DeviceBatcher:
     ) -> None:
         """Idempotent: re-registering a kind keeps the first fn."""
         if name not in self._kinds:
+            # with a fixed pad, oversize groups must split into pad-sized
+            # chunks: splitting by a larger max_batch would dispatch shapes
+            # above the pad — each a fresh 30-60 s XLA compile mid-run (and
+            # an OOM risk at large decode batches)
+            if pad_to is not None:
+                max_batch = min(max_batch, pad_to)
             self._kinds[name] = BatchKind(name, fn, max_batch, pad_to, gather_ms)
 
     def is_registered(self, name: str) -> bool:

@@ -1,0 +1,437 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Incremental (streaming) Whisper for live partial transcripts.
+
+Round-2 partials re-encoded the whole bucketed segment on every partial
+(~40 ms encode + up to ~20 sequential decode steps per emission — a
+350-450 ms device-time floor per coalesced call, PERF_NOTES.md). Here each
+partial costs one *chunk* encode (8 encoder positions = 160 ms of audio)
+plus a handful of decode steps, against per-session device-resident caches:
+
+* **chunk-causal encoder** — a new 160 ms chunk's queries attend to the
+  cached K/V of all previous chunk positions plus the full current chunk
+  (block lookahead), appending its own K/V and the decoder cross K/V to the
+  session's slot in HBM. The conv frontend is computed with exact left/right
+  audio context gathered from the session's audio ring
+  (:mod:`streamkit_tpu.engine.audio_ring`), so conv outputs match the
+  full-window encoder bit-for-bit; only attention is causal-ized.
+* **continuation decoder** — emitted tokens are *frozen* (their self-attn
+  K/V stay cached); each partial tick re-feeds the newest token against the
+  grown cross-attention context and appends tokens until it proposes
+  ``<|eot|>`` — which is *held back*, since more audio may continue the
+  utterance (standard streaming-ASR practice).
+
+Approximations (partials only — segment FINALS still run the exact
+bidirectional encoder via :func:`..decode.transcribe_ring`):
+
+* encoder attention is chunk-causal, not bidirectional,
+* the log-mel dynamic-range floor (``max - 8``) uses the chunk-local max
+  rather than the window-global max,
+* committed partial tokens are never revised.
+
+The reference emits only whole segments (``plugins/native/whisper/src/
+lib.rs:404-490``); live partials are this framework's extension, so the
+streaming path has no reference counterpart to mirror.
+
+Memory: one slot holds enc K/V + cross K/V ``[layers, heads, head_dim,
+ENC_T]`` and decoder K/V ``[layers, heads, head_dim, DEC_T]``. At
+large-v3 with ENC_T=512 (10.24 s streaming horizon) that is ~190 MB/slot;
+slots default to 8 (``SK_STREAM_SLOTS``) and sessions that fail to get a
+slot fall back to the bucket re-decode partial path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import threading
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperConfig
+from .model import Params, _dense, _layernorm, _merge_heads, _mlp, _split_heads
+from ...ops.mel import HOP_LENGTH, N_FFT, _dft_bases, _mel_mat
+
+__all__ = ["StreamTable", "CHUNK_SAMPLES", "CHUNK_POS", "RIGHT_CTX"]
+
+# One streaming chunk: 8 encoder positions = 16 mel frames = 2560 samples
+# (160 ms @16 kHz). Encoder position = 2 mel frames = 320 samples.
+CHUNK_POS = 8
+CHUNK_MEL = 2 * CHUNK_POS  # 16
+CHUNK_SAMPLES = CHUNK_MEL * HOP_LENGTH  # 2560
+# conv context: chunk enc positions p0..p0+7 need mel frames 2p0-2..2p0+16;
+# mel frame t covers samples [t*160-200, t*160+200). Left: 2 mel frames +
+# fft half-window = 520 → round up to 560 (3.5 hops) for hop alignment.
+LEFT_CTX = 560
+RIGHT_CTX = 200  # mel frame t0+16 reads 200 samples past the chunk end
+GATHER = LEFT_CTX + CHUNK_SAMPLES + RIGHT_CTX  # 3320
+_N_MEL_FRAMES = 19  # t0-2 .. t0+16
+
+
+def _chunk_mel(audio: jnp.ndarray, n_mels: int) -> jnp.ndarray:
+    """``[B, GATHER]`` audio → ``[B, 19, n_mels]`` log-mel for the chunk's
+    conv context (frames t0-2..t0+16; local frame j starts at sample
+    40 + j*160). Dynamic-range floor uses the chunk-local max."""
+    starts = 40 + np.arange(_N_MEL_FRAMES) * HOP_LENGTH
+    idx = starts[:, None] + np.arange(N_FFT)[None, :]
+    frames = audio[:, idx]  # [B, 19, 400]
+    cos_b, sin_b = _dft_bases(N_FFT)
+    re = jnp.matmul(frames, cos_b, preferred_element_type=jnp.float32)
+    im = jnp.matmul(frames, sin_b, preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    mel = jnp.matmul(power, _mel_mat(n_mels), preferred_element_type=jnp.float32)
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    log_spec = jnp.maximum(log_spec, jnp.max(log_spec, axis=(-2, -1), keepdims=True) - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
+def _conv_valid(x, w, b, stride: int):
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=((0, 0),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + b
+
+
+def _append_cols(rows: jnp.ndarray, cols: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Write ``cols [B, H, hd, c]`` into T-major ``rows [B, H, hd, T]`` at
+    per-row column offset ``pos [B]`` (vmapped dynamic_update_slice →
+    batched scatter; duplicate rows write identical values, so the
+    batcher's pad-by-duplication stays safe)."""
+    return jax.vmap(
+        lambda row, col, p: jax.lax.dynamic_update_slice(row, col, (0, 0, p))
+    )(rows, cols, pos)
+
+
+def _read_col(rows: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Read one column ``[B, H, hd, 1]`` at per-row offset ``pos``."""
+    h, hd = rows.shape[1], rows.shape[2]
+    return jax.vmap(
+        lambda row, p: jax.lax.dynamic_slice(row, (0, 0, p), (h, hd, 1))
+    )(rows, pos)
+
+
+# ---------------------------------------------------------------------------
+# jitted steps
+# ---------------------------------------------------------------------------
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg",),
+    donate_argnums=(1, 2, 3, 4, 5),
+)
+def _stream_encode(
+    params: Params,
+    enc_k: jnp.ndarray,  # [S, Le, H, hd, ENC_T]
+    enc_v: jnp.ndarray,
+    xk: jnp.ndarray,  # [S, Ld, H, hd, ENC_T]
+    xv: jnp.ndarray,
+    enc_pos: jnp.ndarray,  # [S] int32
+    ring: jnp.ndarray,  # [slots, ring_samples] int16
+    slot_ids: jnp.ndarray,  # [B] audio-ring slots
+    stream_ids: jnp.ndarray,  # [B] stream-table slots
+    starts: jnp.ndarray,  # [B] absolute chunk start samples
+    cfg: WhisperConfig,
+):
+    """Encode one CHUNK per row and append enc K/V + cross K/V to the
+    session caches. Returns updated tables + per-row new position count."""
+    dtype = enc_k.dtype
+    ring_samples = ring.shape[1]
+    g0 = starts - LEFT_CTX
+    idx = (g0[:, None] + jnp.arange(GATHER, dtype=jnp.int32)) % ring_samples
+    audio = ring[slot_ids[:, None], idx].astype(jnp.float32) / 32768.0
+    mel = _chunk_mel(audio, cfg.n_mels).astype(dtype)  # [B, 19, n_mels]
+
+    e = params["enc"]
+    x = jax.nn.gelu(_conv_valid(mel, e["conv1"]["w"], e["conv1"]["b"], 1), approximate=False)
+    x = jax.nn.gelu(_conv_valid(x, e["conv2"]["w"], e["conv2"]["b"], 2), approximate=False)
+    # x: [B, CHUNK_POS, d]; per-row segment-relative positions
+    pos_rows = enc_pos[stream_ids]  # [B]
+    p = pos_rows[:, None] + jnp.arange(CHUNK_POS, dtype=jnp.int32)
+    x = x + e["pos"].astype(dtype)[p]
+
+    enc_t = enc_k.shape[-1]
+    hd_scale = (cfg.n_audio_state // cfg.n_audio_head) ** -0.25
+    col = jnp.arange(enc_t, dtype=jnp.int32)
+    valid = col[None, :] < (pos_rows + CHUNK_POS)[:, None]  # [B, T]
+    mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None, None, :]
+
+    ek = enc_k[stream_ids]  # [B, Le, H, hd, T]
+    ev = enc_v[stream_ids]
+    new_ek, new_ev = [], []
+    for li, layer in enumerate(e["layers"]):
+        h = _layernorm(x, layer["ln1"])
+        q = _split_heads(_dense(h, layer["attn"]["q"]), cfg.n_audio_head)  # [B,H,c,hd]
+        k = _split_heads(_dense(h, layer["attn"]["k"]), cfg.n_audio_head)
+        v = _split_heads(_dense(h, layer["attn"]["v"]), cfg.n_audio_head)
+        ek_l = _append_cols(ek[:, li], k.swapaxes(-1, -2), pos_rows)
+        ev_l = _append_cols(ev[:, li], v.swapaxes(-1, -2), pos_rows)
+        new_ek.append(ek_l)
+        new_ev.append(ev_l)
+        scores = jnp.matmul(
+            q * hd_scale, ek_l.astype(dtype) * hd_scale, preferred_element_type=jnp.float32
+        )  # [B,H,c,T]
+        probs = jax.nn.softmax(scores + mask, axis=-1).astype(dtype)
+        out = jnp.einsum("bhqt,bhdt->bhqd", probs, ev_l, preferred_element_type=jnp.float32).astype(dtype)
+        x = x + _dense(_merge_heads(out), layer["attn"]["o"])
+        x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
+    enc_out = _layernorm(x, e["ln_post"])  # [B, c, d]
+
+    xk_rows = xk[stream_ids]
+    xv_rows = xv[stream_ids]
+    new_xk, new_xv = [], []
+    for li, layer in enumerate(params["dec"]["layers"]):
+        kx = _split_heads(_dense(enc_out, layer["xattn"]["k"]), cfg.n_text_head)
+        vx = _split_heads(_dense(enc_out, layer["xattn"]["v"]), cfg.n_text_head)
+        new_xk.append(_append_cols(xk_rows[:, li], kx.swapaxes(-1, -2), pos_rows))
+        new_xv.append(_append_cols(xv_rows[:, li], vx.swapaxes(-1, -2), pos_rows))
+
+    enc_k = enc_k.at[stream_ids].set(jnp.stack(new_ek, axis=1))
+    enc_v = enc_v.at[stream_ids].set(jnp.stack(new_ev, axis=1))
+    xk = xk.at[stream_ids].set(jnp.stack(new_xk, axis=1))
+    xv = xv.at[stream_ids].set(jnp.stack(new_xv, axis=1))
+    enc_pos = enc_pos.at[stream_ids].set(pos_rows + CHUNK_POS)
+    return enc_k, enc_v, xk, xv, enc_pos, pos_rows + CHUNK_POS
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_steps"),
+    donate_argnums=(1, 2, 3, 4, 5),
+)
+def _stream_decode(
+    params: Params,
+    dec_k: jnp.ndarray,  # [S, Ld, H, hd, DEC_T]
+    dec_v: jnp.ndarray,
+    tokens: jnp.ndarray,  # [S, DEC_T] int32
+    fed: jnp.ndarray,  # [S] int32 — tokens fed through the decoder
+    n_tok: jnp.ndarray,  # [S] int32 — tokens in the buffer (incl. prefix)
+    xk: jnp.ndarray,
+    xv: jnp.ndarray,
+    enc_pos: jnp.ndarray,
+    stream_ids: jnp.ndarray,  # [B]
+    cfg: WhisperConfig,
+    max_steps: int,
+):
+    """Continue each row's greedy decode against its grown cross context.
+
+    Per step a row feeds ``tokens[min(fed, n_tok-1)]`` (re-feeding the
+    newest token when caught up refreshes its K/V and logits against new
+    audio), then — once caught up — appends the argmax unless it is
+    ``<|eot|>``, which is held back (the utterance may continue). Rows stop
+    for this call on eot; the next partial tick retries with more audio.
+    """
+    d = params["dec"]
+    dtype = dec_k.dtype
+    eot = jnp.int32(cfg.token_eot)
+    dec_t = dec_k.shape[-1]
+    enc_t = xk.shape[-1]
+    hd = cfg.n_text_state // cfg.n_text_head
+    scale = hd ** -0.25
+    b = stream_ids.shape[0]
+    bi = jnp.arange(b)
+
+    dk = dec_k[stream_ids]  # [B, Ld, H, hd, DEC_T]
+    dv = dec_v[stream_ids]
+    xkr = xk[stream_ids]  # [B, Ld, H, hd, ENC_T] — gather ONCE, reused all steps
+    xvr = xv[stream_ids]
+    tok = tokens[stream_ids]  # [B, DEC_T]
+    fed_r = fed[stream_ids]
+    n_r = n_tok[stream_ids]
+    ep = enc_pos[stream_ids]
+
+    xcol = jnp.arange(enc_t, dtype=jnp.int32)
+    # max(ep, 1) keeps the softmax finite for not-yet-encoded rows (they are
+    # masked inactive below; this only avoids NaN noise in the dead lanes)
+    xmask = jnp.where(
+        xcol[None, :] < jnp.maximum(ep, 1)[:, None], 0.0, -jnp.inf
+    ).astype(jnp.float32)[:, None, None, :]
+    dcol = jnp.arange(dec_t, dtype=jnp.int32)
+
+    def step(carry, _):
+        dk, dv, tok, fed_r, n_r, done = carry
+        active = jnp.logical_and(~done, jnp.logical_and(n_r > 0, ep > 0))
+        feed_idx = jnp.minimum(fed_r, n_r - 1)
+        feed_idx = jnp.maximum(feed_idx, 0)
+        cur = tok[bi, feed_idx]
+        x = d["tok_emb"][cur][:, None, :] + d["pos_emb"][feed_idx][:, None, :]
+        x = x.astype(dtype)
+        smask = jnp.where(
+            dcol[None, :] <= feed_idx[:, None], 0.0, -jnp.inf
+        ).astype(jnp.float32)[:, None, None, :]
+        new_dk, new_dv = [], []
+        for li, layer in enumerate(d["layers"]):
+            h = _layernorm(x, layer["ln1"])
+            q = _split_heads(_dense(h, layer["attn"]["q"]), cfg.n_text_head)  # [B,H,1,hd]
+            k1 = _split_heads(_dense(h, layer["attn"]["k"]), cfg.n_text_head)
+            v1 = _split_heads(_dense(h, layer["attn"]["v"]), cfg.n_text_head)
+            old_k = _read_col(dk[:, li], feed_idx)
+            old_v = _read_col(dv[:, li], feed_idx)
+            g = active[:, None, None, None]
+            kcol = jnp.where(g, k1.swapaxes(-1, -2), old_k)
+            vcol = jnp.where(g, v1.swapaxes(-1, -2), old_v)
+            dk_l = _append_cols(dk[:, li], kcol, feed_idx)
+            dv_l = _append_cols(dv[:, li], vcol, feed_idx)
+            new_dk.append(dk_l)
+            new_dv.append(dv_l)
+            scores = jnp.matmul(q * scale, dk_l * scale, preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(scores + smask, axis=-1).astype(dtype)
+            attn = jnp.einsum("bhqt,bhdt->bhqd", probs, dv_l, preferred_element_type=jnp.float32).astype(dtype)
+            x = x + _dense(_merge_heads(attn), layer["attn"]["o"])
+            hx = _layernorm(x, layer["ln_x"])
+            qx = _split_heads(_dense(hx, layer["xattn"]["q"]), cfg.n_text_head)
+            xs = jnp.matmul(qx * scale, xkr[:, li] * scale, preferred_element_type=jnp.float32)
+            xp = jax.nn.softmax(xs + xmask, axis=-1).astype(dtype)
+            xa = jnp.einsum("bhqt,bhdt->bhqd", xp, xvr[:, li], preferred_element_type=jnp.float32).astype(dtype)
+            x = x + _dense(_merge_heads(xa), layer["xattn"]["o"])
+            x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
+        dk = jnp.stack(new_dk, axis=1)
+        dv = jnp.stack(new_dv, axis=1)
+        xfin = _layernorm(x, d["ln"])
+        logits = jnp.matmul(
+            xfin[:, 0], d["tok_emb"].T.astype(dtype), preferred_element_type=jnp.float32
+        )  # [B, vocab]
+        fed_new = jnp.where(active, feed_idx + 1, fed_r)
+        proposing = jnp.logical_and(active, fed_new == n_r)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        append = jnp.logical_and(
+            proposing, jnp.logical_and(nxt != eot, n_r < dec_t - 1)
+        )
+        wpos = jnp.minimum(n_r, dec_t - 1)
+        tok = tok.at[bi, wpos].set(jnp.where(append, nxt, tok[bi, wpos]))
+        n_new = n_r + append.astype(jnp.int32)
+        done = jnp.logical_or(done, jnp.logical_and(proposing, ~append))
+        done = jnp.logical_or(done, ~active)
+        return (dk, dv, tok, fed_new, n_new, done), None
+
+    done0 = jnp.zeros((b,), bool)
+    (dk, dv, tok, fed_r, n_r, _), _ = jax.lax.scan(
+        step, (dk, dv, tok, fed_r, n_r, done0), None, length=max_steps
+    )
+
+    dec_k = dec_k.at[stream_ids].set(dk)
+    dec_v = dec_v.at[stream_ids].set(dv)
+    tokens = tokens.at[stream_ids].set(tok)
+    fed = fed.at[stream_ids].set(fed_r)
+    n_tok = n_tok.at[stream_ids].set(n_r)
+    return dec_k, dec_v, tokens, fed, n_tok, tok, n_r
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _stream_reset(tokens, fed, n_tok, enc_pos, stream_id, prefix):
+    """Open a new segment on ``stream_id``: prefix into the token buffer,
+    counters to zero. Caches need no clearing — masks bound every read."""
+    tokens = tokens.at[stream_id, : prefix.shape[0]].set(prefix)
+    fed = fed.at[stream_id].set(0)
+    n_tok = n_tok.at[stream_id].set(prefix.shape[0])
+    enc_pos = enc_pos.at[stream_id].set(0)
+    return tokens, fed, n_tok, enc_pos
+
+
+# ---------------------------------------------------------------------------
+# slot table
+# ---------------------------------------------------------------------------
+class StreamTable:
+    """Pool of device-resident streaming-decode slots for one model.
+
+    Thread-safe like :class:`~streamkit_tpu.engine.audio_ring.SessionAudioRing`:
+    donated table updates serialize under a step lock; dispatch is async so
+    the lock is held only microseconds.
+    """
+
+    def __init__(
+        self,
+        cfg: WhisperConfig,
+        dtype,
+        max_slots: Optional[int] = None,
+        enc_t: Optional[int] = None,
+        dec_t: Optional[int] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.max_slots = max_slots or int(os.environ.get("SK_STREAM_SLOTS", "8"))
+        # clamped to the model's position tables (tiny test configs have
+        # short contexts; position gathers must stay in range)
+        self.enc_t = min(enc_t or int(os.environ.get("SK_STREAM_ENC_T", "512")), cfg.n_audio_ctx)
+        self.dec_t = min(dec_t or int(os.environ.get("SK_STREAM_DEC_T", "128")), cfg.n_text_ctx)
+        s = self.max_slots
+        he, hde = cfg.n_audio_head, cfg.n_audio_state // cfg.n_audio_head
+        ht, hdt = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
+        self._enc_k = jnp.zeros((s, cfg.n_audio_layer, he, hde, self.enc_t), dtype)
+        self._enc_v = jnp.zeros((s, cfg.n_audio_layer, he, hde, self.enc_t), dtype)
+        self._xk = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.enc_t), dtype)
+        self._xv = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.enc_t), dtype)
+        self._dec_k = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
+        self._dec_v = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
+        self._tokens = jnp.zeros((s, self.dec_t), jnp.int32)
+        self._fed = jnp.zeros((s,), jnp.int32)
+        self._n_tok = jnp.zeros((s,), jnp.int32)
+        self._enc_pos = jnp.zeros((s,), jnp.int32)
+        self._free = list(range(s - 1, -1, -1))
+        self._alloc_lock = threading.Lock()
+        self._step_lock = threading.Lock()
+
+    # -- slot lifecycle ------------------------------------------------------
+    def try_alloc(self) -> Optional[int]:
+        with self._alloc_lock:
+            return self._free.pop() if self._free else None
+
+    def free(self, slot: int) -> None:
+        with self._alloc_lock:
+            self._free.append(slot)
+
+    # -- steps ----------------------------------------------------------------
+    def reset(self, stream_id: int, prefix: np.ndarray) -> None:
+        with self._step_lock:
+            self._tokens, self._fed, self._n_tok, self._enc_pos = _stream_reset(
+                self._tokens, self._fed, self._n_tok, self._enc_pos,
+                jnp.asarray(stream_id, jnp.int32), jnp.asarray(prefix, jnp.int32),
+            )
+
+    def encode_chunks(self, params: Params, ring, slot_ids, stream_ids, starts) -> np.ndarray:
+        """Batched: encode ONE chunk per row → per-row new enc position."""
+        with self._step_lock:
+            (
+                self._enc_k, self._enc_v, self._xk, self._xv, self._enc_pos, new_pos
+            ) = _stream_encode(
+                params,
+                self._enc_k, self._enc_v, self._xk, self._xv, self._enc_pos,
+                ring,
+                jnp.asarray(slot_ids, jnp.int32),
+                jnp.asarray(stream_ids, jnp.int32),
+                jnp.asarray(starts, jnp.int32),
+                self.cfg,
+            )
+        return new_pos
+
+    def decode_steps(self, params: Params, stream_ids, max_steps: int):
+        """Batched: advance each row's greedy continuation → (tokens [B, DEC_T],
+        n_tok [B]); new tokens this segment are ``tokens[4:n_tok]``."""
+        with self._step_lock:
+            (
+                self._dec_k, self._dec_v, self._tokens, self._fed, self._n_tok,
+                tok_rows, n_rows,
+            ) = _stream_decode(
+                params,
+                self._dec_k, self._dec_v, self._tokens, self._fed, self._n_tok,
+                self._xk, self._xv, self._enc_pos,
+                jnp.asarray(stream_ids, jnp.int32),
+                self.cfg,
+                max_steps,
+            )
+        return tok_rows, n_rows
+
+
+# process-wide tables keyed by model tag (mirrors _get_audio_ring)
+_TABLES: Dict[str, StreamTable] = {}
+_TABLES_LOCK = threading.Lock()
+
+
+def get_stream_table(tag: str, cfg: WhisperConfig, dtype) -> StreamTable:
+    with _TABLES_LOCK:
+        tbl = _TABLES.get(tag)
+        if tbl is None:
+            tbl = StreamTable(cfg, dtype)
+            _TABLES[tag] = tbl
+        return tbl

@@ -82,6 +82,12 @@ class WhisperNode(ProcessorNode):
                 "max_segment_duration_secs": 30.0,
                 "partial_transcripts": False,
                 "partial_interval_ms": 300,
+                # incremental streaming partials: per-session device-resident
+                # encoder/decoder caches — each partial costs one 160 ms
+                # chunk encode + a few decode steps instead of a full bucket
+                # re-encode (models/whisper/streaming.py). Falls back to the
+                # bucket re-decode path when the stream table is exhausted.
+                "streaming_partials": True,
                 # chunked-encoder window buckets (seconds): a segment decodes
                 # in the smallest bucket that fits, slashing transfer/encode
                 # cost for short segments and live partials. [30.0] = always
@@ -105,6 +111,9 @@ class WhisperNode(ProcessorNode):
         self.max_segment_secs = float(cfg["max_segment_duration_secs"])
         self.partials = bool(cfg["partial_transcripts"])
         self.partial_interval = float(cfg["partial_interval_ms"]) / 1000.0
+        self.streaming_partials = bool(cfg["streaming_partials"]) and (
+            os.environ.get("SK_STREAM_PARTIALS", "1") == "1"
+        )
         self.window_buckets = sorted(float(b) for b in cfg["window_buckets"])
         self.vad_block = max(1, int(cfg["vad_block_frames"]))
         self.allow_random_init = bool(cfg["allow_random_init"])
@@ -229,6 +238,59 @@ class WhisperNode(ProcessorNode):
                     gather_ms=gather_ms,
                 )
 
+        # -- incremental streaming partials (models/whisper/streaming.py) ----
+        stream_tbl = None
+        stream_id = None
+        if batch_kind is not None and self.partials and self.streaming_partials:
+            from ...models.whisper.streaming import (
+                CHUNK_SAMPLES,
+                RIGHT_CTX,
+                get_stream_table,
+            )
+
+            stream_tbl = get_stream_table(model_tag, model_cfg, self.dtype)
+            stream_id = stream_tbl.try_alloc()
+            if stream_id is None:
+                stream_tbl = None  # table exhausted: bucket-partial fallback
+            else:
+                stream_pad = int(
+                    os.environ.get("SK_STREAM_PAD", str(min(8, stream_tbl.max_slots)))
+                )
+                stream_steps = int(os.environ.get("SK_STREAM_STEPS", "4"))
+                senc_kind = f"stream_enc:{model_tag}"
+                sdec_kind = f"stream_dec:{model_tag}"
+
+                def batched_senc(slot_ids, sids, starts):
+                    return stream_tbl.encode_chunks(
+                        params, ring.ring_ref(), slot_ids, sids, starts
+                    )
+
+                def batched_sdec(sids):
+                    return stream_tbl.decode_steps(params, sids, stream_steps)
+
+                ctx.batcher.register(
+                    senc_kind, batched_senc, pad_to=stream_pad,
+                    gather_ms=float(os.environ.get("SK_STREAM_GATHER_MS", "0")),
+                )
+                ctx.batcher.register(
+                    sdec_kind, batched_sdec, pad_to=stream_pad,
+                    gather_ms=float(os.environ.get("SK_STREAM_GATHER_MS", "0")),
+                )
+        stream_prefix = None
+        if stream_tbl is not None:
+            stream_prefix = np.asarray(
+                [
+                    model_cfg.token_sot,
+                    model_cfg.token_language(lang_index),
+                    model_cfg.token_transcribe,
+                    model_cfg.token_no_timestamps,
+                ],
+                np.int32,
+            )
+        # host-side streaming cursors (samples are absolute feed positions)
+        st_tip = 0  # next chunk start
+        st_pos = 0  # encoder positions filled this segment
+
         def _bucket_samples(n: int) -> int:
             for b in self.window_buckets:
                 if n <= int(b * _SR):
@@ -248,11 +310,8 @@ class WhisperNode(ProcessorNode):
                 return detok.decode(tokens[: int(length)])
             return await loop.run_in_executor(None, decode_sync, samples)
 
-        async def emit_transcription(samples, start_f, end_f, is_final: bool) -> None:
+        async def send_transcription(text: str, start_f, end_f, is_final: bool) -> None:
             nonlocal seq
-            if samples.shape[0] < VAD_FRAME:
-                return
-            text = await decode_text(samples, start_f, end_f)
             start_ms = start_f * VAD_FRAME * 1000 // _SR
             end_ms = end_f * VAD_FRAME * 1000 // _SR
             data = TranscriptionData(
@@ -269,6 +328,22 @@ class WhisperNode(ProcessorNode):
                 telemetry.emit("stt.partial", {"text": text})
             await ctx.output.send("out", Packet.new_transcription(data, meta))
             stats.packet_sent()
+
+        async def emit_transcription(samples, start_f, end_f, is_final: bool) -> None:
+            if samples.shape[0] < VAD_FRAME:
+                return
+            text = await decode_text(samples, start_f, end_f)
+            await send_transcription(text, start_f, end_f, is_final)
+
+        async def emit_stream_partial(start_f, end_f) -> None:
+            """Streaming partial: advance the session's incremental decode a
+            few steps and emit the token buffer so far (finals stay exact)."""
+            tok_row, n = await ctx.batcher.submit(sdec_kind, np.int32(stream_id))
+            n = int(n)
+            if n <= len(stream_prefix):
+                return  # nothing transcribed yet
+            text = detok.decode(tok_row[len(stream_prefix) : n])
+            await send_transcription(text, start_f, end_f, False)
 
         if batch_kind is not None:
             vad_slot = ring.alloc()
@@ -297,11 +372,13 @@ class WhisperNode(ProcessorNode):
                 if item is None:
                     return
                 kind_, samples_, start_f_, end_f_, gen_ = item
-                if kind_ == "partial":
+                if kind_ in ("partial", "spartial"):
                     if gen_ != seg_gen[0]:
                         continue  # segment already closed: stale
                     t = asyncio.ensure_future(
-                        emit_transcription(samples_, start_f_, end_f_, False)
+                        emit_stream_partial(start_f_, end_f_)
+                        if kind_ == "spartial"
+                        else emit_transcription(samples_, start_f_, end_f_, False)
                     )
                     inflight_partial[0] = t
                     try:
@@ -360,16 +437,52 @@ class WhisperNode(ProcessorNode):
                     for kind, seg_samples, start_f, end_f in seg.push(frames[i], float(probs[i])):
                         if kind == "speech_start":
                             telemetry.emit("vad.speech_start", {})
+                            if stream_tbl is not None:
+                                # open a streaming row for the new segment
+                                st_tip = start_f * VAD_FRAME
+                                st_pos = 0
+                                await loop.run_in_executor(
+                                    None, stream_tbl.reset, stream_id, stream_prefix
+                                )
                         else:
                             telemetry.emit("vad.speech_end", {})
                             enqueue_final(seg_samples, start_f, end_f)
+                # advance the segment's incremental encoder by whole chunks
+                # (each submit awaits: two in-flight chunk encodes for one
+                # session would gather the same cache state and collide)
+                if stream_tbl is not None and seg.in_speech:
+                    while (
+                        st_tip + CHUNK_SAMPLES + RIGHT_CTX <= written
+                        and st_pos + 8 <= stream_tbl.enc_t
+                    ):
+                        await ctx.batcher.submit(
+                            senc_kind,
+                            np.int32(vad_slot),
+                            np.int32(stream_id),
+                            np.int32(st_tip % ring.ring_samples),
+                        )
+                        st_tip += CHUNK_SAMPLES
+                        st_pos += 8
                 # live partials while a segment is open (extension): a partial
                 # is only enqueued when the emit worker is idle, and a final
                 # closing the segment cancels any in-flight partial decode
                 if self.partials and seg.in_speech:
                     now = time.monotonic()
                     if (
-                        now - last_partial >= self.partial_interval
+                        stream_tbl is not None
+                        and st_pos > 0
+                        and now - last_partial >= self.partial_interval
+                        and emit_q.empty()
+                        and inflight_partial[0] is None
+                    ):
+                        last_partial = now
+                        emit_q.put_nowait(
+                            ("spartial", None, seg._segment_start_frame,
+                             st_tip // VAD_FRAME, seg_gen[0])
+                        )
+                    elif (
+                        stream_tbl is None
+                        and now - last_partial >= self.partial_interval
                         and seg._segment
                         and emit_q.empty()
                         and inflight_partial[0] is None
@@ -395,6 +508,8 @@ class WhisperNode(ProcessorNode):
                     await asyncio.wait_for(emit_task, timeout=5)
                 except (asyncio.TimeoutError, asyncio.CancelledError):
                     emit_task.cancel()
+            if stream_tbl is not None and stream_id is not None:
+                stream_tbl.free(stream_id)
             if vad_slot is not None:
                 ring.free(vad_slot)
         stats.flush()

@@ -230,9 +230,12 @@ def _run_node_with_batcher(node_params, audio):
     return asyncio.run(main())
 
 
-def test_partials_order_and_final(monkeypatch):
+@pytest.mark.parametrize("streaming", [True, False], ids=["streaming", "bucket"])
+def test_partials_order_and_final(monkeypatch, streaming):
     """Partials stream while a segment is open; the final lands last and no
-    stale partial outsequences it (whisper_node stale-partial cancel)."""
+    stale partial outsequences it (whisper_node stale-partial cancel).
+    Covers both partial paths: incremental streaming (device-resident
+    caches) and the bucket re-decode fallback."""
     from streamkit_tpu.models.whisper import WHISPER_CONFIGS, WhisperConfig
 
     WHISPER_CONFIGS["test-ring-tiny"] = WhisperConfig(
@@ -253,6 +256,7 @@ def test_partials_order_and_final(monkeypatch):
         "window_buckets": [4.0],
         "vad_block_frames": 4,
         "max_tokens": 4,
+        "streaming_partials": streaming,
     }
     try:
         # warmup pass compiles the VAD/decode programs (a first-partial

@@ -1,0 +1,143 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Incremental streaming Whisper (models/whisper/streaming.py): conv-frontend
+exactness vs the full encoder, batched-row consistency, and decode
+continuation invariance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from streamkit_tpu.models.whisper.config import WhisperConfig
+from streamkit_tpu.models.whisper.model import (
+    _dense,
+    _layernorm,
+    _split_heads,
+    init_params,
+)
+from streamkit_tpu.models.whisper.streaming import (
+    CHUNK_SAMPLES,
+    RIGHT_CTX,
+    StreamTable,
+)
+from streamkit_tpu.models.whisper.decode import pad_or_trim
+from streamkit_tpu.ops.mel import log_mel_spectrogram
+
+CFG = WhisperConfig(
+    n_mels=80,
+    n_audio_ctx=64,
+    n_audio_state=64,
+    n_audio_head=2,
+    n_audio_layer=2,
+    n_vocab=256,
+    n_text_ctx=32,
+    n_text_state=64,
+    n_text_head=2,
+    n_text_layer=2,
+)
+PREFIX = np.asarray([1, 2, 3, 4], np.int32)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, jax.random.PRNGKey(7), jnp.float32)
+
+
+def _ring_with_audio(n_chunks: int, seed: int = 0):
+    """int16 ring row 0 holding quantized noise covering n_chunks + lookahead."""
+    rng = np.random.RandomState(seed)
+    n = n_chunks * CHUNK_SAMPLES + RIGHT_CTX
+    wire = np.clip(rng.randn(n) * 0.2 * 32768.0, -32768, 32767).astype(np.int16)
+    ring = jnp.zeros((1, 1 << 14), jnp.int16)
+    return ring.at[0, :n].set(jnp.asarray(wire)), wire.astype(np.float32) / 32768.0
+
+
+def test_chunk_conv_matches_full_encoder(params):
+    """The streaming conv frontend (chunk mel + VALID convs over gathered
+    ring context) reproduces the full-window encoder's pre-attention
+    activations bit-for-bit — checked via the layer-0 K projection cache
+    for positions ≥ 2 (the first two positions legitimately differ: the
+    full window reflect-pads where streaming reads real ring context)."""
+    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32)
+    n_chunks = 3
+    ring, audio = _ring_with_audio(n_chunks)
+    tbl.reset(0, PREFIX)
+    for k in range(n_chunks):
+        tbl.encode_chunks(params, ring, [0], [0], [k * CHUNK_SAMPLES])
+    assert int(tbl._enc_pos[0]) == n_chunks * 8
+
+    window = tbl.enc_t * 320
+    mel = log_mel_spectrogram(jnp.asarray(pad_or_trim(audio[None], window)), CFG.n_mels)
+    e = params["enc"]
+    from streamkit_tpu.models.whisper.model import _conv1d
+
+    x = jax.nn.gelu(_conv1d(mel, e["conv1"]["w"], e["conv1"]["b"], 1), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, e["conv2"]["w"], e["conv2"]["b"], 2), approximate=False)
+    x = x + e["pos"][: x.shape[-2]]
+    l0 = e["layers"][0]
+    k_want = _split_heads(_dense(_layernorm(x, l0["ln1"]), l0["attn"]["k"]), CFG.n_audio_head)
+    # cache is T-major [H, hd, T]
+    got = np.asarray(tbl._enc_k[0, 0])
+    want = np.asarray(k_want[0])  # [H, T, hd]
+    for p in range(2, n_chunks * 8):
+        np.testing.assert_allclose(
+            got[:, :, p], want[:, p, :], rtol=1e-4, atol=1e-4,
+            err_msg=f"enc position {p}",
+        )
+
+
+def test_batched_rows_consistent_and_decode_matches(params):
+    """Two slots fed the same audio through ONE batched encode call produce
+    identical caches and identical greedy continuations."""
+    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32)
+    ring, _ = _ring_with_audio(3, seed=1)
+    tbl.reset(0, PREFIX)
+    tbl.reset(1, PREFIX)
+    for k in range(3):
+        tbl.encode_chunks(params, ring, [0, 0], [0, 1], [k * CHUNK_SAMPLES] * 2)
+    np.testing.assert_allclose(
+        np.asarray(tbl._enc_k[0]), np.asarray(tbl._enc_k[1]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(tbl._xk[0]), np.asarray(tbl._xk[1]), rtol=1e-6
+    )
+    tok0, n0 = tbl.decode_steps(params, [0], 8)
+    tok1, n1 = tbl.decode_steps(params, [1], 8)
+    assert int(n0[0]) == int(n1[0]) > 4, "decode should append tokens"
+    np.testing.assert_array_equal(
+        np.asarray(tok0)[0, : int(n0[0])], np.asarray(tok1)[0, : int(n1[0])]
+    )
+
+
+def test_decode_continuation_invariance(params):
+    """Decoding 12 steps in one call equals decoding 4 steps three times
+    (the continuation re-feed refreshes state identically when no new audio
+    arrived in between)."""
+    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32)
+    ring, _ = _ring_with_audio(3, seed=2)
+    for sid in (0, 1):
+        tbl.reset(sid, PREFIX)
+    for k in range(3):
+        tbl.encode_chunks(params, ring, [0, 0], [0, 1], [k * CHUNK_SAMPLES] * 2)
+    tok_a, n_a = tbl.decode_steps(params, [0], 12)
+    for _ in range(3):
+        tok_b, n_b = tbl.decode_steps(params, [1], 4)
+    assert int(n_a[0]) == int(n_b[0])
+    np.testing.assert_array_equal(
+        np.asarray(tok_a)[0, : int(n_a[0])], np.asarray(tok_b)[0, : int(n_b[0])]
+    )
+
+
+def test_encode_respects_capacity(params):
+    """enc positions past the streaming horizon are the caller's guard; the
+    table clamps nothing — verify the documented contract holds at exactly
+    full capacity (enc_t multiple of chunk)."""
+    tbl = StreamTable(CFG, jnp.float32, max_slots=1, enc_t=16, dec_t=32)
+    ring, _ = _ring_with_audio(2, seed=3)
+    tbl.reset(0, PREFIX)
+    for k in range(2):  # exactly fills enc_t=16
+        tbl.encode_chunks(params, ring, [0], [0], [k * CHUNK_SAMPLES])
+    assert int(tbl._enc_pos[0]) == 16
+    tok, n = tbl.decode_steps(params, [0], 6)
+    assert int(n[0]) > 4
