@@ -141,10 +141,18 @@ async def main():
     n_sessions = int(os.environ.get("SK_LAT_SESSIONS", "8"))
     seconds = float(os.environ.get("SK_LAT_SECONDS", "30"))
 
-    os.environ.setdefault("SK_STT_GATHER_MS", "60")
+    # finals tolerate latency: a wide gather coalesces segment-final decodes
+    # across sessions (each fused final call costs ~200-350 ms of device
+    # time — uncoalesced finals alone oversubscribe the chip at 8 sessions)
+    os.environ.setdefault("SK_STT_GATHER_MS", "150")
     os.environ.setdefault("SK_STT_PAD_TO", os.environ.get("SK_LAT_SESSIONS", "8"))
     os.environ.setdefault("SK_VAD_PAD_TO", os.environ.get("SK_LAT_SESSIONS", "8"))
-    batcher = DeviceBatcher(tick_ms=float(os.environ.get("SK_LAT_TICK_MS", 20)))
+    # streaming kinds: small gather window so co-paced sessions coalesce into
+    # one padded call (they release early at pad, so aligned sessions don't
+    # pay the window)
+    os.environ.setdefault("SK_STREAM_GATHER_MS", "30")
+    os.environ.setdefault("SK_STREAM_STEPS", "3")
+    batcher = DeviceBatcher(tick_ms=float(os.environ.get("SK_LAT_TICK_MS", 5)))
     batcher.start()
     # warmup: compile the batched STT path once before the timed run
     latencies: list = []
@@ -168,8 +176,28 @@ async def main():
             return [pad]
         return [nb for nb in (1, 2, 4, 8, 16) if nb <= max(n_sessions, 1)]
 
+    pad_stream = int(os.environ.get("SK_STREAM_PAD", "8"))
     for kind in list(batcher._kinds):
-        if kind.startswith("whisper_ring:"):
+        if kind.startswith("stream_enc:"):
+            # streaming chunk encoder: warm on a HIGH stream slot (sessions
+            # allocate from the low end) — a first-call compile inside a live
+            # segment outlasts the segment and the partial never lands
+            await asyncio.gather(
+                *(
+                    batcher.submit(kind, np.int32(120), np.int32(7), np.int32(0))
+                    for _ in range(pad_stream)
+                )
+            )
+            print(f"# warmed {kind} batch={pad_stream}", file=sys.stderr, flush=True)
+        elif kind.startswith("stream_dec:"):
+            await asyncio.gather(
+                *(
+                    batcher.submit(kind, np.int32(7))
+                    for _ in range(pad_stream)
+                )
+            )
+            print(f"# warmed {kind} batch={pad_stream}", file=sys.stderr, flush=True)
+        elif kind.startswith("whisper_ring:"):
             window = int(kind.rsplit(":", 1)[1])
             for nb in warm_sizes(pad_stt):
                 await asyncio.gather(

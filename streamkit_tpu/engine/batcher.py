@@ -82,6 +82,10 @@ class DeviceBatcher:
         self.submissions = 0
         self.device_calls = 0
         self.batched_items = 0
+        # per-kind: [calls, items, total_dispatch_wall_s] — dispatch wall
+        # time approximates device occupancy (the device executes calls
+        # serially; concurrent dispatches overlap only in queueing)
+        self.kind_stats: Dict[str, list] = defaultdict(lambda: [0, 0, 0.0])
 
     # -- registration --------------------------------------------------------
     def register(
@@ -199,6 +203,7 @@ class DeviceBatcher:
             # full transfer round trip (~24 ms over the axon tunnel)
             return tuple(jax.device_get(out))
 
+        t0 = time.monotonic()
         try:
             outputs = await loop.run_in_executor(None, run_batch)
         except Exception as e:  # noqa: BLE001 — propagate to every waiter
@@ -206,6 +211,10 @@ class DeviceBatcher:
                 if not it.future.done():
                     it.future.set_exception(e)
             return
+        ks = self.kind_stats[kind.name]
+        ks[0] += 1
+        ks[1] += len(items)
+        ks[2] += time.monotonic() - t0
         for idx, it in enumerate(items):
             row = tuple(o[idx] for o in outputs)
             if not it.future.done():
@@ -218,4 +227,8 @@ class DeviceBatcher:
             "device_calls": self.device_calls,
             "batched_items": self.batched_items,
             "mean_batch": (self.batched_items / self.device_calls) if self.device_calls else 0.0,
+            "kinds": {
+                k: {"calls": v[0], "items": v[1], "dispatch_s": round(v[2], 2)}
+                for k, v in sorted(self.kind_stats.items())
+            },
         }

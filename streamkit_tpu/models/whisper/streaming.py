@@ -70,11 +70,11 @@ GATHER = LEFT_CTX + CHUNK_SAMPLES + RIGHT_CTX  # 3320
 _N_MEL_FRAMES = 19  # t0-2 .. t0+16
 
 
-def _chunk_mel(audio: jnp.ndarray, n_mels: int) -> jnp.ndarray:
-    """``[B, GATHER]`` audio → ``[B, 19, n_mels]`` log-mel for the chunk's
-    conv context (frames t0-2..t0+16; local frame j starts at sample
-    40 + j*160). Dynamic-range floor uses the chunk-local max."""
-    starts = 40 + np.arange(_N_MEL_FRAMES) * HOP_LENGTH
+def _chunk_mel(audio: jnp.ndarray, n_mels: int, n_frames: int = _N_MEL_FRAMES) -> jnp.ndarray:
+    """``[B, gather]`` audio → ``[B, n_frames, n_mels]`` log-mel for the
+    chunk's conv context (frames t0-2..t0+16·n; local frame j starts at
+    sample 40 + j*160). Dynamic-range floor uses the chunk-local max."""
+    starts = 40 + np.arange(n_frames) * HOP_LENGTH
     idx = starts[:, None] + np.arange(N_FFT)[None, :]
     frames = audio[:, idx]  # [B, 19, 400]
     cos_b, sin_b = _dft_bases(N_FFT)
@@ -119,7 +119,7 @@ def _read_col(rows: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg",),
+    static_argnames=("cfg", "n_chunks"),
     donate_argnums=(1, 2, 3, 4, 5),
 )
 def _stream_encode(
@@ -134,29 +134,41 @@ def _stream_encode(
     stream_ids: jnp.ndarray,  # [B] stream-table slots
     starts: jnp.ndarray,  # [B] absolute chunk start samples
     cfg: WhisperConfig,
+    n_chunks: int = 1,
 ):
-    """Encode one CHUNK per row and append enc K/V + cross K/V to the
-    session caches. Returns updated tables + per-row new position count."""
+    """Encode ``n_chunks`` consecutive CHUNKs per row and append enc K/V +
+    cross K/V to the session caches. Multi-chunk variants let a session's
+    serial encode chain drain a backlog in one call (per-call latency is
+    dominated by dispatch overhead, not the extra 160 ms of audio).
+    Returns updated tables + per-row new position count."""
     dtype = enc_k.dtype
     ring_samples = ring.shape[1]
+    n_pos = CHUNK_POS * n_chunks
+    gather = LEFT_CTX + CHUNK_SAMPLES * n_chunks + RIGHT_CTX
     g0 = starts - LEFT_CTX
-    idx = (g0[:, None] + jnp.arange(GATHER, dtype=jnp.int32)) % ring_samples
+    idx = (g0[:, None] + jnp.arange(gather, dtype=jnp.int32)) % ring_samples
     audio = ring[slot_ids[:, None], idx].astype(jnp.float32) / 32768.0
-    mel = _chunk_mel(audio, cfg.n_mels).astype(dtype)  # [B, 19, n_mels]
+    mel = _chunk_mel(audio, cfg.n_mels, 16 * n_chunks + 3).astype(dtype)
 
     e = params["enc"]
     x = jax.nn.gelu(_conv_valid(mel, e["conv1"]["w"], e["conv1"]["b"], 1), approximate=False)
     x = jax.nn.gelu(_conv_valid(x, e["conv2"]["w"], e["conv2"]["b"], 2), approximate=False)
-    # x: [B, CHUNK_POS, d]; per-row segment-relative positions
+    # x: [B, n_pos, d]; per-row segment-relative positions
     pos_rows = enc_pos[stream_ids]  # [B]
-    p = pos_rows[:, None] + jnp.arange(CHUNK_POS, dtype=jnp.int32)
+    p = pos_rows[:, None] + jnp.arange(n_pos, dtype=jnp.int32)
     x = x + e["pos"].astype(dtype)[p]
 
     enc_t = enc_k.shape[-1]
     hd_scale = (cfg.n_audio_state // cfg.n_audio_head) ** -0.25
     col = jnp.arange(enc_t, dtype=jnp.int32)
-    valid = col[None, :] < (pos_rows + CHUNK_POS)[:, None]  # [B, T]
-    mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None, None, :]
+    # block-causal across chunks WITHIN the call: a query in chunk j attends
+    # history + its own chunk only, exactly matching j sequential 1-chunk
+    # calls (full lookahead inside each 160 ms chunk, none across)
+    qblk = (jnp.arange(n_pos, dtype=jnp.int32) // CHUNK_POS + 1) * CHUNK_POS
+    limit = pos_rows[:, None] + qblk[None, :]  # [B, n_pos]
+    mask = jnp.where(
+        col[None, None, :] < limit[:, :, None], 0.0, -jnp.inf
+    ).astype(jnp.float32)[:, None, :, :]  # [B, 1, n_pos, T]
 
     ek = enc_k[stream_ids]  # [B, Le, H, hd, T]
     ev = enc_v[stream_ids]
@@ -192,8 +204,8 @@ def _stream_encode(
     enc_v = enc_v.at[stream_ids].set(jnp.stack(new_ev, axis=1))
     xk = xk.at[stream_ids].set(jnp.stack(new_xk, axis=1))
     xv = xv.at[stream_ids].set(jnp.stack(new_xv, axis=1))
-    enc_pos = enc_pos.at[stream_ids].set(pos_rows + CHUNK_POS)
-    return enc_k, enc_v, xk, xv, enc_pos, pos_rows + CHUNK_POS
+    enc_pos = enc_pos.at[stream_ids].set(pos_rows + n_pos)
+    return enc_k, enc_v, xk, xv, enc_pos, pos_rows + n_pos
 
 
 @functools.partial(
@@ -389,8 +401,11 @@ class StreamTable:
                 jnp.asarray(stream_id, jnp.int32), jnp.asarray(prefix, jnp.int32),
             )
 
-    def encode_chunks(self, params: Params, ring, slot_ids, stream_ids, starts) -> np.ndarray:
-        """Batched: encode ONE chunk per row → per-row new enc position."""
+    def encode_chunks(
+        self, params: Params, ring, slot_ids, stream_ids, starts, n_chunks: int = 1
+    ) -> np.ndarray:
+        """Batched: encode ``n_chunks`` consecutive chunks per row → per-row
+        new enc position."""
         with self._step_lock:
             (
                 self._enc_k, self._enc_v, self._xk, self._xv, self._enc_pos, new_pos
@@ -402,6 +417,7 @@ class StreamTable:
                 jnp.asarray(stream_ids, jnp.int32),
                 jnp.asarray(starts, jnp.int32),
                 self.cfg,
+                n_chunks,
             )
         return new_pos
 

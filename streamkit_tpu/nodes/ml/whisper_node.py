@@ -260,21 +260,28 @@ class WhisperNode(ProcessorNode):
                 senc_kind = f"stream_enc:{model_tag}"
                 sdec_kind = f"stream_dec:{model_tag}"
 
-                def batched_senc(slot_ids, sids, starts):
-                    return stream_tbl.encode_chunks(
-                        params, ring.ring_ref(), slot_ids, sids, starts
-                    )
+                def make_senc(n_chunks: int):
+                    def batched_senc(slot_ids, sids, starts):
+                        return stream_tbl.encode_chunks(
+                            params, ring.ring_ref(), slot_ids, sids, starts, n_chunks
+                        )
+
+                    return batched_senc
 
                 def batched_sdec(sids):
                     return stream_tbl.decode_steps(params, sids, stream_steps)
 
+                sgather = float(os.environ.get("SK_STREAM_GATHER_MS", "0"))
+                # n=1 is the steady-state op; n=2 drains backlogs in one call
+                # (a session's encode chain is serial, and per-call cost is
+                # dispatch-dominated — two chunks cost barely more than one)
+                for n in (1, 2):
+                    ctx.batcher.register(
+                        f"{senc_kind}:{n}", make_senc(n), pad_to=stream_pad,
+                        gather_ms=sgather,
+                    )
                 ctx.batcher.register(
-                    senc_kind, batched_senc, pad_to=stream_pad,
-                    gather_ms=float(os.environ.get("SK_STREAM_GATHER_MS", "0")),
-                )
-                ctx.batcher.register(
-                    sdec_kind, batched_sdec, pad_to=stream_pad,
-                    gather_ms=float(os.environ.get("SK_STREAM_GATHER_MS", "0")),
+                    sdec_kind, batched_sdec, pad_to=stream_pad, gather_ms=sgather,
                 )
         stream_prefix = None
         if stream_tbl is not None:
@@ -287,9 +294,14 @@ class WhisperNode(ProcessorNode):
                 ],
                 np.int32,
             )
-        # host-side streaming cursors (samples are absolute feed positions)
-        st_tip = 0  # next chunk start
-        st_pos = 0  # encoder positions filled this segment
+        # streaming segment state shared between the ingest loop (writer) and
+        # the stream worker (reader): the ingest loop must NEVER await stream
+        # device calls — a serialized encode chain stalls VAD pacing and
+        # desynchronizes batching across sessions (measured: p50 blew up to
+        # ~11 s when encodes ran inline on the ingest path)
+        stream_seg = {"open": False, "start": 0, "gen": 0, "closed": False}
+        written_box = [0]
+        stream_wake = asyncio.Event()
 
         def _bucket_samples(n: int) -> int:
             for b in self.window_buckets:
@@ -335,15 +347,84 @@ class WhisperNode(ProcessorNode):
             text = await decode_text(samples, start_f, end_f)
             await send_transcription(text, start_f, end_f, is_final)
 
-        async def emit_stream_partial(start_f, end_f) -> None:
-            """Streaming partial: advance the session's incremental decode a
-            few steps and emit the token buffer so far (finals stay exact)."""
-            tok_row, n = await ctx.batcher.submit(sdec_kind, np.int32(stream_id))
-            n = int(n)
-            if n <= len(stream_prefix):
-                return  # nothing transcribed yet
-            text = detok.decode(tok_row[len(stream_prefix) : n])
-            await send_transcription(text, start_f, end_f, False)
+        async def stream_worker() -> None:
+            """Owns ALL streaming-table calls for this session (reset →
+            chunk encodes → partial decode ticks), strictly serial so cache
+            appends never race. Runs beside the ingest loop; emissions are
+            generation-guarded so a closing segment's final always lands
+            last (the exact final decode goes through the emit worker)."""
+            done_reset_gen = -1
+            tip = 0
+            pos = 0
+            last_dec_tip = -1
+            last_dec_t = 0.0
+            while not stream_seg["closed"]:
+                if not stream_seg["open"]:
+                    stream_wake.clear()
+                    # re-check after clear: the ingest loop may have opened a
+                    # segment (or shut down) between the check and the clear
+                    if stream_seg["open"] or stream_seg["closed"]:
+                        continue
+                    await stream_wake.wait()
+                    continue
+                g = stream_seg["gen"]
+                if done_reset_gen != g:
+                    await loop.run_in_executor(
+                        None, stream_tbl.reset, stream_id, stream_prefix
+                    )
+                    tip = stream_seg["start"]
+                    pos = 0
+                    done_reset_gen = g
+                    continue
+                avail = written_box[0] - RIGHT_CTX - tip
+                room = (stream_tbl.enc_t - pos) // 8
+                n_enc = min(avail // CHUNK_SAMPLES, 2, room)
+                if n_enc > 0:
+                    await ctx.batcher.submit(
+                        f"{senc_kind}:{n_enc}",
+                        np.int32(vad_slot),
+                        np.int32(stream_id),
+                        np.int32(tip % ring.ring_samples),
+                    )
+                    if stream_seg["gen"] != g:
+                        continue  # segment turned over mid-encode
+                    tip += n_enc * CHUNK_SAMPLES
+                    pos += n_enc * 8
+                    continue
+                # event-driven decode: fire right after the encode that
+                # advanced the tip (waiting for a wall-clock tick added a
+                # mean interval/2 of staleness), rate-capped at the partial
+                # interval; the batcher gather window coalesces co-paced
+                # sessions (their VAD blocks arrive in lockstep)
+                now = time.monotonic()
+                if (
+                    pos > 0
+                    and tip > last_dec_tip
+                    and now - last_dec_t >= self.partial_interval
+                ):
+                    last_dec_tip = tip
+                    last_dec_t = now
+                    tok_row, n = await ctx.batcher.submit(sdec_kind, np.int32(stream_id))
+                    n = int(n)
+                    if (
+                        n > len(stream_prefix)
+                        and stream_seg["gen"] == g
+                        and stream_seg["open"]
+                    ):
+                        text = detok.decode(tok_row[len(stream_prefix) : n])
+                        await send_transcription(
+                            text, stream_seg["start"] // VAD_FRAME, tip // VAD_FRAME, False
+                        )
+                    continue
+                # idle until the next chunk arrives or the cooldown expires
+                wait = max(0.002, min(
+                    self.partial_interval - (now - last_dec_t), 0.05
+                )) if self.partial_interval > 0 else 0.002
+                try:
+                    await asyncio.wait_for(stream_wake.wait(), timeout=wait)
+                except asyncio.TimeoutError:
+                    pass
+                stream_wake.clear()
 
         if batch_kind is not None:
             vad_slot = ring.alloc()
@@ -372,13 +453,11 @@ class WhisperNode(ProcessorNode):
                 if item is None:
                     return
                 kind_, samples_, start_f_, end_f_, gen_ = item
-                if kind_ in ("partial", "spartial"):
+                if kind_ == "partial":
                     if gen_ != seg_gen[0]:
                         continue  # segment already closed: stale
                     t = asyncio.ensure_future(
-                        emit_stream_partial(start_f_, end_f_)
-                        if kind_ == "spartial"
-                        else emit_transcription(samples_, start_f_, end_f_, False)
+                        emit_transcription(samples_, start_f_, end_f_, False)
                     )
                     inflight_partial[0] = t
                     try:
@@ -391,6 +470,9 @@ class WhisperNode(ProcessorNode):
                     await emit_transcription(samples_, start_f_, end_f_, True)
 
         emit_task = asyncio.ensure_future(emit_worker())
+        stream_task = (
+            asyncio.ensure_future(stream_worker()) if stream_tbl is not None else None
+        )
         try:
             while True:
                 pkt = await ctx.recv_with_cancellation("in")
@@ -433,56 +515,32 @@ class WhisperNode(ProcessorNode):
                 frames = np.concatenate(all_frames)
                 probs = np.concatenate(all_probs)
                 n_frames = frames.shape[0]
+                written_box[0] = written
                 for i in range(n_frames):
                     for kind, seg_samples, start_f, end_f in seg.push(frames[i], float(probs[i])):
                         if kind == "speech_start":
                             telemetry.emit("vad.speech_start", {})
                             if stream_tbl is not None:
-                                # open a streaming row for the new segment
-                                st_tip = start_f * VAD_FRAME
-                                st_pos = 0
-                                await loop.run_in_executor(
-                                    None, stream_tbl.reset, stream_id, stream_prefix
-                                )
+                                # hand the new segment to the stream worker
+                                stream_seg["start"] = start_f * VAD_FRAME
+                                stream_seg["gen"] += 1
+                                stream_seg["open"] = True
+                                stream_wake.set()
                         else:
                             telemetry.emit("vad.speech_end", {})
+                            if stream_tbl is not None:
+                                stream_seg["open"] = False
                             enqueue_final(seg_samples, start_f, end_f)
-                # advance the segment's incremental encoder by whole chunks
-                # (each submit awaits: two in-flight chunk encodes for one
-                # session would gather the same cache state and collide)
                 if stream_tbl is not None and seg.in_speech:
-                    while (
-                        st_tip + CHUNK_SAMPLES + RIGHT_CTX <= written
-                        and st_pos + 8 <= stream_tbl.enc_t
-                    ):
-                        await ctx.batcher.submit(
-                            senc_kind,
-                            np.int32(vad_slot),
-                            np.int32(stream_id),
-                            np.int32(st_tip % ring.ring_samples),
-                        )
-                        st_tip += CHUNK_SAMPLES
-                        st_pos += 8
-                # live partials while a segment is open (extension): a partial
-                # is only enqueued when the emit worker is idle, and a final
-                # closing the segment cancels any in-flight partial decode
-                if self.partials and seg.in_speech:
+                    stream_wake.set()  # new scored audio for the worker
+                # bucket-fallback live partials (streaming sessions emit
+                # partials from the stream worker instead): only enqueued
+                # when the emit worker is idle; a final closing the segment
+                # cancels any in-flight partial decode
+                if self.partials and stream_tbl is None and seg.in_speech:
                     now = time.monotonic()
                     if (
-                        stream_tbl is not None
-                        and st_pos > 0
-                        and now - last_partial >= self.partial_interval
-                        and emit_q.empty()
-                        and inflight_partial[0] is None
-                    ):
-                        last_partial = now
-                        emit_q.put_nowait(
-                            ("spartial", None, seg._segment_start_frame,
-                             st_tip // VAD_FRAME, seg_gen[0])
-                        )
-                    elif (
-                        stream_tbl is None
-                        and now - last_partial >= self.partial_interval
+                        now - last_partial >= self.partial_interval
                         and seg._segment
                         and emit_q.empty()
                         and inflight_partial[0] is None
@@ -508,6 +566,14 @@ class WhisperNode(ProcessorNode):
                     await asyncio.wait_for(emit_task, timeout=5)
                 except (asyncio.TimeoutError, asyncio.CancelledError):
                     emit_task.cancel()
+            if stream_task is not None:
+                stream_seg["closed"] = True
+                stream_seg["open"] = False
+                stream_wake.set()
+                try:
+                    await asyncio.wait_for(stream_task, timeout=5)
+                except (asyncio.TimeoutError, asyncio.CancelledError):
+                    stream_task.cancel()
             if stream_tbl is not None and stream_id is not None:
                 stream_tbl.free(stream_id)
             if vad_slot is not None:

@@ -183,7 +183,7 @@ def _speech_audio(secs=4.0, sr=16000):
     return x
 
 
-def _run_node_with_batcher(node_params, audio):
+def _run_node_with_batcher(node_params, audio, frame_sleep: float = 0.0):
     from streamkit_tpu.core import (
         AudioFormat,
         AudioFrame,
@@ -215,7 +215,11 @@ def _run_node_with_batcher(node_params, audio):
             await in_ch.send(
                 Packet.new_audio(AudioFrame(audio[i * frame : (i + 1) * frame], fmt))
             )
-            await asyncio.sleep(0)  # let the node/batcher interleave
+            # 0 = full speed (throughput shape); >0 approximates realtime
+            # pacing, which the streaming-partial worker needs — a segment
+            # consumed faster than the worker can encode it closes before
+            # any partial can land (and stale partials are dropped by design)
+            await asyncio.sleep(frame_sleep)
         in_ch.close()
         await task
         batcher.stop()
@@ -263,7 +267,36 @@ def test_partials_order_and_final(monkeypatch, streaming):
         # compile would otherwise outlast the segment and be stale-cancelled
         # by the final — same reason the latency bench pre-warms shapes)
         _run_node_with_batcher(node_params, _speech_audio())
-        pkts = _run_node_with_batcher(node_params, _speech_audio())
+        if streaming:
+            # pre-compile the streaming-table programs directly: inside the
+            # node they only run while a segment is open, and a first-call
+            # compile outlasts any paced test segment
+            import jax
+            import jax.numpy as jnp
+
+            from streamkit_tpu.models.whisper import init_params
+            from streamkit_tpu.models.whisper.streaming import get_stream_table
+            from streamkit_tpu.nodes.ml.whisper_node import _get_audio_ring
+
+            cfg_obj = WHISPER_CONFIGS["test-ring-tiny"]
+            params = init_params(cfg_obj, jax.random.PRNGKey(0), jnp.float32)
+            tbl = get_stream_table("test-ring-tiny:0:4", cfg_obj, jnp.float32)
+            warm_slot = tbl.max_slots - 1  # sessions allocate from the low end
+            prefix = np.asarray(
+                [cfg_obj.token_sot, cfg_obj.token_language(0),
+                 cfg_obj.token_transcribe, cfg_obj.token_no_timestamps], np.int32,
+            )
+            tbl.reset(warm_slot, prefix)
+            pad = 8
+            ring = _get_audio_ring()
+            tbl.encode_chunks(
+                params, ring.ring_ref(), [120] * pad, [warm_slot] * pad, [0] * pad
+            )
+            tbl.decode_steps(params, [warm_slot] * pad, 4)
+            tbl.reset(warm_slot, prefix)
+        pkts = _run_node_with_batcher(
+            node_params, _speech_audio(), frame_sleep=0.004 if streaming else 0.0
+        )
     finally:
         WHISPER_CONFIGS.pop("test-ring-tiny", None)
 

@@ -110,6 +110,29 @@ def test_batched_rows_consistent_and_decode_matches(params):
     )
 
 
+def test_multichunk_encode_matches_single(params):
+    """One n_chunks=2 call appends exactly what two consecutive n_chunks=1
+    calls append (same caches, same positions)."""
+    tbl1 = StreamTable(CFG, jnp.float32, max_slots=1, enc_t=64, dec_t=32)
+    tbl2 = StreamTable(CFG, jnp.float32, max_slots=1, enc_t=64, dec_t=32)
+    ring, _ = _ring_with_audio(2, seed=5)
+    tbl1.reset(0, PREFIX)
+    tbl2.reset(0, PREFIX)
+    for k in range(2):
+        tbl1.encode_chunks(params, ring, [0], [0], [k * CHUNK_SAMPLES], n_chunks=1)
+    tbl2.encode_chunks(params, ring, [0], [0], [0], n_chunks=2)
+    assert int(tbl1._enc_pos[0]) == int(tbl2._enc_pos[0]) == 16
+    # attention is exactly block-causal in both shapes; the residual
+    # tolerance is the documented mel dynamic-range floor (max-8), whose
+    # chunk-local max is taken over 19 vs 35 frames (≤ ~2e-3 on activations)
+    np.testing.assert_allclose(
+        np.asarray(tbl1._enc_k[0]), np.asarray(tbl2._enc_k[0]), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(tbl1._xv[0]), np.asarray(tbl2._xv[0]), atol=5e-3
+    )
+
+
 def test_decode_continuation_invariance(params):
     """Decoding 12 steps in one call equals decoding 4 steps three times
     (the continuation re-feed refreshes state identically when no new audio
