@@ -178,21 +178,18 @@ async def main():
 
     pad_stream = int(os.environ.get("SK_STREAM_PAD", "8"))
     for kind in list(batcher._kinds):
-        if kind.startswith("stream_enc:"):
-            # streaming chunk encoder: warm on a HIGH stream slot (sessions
+        if kind.startswith("stream_step:"):
+            # fused per-block step: warm on HIGH ring/stream slots (sessions
             # allocate from the low end) — a first-call compile inside a live
-            # segment outlasts the segment and the partial never lands
+            # segment outlasts the segment and the partial never lands.
+            # n_req/do_dec are traced args: one program covers every value.
             await asyncio.gather(
                 *(
-                    batcher.submit(kind, np.int32(120), np.int32(7), np.int32(0))
-                    for _ in range(pad_stream)
-                )
-            )
-            print(f"# warmed {kind} batch={pad_stream}", file=sys.stderr, flush=True)
-        elif kind.startswith("stream_dec:"):
-            await asyncio.gather(
-                *(
-                    batcher.submit(kind, np.int32(7))
+                    batcher.submit(
+                        kind, np.int32(120), np.int32(7), np.int32(0),
+                        np.int32(0), np.int32(0), np.bool_(True),
+                        np.zeros((vad_block, VAD_FRAME), np.float32),
+                    )
                     for _ in range(pad_stream)
                 )
             )

@@ -19,6 +19,13 @@ plus a handful of decode steps, against per-session device-resident caches:
   grown cross-attention context and appends tokens until it proposes
   ``<|eot|>`` — which is *held back*, since more audio may continue the
   utterance (standard streaming-ASR practice).
+* **fused block step** (:func:`_stream_step`) — VAD scoring + ring append +
+  chunk encode + decode continuation in ONE device call per VAD block.
+  Separate calls measured fine on paper but saturated the serving host:
+  every dispatch costs Python/GIL time plus a tunnel round trip, and the
+  latency bench host has ONE core — the fused step cuts the per-block call
+  chain from 3 to 1 and decodes against audio that arrived in the same
+  call (tip staleness ≈ one chunk instead of a whole dispatch chain).
 
 Approximations (partials only — segment FINALS still run the exact
 bidirectional encoder via :func:`..decode.transcribe_ring`):
@@ -53,6 +60,7 @@ import numpy as np
 from .config import WhisperConfig
 from .model import Params, _dense, _layernorm, _merge_heads, _mlp, _split_heads
 from ...ops.mel import HOP_LENGTH, N_FFT, _dft_bases, _mel_mat
+from ...ops.vad import vad_frame_probs
 
 __all__ = ["StreamTable", "CHUNK_SAMPLES", "CHUNK_POS", "RIGHT_CTX"]
 
@@ -76,7 +84,7 @@ def _chunk_mel(audio: jnp.ndarray, n_mels: int, n_frames: int = _N_MEL_FRAMES) -
     sample 40 + j*160). Dynamic-range floor uses the chunk-local max."""
     starts = 40 + np.arange(n_frames) * HOP_LENGTH
     idx = starts[:, None] + np.arange(N_FFT)[None, :]
-    frames = audio[:, idx]  # [B, 19, 400]
+    frames = audio[:, idx]  # [B, n_frames, 400]
     cos_b, sin_b = _dft_bases(N_FFT)
     re = jnp.matmul(frames, cos_b, preferred_element_type=jnp.float32)
     im = jnp.matmul(frames, sin_b, preferred_element_type=jnp.float32)
@@ -106,42 +114,53 @@ def _append_cols(rows: jnp.ndarray, cols: jnp.ndarray, pos: jnp.ndarray) -> jnp.
     )(rows, cols, pos)
 
 
-def _read_col(rows: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Read one column ``[B, H, hd, 1]`` at per-row offset ``pos``."""
+def _read_cols(rows: jnp.ndarray, pos: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Read ``c`` columns ``[B, H, hd, c]`` at per-row offset ``pos``."""
     h, hd = rows.shape[1], rows.shape[2]
     return jax.vmap(
-        lambda row, p: jax.lax.dynamic_slice(row, (0, 0, p), (h, hd, 1))
+        lambda row, p: jax.lax.dynamic_slice(row, (0, 0, p), (h, hd, c))
     )(rows, pos)
 
 
+def _read_col(rows: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    return _read_cols(rows, pos, 1)
+
+
+def _append_cols_guarded(rows, cols, pos, keep):
+    """Like :func:`_append_cols` but per-column: where ``keep [B, c]`` is
+    False the old cache value is rewritten (no-op). dynamic_update_slice
+    clamps start so ``pos + c`` may exceed T ONLY when every clamp-shifted
+    column is masked (the callers guarantee pos+c ≤ T whenever any column
+    is kept)."""
+    c = cols.shape[-1]
+    old = _read_cols(rows, pos, c)
+    val = jnp.where(keep[:, None, None, :], cols, old)
+    return _append_cols(rows, val, pos)
+
+
 # ---------------------------------------------------------------------------
-# jitted steps
+# traced cores (shared by the standalone jits and the fused block step)
 # ---------------------------------------------------------------------------
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "n_chunks"),
-    donate_argnums=(1, 2, 3, 4, 5),
-)
-def _stream_encode(
+def _encode_core(
     params: Params,
-    enc_k: jnp.ndarray,  # [S, Le, H, hd, ENC_T]
-    enc_v: jnp.ndarray,
-    xk: jnp.ndarray,  # [S, Ld, H, hd, ENC_T]
-    xv: jnp.ndarray,
-    enc_pos: jnp.ndarray,  # [S] int32
-    ring: jnp.ndarray,  # [slots, ring_samples] int16
-    slot_ids: jnp.ndarray,  # [B] audio-ring slots
-    stream_ids: jnp.ndarray,  # [B] stream-table slots
-    starts: jnp.ndarray,  # [B] absolute chunk start samples
     cfg: WhisperConfig,
-    n_chunks: int = 1,
+    ring: jnp.ndarray,
+    slot_ids: jnp.ndarray,
+    starts: jnp.ndarray,
+    ek: jnp.ndarray,  # [B, Le, H, hd, T] gathered rows
+    ev: jnp.ndarray,
+    xkr: jnp.ndarray,  # [B, Ld, H, hd, T]
+    xvr: jnp.ndarray,
+    pos_rows: jnp.ndarray,  # [B]
+    n_chunks: int,
+    commit: Optional[jnp.ndarray] = None,  # [B] int32 chunks to commit (None = all)
 ):
-    """Encode ``n_chunks`` consecutive CHUNKs per row and append enc K/V +
-    cross K/V to the session caches. Multi-chunk variants let a session's
-    serial encode chain drain a backlog in one call (per-call latency is
-    dominated by dispatch overhead, not the extra 160 ms of audio).
-    Returns updated tables + per-row new position count."""
-    dtype = enc_k.dtype
+    """Encode ``n_chunks`` consecutive chunks per row from the audio ring and
+    append enc K/V + cross K/V into the gathered row arrays. With ``commit``,
+    only each row's first ``commit[b]`` chunks are written (the rest rewrite
+    old cache values) and positions advance by ``8*commit[b]`` — rows may
+    lag/lead each other inside one fused batched call."""
+    dtype = ek.dtype
     ring_samples = ring.shape[1]
     n_pos = CHUNK_POS * n_chunks
     gather = LEFT_CTX + CHUNK_SAMPLES * n_chunks + RIGHT_CTX
@@ -154,105 +173,97 @@ def _stream_encode(
     x = jax.nn.gelu(_conv_valid(mel, e["conv1"]["w"], e["conv1"]["b"], 1), approximate=False)
     x = jax.nn.gelu(_conv_valid(x, e["conv2"]["w"], e["conv2"]["b"], 2), approximate=False)
     # x: [B, n_pos, d]; per-row segment-relative positions
-    pos_rows = enc_pos[stream_ids]  # [B]
     p = pos_rows[:, None] + jnp.arange(n_pos, dtype=jnp.int32)
-    x = x + e["pos"].astype(dtype)[p]
+    x = x + e["pos"].astype(dtype)[jnp.minimum(p, e["pos"].shape[0] - 1)]
 
-    enc_t = enc_k.shape[-1]
+    enc_t = ek.shape[-1]
     hd_scale = (cfg.n_audio_state // cfg.n_audio_head) ** -0.25
     col = jnp.arange(enc_t, dtype=jnp.int32)
     # block-causal across chunks WITHIN the call: a query in chunk j attends
     # history + its own chunk only, exactly matching j sequential 1-chunk
     # calls (full lookahead inside each 160 ms chunk, none across)
-    qblk = (jnp.arange(n_pos, dtype=jnp.int32) // CHUNK_POS + 1) * CHUNK_POS
+    j = jnp.arange(n_pos, dtype=jnp.int32)
+    qblk = (j // CHUNK_POS + 1) * CHUNK_POS
     limit = pos_rows[:, None] + qblk[None, :]  # [B, n_pos]
     mask = jnp.where(
         col[None, None, :] < limit[:, :, None], 0.0, -jnp.inf
     ).astype(jnp.float32)[:, None, :, :]  # [B, 1, n_pos, T]
 
-    ek = enc_k[stream_ids]  # [B, Le, H, hd, T]
-    ev = enc_v[stream_ids]
+    keep = None
+    if commit is not None:
+        keep = (j // CHUNK_POS)[None, :] < commit[:, None]  # [B, n_pos]
+
+    def append(rows_l, cols_l):
+        if keep is None:
+            return _append_cols(rows_l, cols_l, pos_rows)
+        return _append_cols_guarded(rows_l, cols_l, pos_rows, keep)
+
     new_ek, new_ev = [], []
     for li, layer in enumerate(e["layers"]):
         h = _layernorm(x, layer["ln1"])
         q = _split_heads(_dense(h, layer["attn"]["q"]), cfg.n_audio_head)  # [B,H,c,hd]
         k = _split_heads(_dense(h, layer["attn"]["k"]), cfg.n_audio_head)
         v = _split_heads(_dense(h, layer["attn"]["v"]), cfg.n_audio_head)
-        ek_l = _append_cols(ek[:, li], k.swapaxes(-1, -2), pos_rows)
-        ev_l = _append_cols(ev[:, li], v.swapaxes(-1, -2), pos_rows)
-        new_ek.append(ek_l)
-        new_ev.append(ev_l)
+        # attention must see the candidate K/V of ALL n_pos new positions
+        # (block-causal mask applies); only the cache WRITE is commit-guarded
+        ek_full = _append_cols(ek[:, li], k.swapaxes(-1, -2), pos_rows)
+        ev_full = _append_cols(ev[:, li], v.swapaxes(-1, -2), pos_rows)
+        new_ek.append(append(ek[:, li], k.swapaxes(-1, -2)))
+        new_ev.append(append(ev[:, li], v.swapaxes(-1, -2)))
         scores = jnp.matmul(
-            q * hd_scale, ek_l.astype(dtype) * hd_scale, preferred_element_type=jnp.float32
+            q * hd_scale, ek_full.astype(dtype) * hd_scale, preferred_element_type=jnp.float32
         )  # [B,H,c,T]
         probs = jax.nn.softmax(scores + mask, axis=-1).astype(dtype)
-        out = jnp.einsum("bhqt,bhdt->bhqd", probs, ev_l, preferred_element_type=jnp.float32).astype(dtype)
+        out = jnp.einsum("bhqt,bhdt->bhqd", probs, ev_full, preferred_element_type=jnp.float32).astype(dtype)
         x = x + _dense(_merge_heads(out), layer["attn"]["o"])
         x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
     enc_out = _layernorm(x, e["ln_post"])  # [B, c, d]
 
-    xk_rows = xk[stream_ids]
-    xv_rows = xv[stream_ids]
     new_xk, new_xv = [], []
     for li, layer in enumerate(params["dec"]["layers"]):
         kx = _split_heads(_dense(enc_out, layer["xattn"]["k"]), cfg.n_text_head)
         vx = _split_heads(_dense(enc_out, layer["xattn"]["v"]), cfg.n_text_head)
-        new_xk.append(_append_cols(xk_rows[:, li], kx.swapaxes(-1, -2), pos_rows))
-        new_xv.append(_append_cols(xv_rows[:, li], vx.swapaxes(-1, -2), pos_rows))
+        new_xk.append(append(xkr[:, li], kx.swapaxes(-1, -2)))
+        new_xv.append(append(xvr[:, li], vx.swapaxes(-1, -2)))
 
-    enc_k = enc_k.at[stream_ids].set(jnp.stack(new_ek, axis=1))
-    enc_v = enc_v.at[stream_ids].set(jnp.stack(new_ev, axis=1))
-    xk = xk.at[stream_ids].set(jnp.stack(new_xk, axis=1))
-    xv = xv.at[stream_ids].set(jnp.stack(new_xv, axis=1))
-    enc_pos = enc_pos.at[stream_ids].set(pos_rows + n_pos)
-    return enc_k, enc_v, xk, xv, enc_pos, pos_rows + n_pos
+    adv = n_pos if commit is None else CHUNK_POS * commit
+    return (
+        jnp.stack(new_ek, axis=1),
+        jnp.stack(new_ev, axis=1),
+        jnp.stack(new_xk, axis=1),
+        jnp.stack(new_xv, axis=1),
+        pos_rows + adv,
+    )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "max_steps"),
-    donate_argnums=(1, 2, 3, 4, 5),
-)
-def _stream_decode(
+def _decode_core(
     params: Params,
-    dec_k: jnp.ndarray,  # [S, Ld, H, hd, DEC_T]
-    dec_v: jnp.ndarray,
-    tokens: jnp.ndarray,  # [S, DEC_T] int32
-    fed: jnp.ndarray,  # [S] int32 — tokens fed through the decoder
-    n_tok: jnp.ndarray,  # [S] int32 — tokens in the buffer (incl. prefix)
-    xk: jnp.ndarray,
-    xv: jnp.ndarray,
-    enc_pos: jnp.ndarray,
-    stream_ids: jnp.ndarray,  # [B]
     cfg: WhisperConfig,
+    dk: jnp.ndarray,  # [B, Ld, H, hd, DEC_T] gathered rows
+    dv: jnp.ndarray,
+    xkr: jnp.ndarray,
+    xvr: jnp.ndarray,
+    ep: jnp.ndarray,  # [B] encoder positions (cross-attn horizon)
+    tok: jnp.ndarray,  # [B, DEC_T]
+    fed_r: jnp.ndarray,
+    n_r: jnp.ndarray,
+    active0: jnp.ndarray,  # [B] bool — rows allowed to step at all
     max_steps: int,
 ):
-    """Continue each row's greedy decode against its grown cross context.
-
-    Per step a row feeds ``tokens[min(fed, n_tok-1)]`` (re-feeding the
-    newest token when caught up refreshes its K/V and logits against new
-    audio), then — once caught up — appends the argmax unless it is
-    ``<|eot|>``, which is held back (the utterance may continue). Rows stop
-    for this call on eot; the next partial tick retries with more audio.
-    """
+    """Greedy continuation scan. Per step a row feeds ``tokens[min(fed,
+    n_tok-1)]`` (re-feeding the newest token when caught up refreshes its
+    K/V and logits against new audio), then — once caught up — appends the
+    argmax unless it is ``<|eot|>``, which is held back (the utterance may
+    continue). Rows stop on eot; the next tick retries with more audio."""
     d = params["dec"]
-    dtype = dec_k.dtype
+    dtype = dk.dtype
     eot = jnp.int32(cfg.token_eot)
-    dec_t = dec_k.shape[-1]
-    enc_t = xk.shape[-1]
+    dec_t = dk.shape[-1]
+    enc_t = xkr.shape[-1]
     hd = cfg.n_text_state // cfg.n_text_head
     scale = hd ** -0.25
-    b = stream_ids.shape[0]
+    b = tok.shape[0]
     bi = jnp.arange(b)
-
-    dk = dec_k[stream_ids]  # [B, Ld, H, hd, DEC_T]
-    dv = dec_v[stream_ids]
-    xkr = xk[stream_ids]  # [B, Ld, H, hd, ENC_T] — gather ONCE, reused all steps
-    xvr = xv[stream_ids]
-    tok = tokens[stream_ids]  # [B, DEC_T]
-    fed_r = fed[stream_ids]
-    n_r = n_tok[stream_ids]
-    ep = enc_pos[stream_ids]
 
     xcol = jnp.arange(enc_t, dtype=jnp.int32)
     # max(ep, 1) keeps the softmax finite for not-yet-encoded rows (they are
@@ -318,17 +329,165 @@ def _stream_decode(
         done = jnp.logical_or(done, ~active)
         return (dk, dv, tok, fed_new, n_new, done), None
 
-    done0 = jnp.zeros((b,), bool)
+    done0 = ~active0
     (dk, dv, tok, fed_r, n_r, _), _ = jax.lax.scan(
         step, (dk, dv, tok, fed_r, n_r, done0), None, length=max_steps
     )
+    return dk, dv, tok, fed_r, n_r
 
+
+# ---------------------------------------------------------------------------
+# jitted steps
+# ---------------------------------------------------------------------------
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_chunks"),
+    donate_argnums=(1, 2, 3, 4, 5),
+)
+def _stream_encode(
+    params: Params,
+    enc_k: jnp.ndarray,  # [S, Le, H, hd, ENC_T]
+    enc_v: jnp.ndarray,
+    xk: jnp.ndarray,  # [S, Ld, H, hd, ENC_T]
+    xv: jnp.ndarray,
+    enc_pos: jnp.ndarray,  # [S] int32
+    ring: jnp.ndarray,  # [slots, ring_samples] int16
+    slot_ids: jnp.ndarray,  # [B] audio-ring slots
+    stream_ids: jnp.ndarray,  # [B] stream-table slots
+    starts: jnp.ndarray,  # [B] absolute chunk start samples
+    cfg: WhisperConfig,
+    n_chunks: int = 1,
+):
+    """Standalone batched chunk encode (the fused block step is the serving
+    path; this remains for tools/tests and mixed pipelines)."""
+    pos_rows = enc_pos[stream_ids]
+    ek, ev, xkr, xvr, pos_new = _encode_core(
+        params, cfg, ring, slot_ids, starts,
+        enc_k[stream_ids], enc_v[stream_ids], xk[stream_ids], xv[stream_ids],
+        pos_rows, n_chunks,
+    )
+    enc_k = enc_k.at[stream_ids].set(ek)
+    enc_v = enc_v.at[stream_ids].set(ev)
+    xk = xk.at[stream_ids].set(xkr)
+    xv = xv.at[stream_ids].set(xvr)
+    enc_pos = enc_pos.at[stream_ids].set(pos_new)
+    return enc_k, enc_v, xk, xv, enc_pos, pos_new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_steps"),
+    donate_argnums=(1, 2, 3, 4, 5),
+)
+def _stream_decode(
+    params: Params,
+    dec_k: jnp.ndarray,  # [S, Ld, H, hd, DEC_T]
+    dec_v: jnp.ndarray,
+    tokens: jnp.ndarray,  # [S, DEC_T] int32
+    fed: jnp.ndarray,  # [S] int32 — tokens fed through the decoder
+    n_tok: jnp.ndarray,  # [S] int32 — tokens in the buffer (incl. prefix)
+    xk: jnp.ndarray,
+    xv: jnp.ndarray,
+    enc_pos: jnp.ndarray,
+    stream_ids: jnp.ndarray,  # [B]
+    cfg: WhisperConfig,
+    max_steps: int,
+):
+    """Standalone batched decode continuation (see :func:`_decode_core`)."""
+    b = stream_ids.shape[0]
+    dk, dv, tok, fed_r, n_r = _decode_core(
+        params, cfg,
+        dec_k[stream_ids], dec_v[stream_ids],
+        xk[stream_ids], xv[stream_ids], enc_pos[stream_ids],
+        tokens[stream_ids], fed[stream_ids], n_tok[stream_ids],
+        jnp.ones((b,), bool), max_steps,
+    )
     dec_k = dec_k.at[stream_ids].set(dk)
     dec_v = dec_v.at[stream_ids].set(dv)
     tokens = tokens.at[stream_ids].set(tok)
     fed = fed.at[stream_ids].set(fed_r)
     n_tok = n_tok.at[stream_ids].set(n_r)
     return dec_k, dec_v, tokens, fed, n_tok, tok, n_r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_steps", "n_chunks"),
+    donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
+)
+def _stream_step(
+    params: Params,
+    vad_state,  # donated pytree [S_ring, ...]
+    enc_k: jnp.ndarray,
+    enc_v: jnp.ndarray,
+    xk: jnp.ndarray,
+    xv: jnp.ndarray,
+    enc_pos: jnp.ndarray,
+    dec_k: jnp.ndarray,
+    dec_v: jnp.ndarray,
+    tokens: jnp.ndarray,
+    fed: jnp.ndarray,
+    n_tok: jnp.ndarray,
+    ring: jnp.ndarray,  # NOT donated: decode snapshots may hold the old ref
+    slot_ids: jnp.ndarray,  # [B] audio-ring slots
+    stream_ids: jnp.ndarray,  # [B]
+    wpos: jnp.ndarray,  # [B] ring write positions for this block
+    cstart: jnp.ndarray,  # [B] chunk start samples (ring coords)
+    n_req: jnp.ndarray,  # [B] int32 chunks to commit (0..n_chunks)
+    do_dec: jnp.ndarray,  # [B] bool — run the decode continuation
+    frames_b: jnp.ndarray,  # [B, n_frames, VAD_FRAME] f32
+    cfg: WhisperConfig,
+    max_steps: int,
+    n_chunks: int = 2,
+):
+    """Fused per-VAD-block streaming step: score VAD frames, append them to
+    the audio rings, encode up to ``n_chunks`` pending chunks (per-row
+    commit counts), and advance the decode continuation — ONE device call
+    per block instead of three. The chunk gather happens AFTER the ring
+    append, so a chunk ending inside this block decodes in the same call.
+    """
+    # 1) VAD score + ring append (audio_ring._vad_append semantics)
+    ring_samples = ring.shape[1]
+    rows = jax.tree.map(lambda s: s[slot_ids], vad_state)
+    probs, new_rows = vad_frame_probs(rows, frames_b)
+    vad_state = jax.tree.map(lambda s, r: s.at[slot_ids].set(r), vad_state, new_rows)
+    b = frames_b.shape[0]
+    flat = frames_b.reshape(b, -1)
+    wire = jnp.clip(flat * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
+    rpos = (wpos[:, None] + jnp.arange(flat.shape[1], dtype=jnp.int32)) % ring_samples
+    ring = ring.at[slot_ids[:, None], rpos].set(wire)
+
+    # 2) commit-guarded chunk encode against the freshly appended ring
+    pos_rows = enc_pos[stream_ids]
+    ek, ev, xkr, xvr, pos_new = _encode_core(
+        params, cfg, ring, slot_ids, cstart,
+        enc_k[stream_ids], enc_v[stream_ids], xk[stream_ids], xv[stream_ids],
+        pos_rows, n_chunks, commit=n_req,
+    )
+
+    # 3) decode continuation against the updated cross context
+    dk, dv, tok, fed_r, n_r = _decode_core(
+        params, cfg,
+        dec_k[stream_ids], dec_v[stream_ids], xkr, xvr, pos_new,
+        tokens[stream_ids], fed[stream_ids], n_tok[stream_ids],
+        do_dec, max_steps,
+    )
+
+    enc_k = enc_k.at[stream_ids].set(ek)
+    enc_v = enc_v.at[stream_ids].set(ev)
+    xk = xk.at[stream_ids].set(xkr)
+    xv = xv.at[stream_ids].set(xvr)
+    enc_pos = enc_pos.at[stream_ids].set(pos_new)
+    dec_k = dec_k.at[stream_ids].set(dk)
+    dec_v = dec_v.at[stream_ids].set(dv)
+    tokens = tokens.at[stream_ids].set(tok)
+    fed = fed.at[stream_ids].set(fed_r)
+    n_tok = n_tok.at[stream_ids].set(n_r)
+    return (
+        vad_state, enc_k, enc_v, xk, xv, enc_pos,
+        dec_k, dec_v, tokens, fed, n_tok, ring,
+        probs, tok, n_r, pos_new,
+    )
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
@@ -437,6 +596,50 @@ class StreamTable:
                 max_steps,
             )
         return tok_rows, n_rows
+
+    def step(
+        self,
+        params: Params,
+        audio_ring,  # SessionAudioRing — VAD state + audio rings live there
+        slot_ids,
+        stream_ids,
+        wpos,
+        cstart,
+        n_req,
+        do_dec,
+        frames_b,
+        max_steps: int,
+    ):
+        """Fused per-block step (VAD + ring append + encode + decode) — ONE
+        device call. Takes both tables' step locks (ring first, then stream —
+        the only place both are held, so the order cannot deadlock) and
+        exchanges the ring's buffers in place, mirroring
+        ``SessionAudioRing.vad_append`` semantics (ring not donated)."""
+        with audio_ring._step_lock:
+            with self._step_lock:
+                (
+                    audio_ring._vad_state,
+                    self._enc_k, self._enc_v, self._xk, self._xv, self._enc_pos,
+                    self._dec_k, self._dec_v, self._tokens, self._fed, self._n_tok,
+                    audio_ring._ring,
+                    probs, tok_rows, n_rows, pos_new,
+                ) = _stream_step(
+                    params,
+                    audio_ring._vad_state,
+                    self._enc_k, self._enc_v, self._xk, self._xv, self._enc_pos,
+                    self._dec_k, self._dec_v, self._tokens, self._fed, self._n_tok,
+                    audio_ring._ring,
+                    jnp.asarray(slot_ids, jnp.int32),
+                    jnp.asarray(stream_ids, jnp.int32),
+                    jnp.asarray(wpos, jnp.int32),
+                    jnp.asarray(cstart, jnp.int32),
+                    jnp.asarray(n_req, jnp.int32),
+                    jnp.asarray(do_dec, bool),
+                    frames_b,
+                    self.cfg,
+                    max_steps,
+                )
+        return probs, tok_rows, n_rows, pos_new
 
 
 # process-wide tables keyed by model tag (mirrors _get_audio_ring)

@@ -256,32 +256,22 @@ class WhisperNode(ProcessorNode):
                 stream_pad = int(
                     os.environ.get("SK_STREAM_PAD", str(min(8, stream_tbl.max_slots)))
                 )
-                stream_steps = int(os.environ.get("SK_STREAM_STEPS", "4"))
-                senc_kind = f"stream_enc:{model_tag}"
-                sdec_kind = f"stream_dec:{model_tag}"
+                stream_steps = int(os.environ.get("SK_STREAM_STEPS", "3"))
+                # fused per-block step: VAD + ring append + chunk encode +
+                # decode continuation in ONE device call — replaces the
+                # 3-call chain (vad, enc, dec) whose per-call Python dispatch
+                # + tunnel RTT saturated a 1-core serving host
+                sstep_kind = f"stream_step:{model_tag}:{self.vad_block}"
 
-                def make_senc(n_chunks: int):
-                    def batched_senc(slot_ids, sids, starts):
-                        return stream_tbl.encode_chunks(
-                            params, ring.ring_ref(), slot_ids, sids, starts, n_chunks
-                        )
-
-                    return batched_senc
-
-                def batched_sdec(sids):
-                    return stream_tbl.decode_steps(params, sids, stream_steps)
+                def batched_sstep(slot_ids, sids, wpos, cstart, n_req, do_dec, frames):
+                    return stream_tbl.step(
+                        params, ring, slot_ids, sids, wpos, cstart,
+                        n_req, do_dec, frames, stream_steps,
+                    )
 
                 sgather = float(os.environ.get("SK_STREAM_GATHER_MS", "0"))
-                # n=1 is the steady-state op; n=2 drains backlogs in one call
-                # (a session's encode chain is serial, and per-call cost is
-                # dispatch-dominated — two chunks cost barely more than one)
-                for n in (1, 2):
-                    ctx.batcher.register(
-                        f"{senc_kind}:{n}", make_senc(n), pad_to=stream_pad,
-                        gather_ms=sgather,
-                    )
                 ctx.batcher.register(
-                    sdec_kind, batched_sdec, pad_to=stream_pad, gather_ms=sgather,
+                    sstep_kind, batched_sstep, pad_to=stream_pad, gather_ms=sgather,
                 )
         stream_prefix = None
         if stream_tbl is not None:
@@ -294,14 +284,11 @@ class WhisperNode(ProcessorNode):
                 ],
                 np.int32,
             )
-        # streaming segment state shared between the ingest loop (writer) and
-        # the stream worker (reader): the ingest loop must NEVER await stream
-        # device calls — a serialized encode chain stalls VAD pacing and
-        # desynchronizes batching across sessions (measured: p50 blew up to
-        # ~11 s when encodes ran inline on the ingest path)
-        stream_seg = {"open": False, "start": 0, "gen": 0, "closed": False}
-        written_box = [0]
-        stream_wake = asyncio.Event()
+        # fused-path streaming cursors (all sample counts absolute)
+        st_ready = False  # reset done for the currently open segment
+        st_tip = 0  # next chunk start
+        st_pos = 0  # encoder positions filled this segment
+        st_last_dec = 0.0  # partial-decode cooldown
 
         def _bucket_samples(n: int) -> int:
             for b in self.window_buckets:
@@ -347,85 +334,6 @@ class WhisperNode(ProcessorNode):
             text = await decode_text(samples, start_f, end_f)
             await send_transcription(text, start_f, end_f, is_final)
 
-        async def stream_worker() -> None:
-            """Owns ALL streaming-table calls for this session (reset →
-            chunk encodes → partial decode ticks), strictly serial so cache
-            appends never race. Runs beside the ingest loop; emissions are
-            generation-guarded so a closing segment's final always lands
-            last (the exact final decode goes through the emit worker)."""
-            done_reset_gen = -1
-            tip = 0
-            pos = 0
-            last_dec_tip = -1
-            last_dec_t = 0.0
-            while not stream_seg["closed"]:
-                if not stream_seg["open"]:
-                    stream_wake.clear()
-                    # re-check after clear: the ingest loop may have opened a
-                    # segment (or shut down) between the check and the clear
-                    if stream_seg["open"] or stream_seg["closed"]:
-                        continue
-                    await stream_wake.wait()
-                    continue
-                g = stream_seg["gen"]
-                if done_reset_gen != g:
-                    await loop.run_in_executor(
-                        None, stream_tbl.reset, stream_id, stream_prefix
-                    )
-                    tip = stream_seg["start"]
-                    pos = 0
-                    done_reset_gen = g
-                    continue
-                avail = written_box[0] - RIGHT_CTX - tip
-                room = (stream_tbl.enc_t - pos) // 8
-                n_enc = min(avail // CHUNK_SAMPLES, 2, room)
-                if n_enc > 0:
-                    await ctx.batcher.submit(
-                        f"{senc_kind}:{n_enc}",
-                        np.int32(vad_slot),
-                        np.int32(stream_id),
-                        np.int32(tip % ring.ring_samples),
-                    )
-                    if stream_seg["gen"] != g:
-                        continue  # segment turned over mid-encode
-                    tip += n_enc * CHUNK_SAMPLES
-                    pos += n_enc * 8
-                    continue
-                # event-driven decode: fire right after the encode that
-                # advanced the tip (waiting for a wall-clock tick added a
-                # mean interval/2 of staleness), rate-capped at the partial
-                # interval; the batcher gather window coalesces co-paced
-                # sessions (their VAD blocks arrive in lockstep)
-                now = time.monotonic()
-                if (
-                    pos > 0
-                    and tip > last_dec_tip
-                    and now - last_dec_t >= self.partial_interval
-                ):
-                    last_dec_tip = tip
-                    last_dec_t = now
-                    tok_row, n = await ctx.batcher.submit(sdec_kind, np.int32(stream_id))
-                    n = int(n)
-                    if (
-                        n > len(stream_prefix)
-                        and stream_seg["gen"] == g
-                        and stream_seg["open"]
-                    ):
-                        text = detok.decode(tok_row[len(stream_prefix) : n])
-                        await send_transcription(
-                            text, stream_seg["start"] // VAD_FRAME, tip // VAD_FRAME, False
-                        )
-                    continue
-                # idle until the next chunk arrives or the cooldown expires
-                wait = max(0.002, min(
-                    self.partial_interval - (now - last_dec_t), 0.05
-                )) if self.partial_interval > 0 else 0.002
-                try:
-                    await asyncio.wait_for(stream_wake.wait(), timeout=wait)
-                except asyncio.TimeoutError:
-                    pass
-                stream_wake.clear()
-
         if batch_kind is not None:
             vad_slot = ring.alloc()
 
@@ -453,7 +361,13 @@ class WhisperNode(ProcessorNode):
                 if item is None:
                     return
                 kind_, samples_, start_f_, end_f_, gen_ = item
-                if kind_ == "partial":
+                if kind_ == "ptext":
+                    # fused-step partial: text already decoded on device —
+                    # no further device work, just ordered emission
+                    if gen_ != seg_gen[0]:
+                        continue  # segment already closed: stale
+                    await send_transcription(samples_, start_f_, end_f_, False)
+                elif kind_ == "partial":
                     if gen_ != seg_gen[0]:
                         continue  # segment already closed: stale
                     t = asyncio.ensure_future(
@@ -470,9 +384,6 @@ class WhisperNode(ProcessorNode):
                     await emit_transcription(samples_, start_f_, end_f_, True)
 
         emit_task = asyncio.ensure_future(emit_worker())
-        stream_task = (
-            asyncio.ensure_future(stream_worker()) if stream_tbl is not None else None
-        )
         try:
             while True:
                 pkt = await ctx.recv_with_cancellation("in")
@@ -496,17 +407,51 @@ class WhisperNode(ProcessorNode):
                 # per kind (variable frame counts would each compile anew)
                 all_probs = []
                 all_frames = []
+                partial_emit = None  # (tok_row, n_tok, end_f) from a fused step
                 while len(buf) // VAD_FRAME >= self.vad_block:
                     block = buf[: self.vad_block * VAD_FRAME].reshape(self.vad_block, VAD_FRAME)
                     buf = buf[self.vad_block * VAD_FRAME :]
                     all_frames.append(block)
                     if ctx.batcher is not None:
-                        probs = await ctx.batcher.submit(
-                            vad_kind,
-                            np.int32(vad_slot),
-                            np.int32(written % ring.ring_samples),
-                            block,
-                        )
+                        fused = stream_tbl is not None and seg.in_speech and st_ready
+                        if fused:
+                            # ONE fused call: VAD + ring append + chunk
+                            # encode + decode continuation. The chunk gather
+                            # runs after the append, so audio from THIS block
+                            # can be encoded and decoded in the same call.
+                            avail = written + block.size - RIGHT_CTX - st_tip
+                            room = (stream_tbl.enc_t - st_pos) // 8
+                            n_req = max(0, min(avail // CHUNK_SAMPLES, 2))
+                            if room < 2:
+                                n_req = 0  # horizon full: partials freeze
+                            now = time.monotonic()
+                            do_dec = (
+                                st_pos + 8 * n_req > 0
+                                and now - st_last_dec >= self.partial_interval
+                            )
+                            if do_dec:
+                                st_last_dec = now
+                            probs, tok_row, ntk, _ = await ctx.batcher.submit(
+                                sstep_kind,
+                                np.int32(vad_slot),
+                                np.int32(stream_id),
+                                np.int32(written % ring.ring_samples),
+                                np.int32(st_tip % ring.ring_samples),
+                                np.int32(n_req),
+                                np.bool_(do_dec),
+                                block,
+                            )
+                            st_tip += n_req * CHUNK_SAMPLES
+                            st_pos += n_req * 8
+                            if do_dec:
+                                partial_emit = (tok_row, int(ntk), st_tip // VAD_FRAME)
+                        else:
+                            probs = await ctx.batcher.submit(
+                                vad_kind,
+                                np.int32(vad_slot),
+                                np.int32(written % ring.ring_samples),
+                                block,
+                            )
                         written += block.size
                         all_probs.append(np.asarray(probs))
                     else:
@@ -515,26 +460,39 @@ class WhisperNode(ProcessorNode):
                 frames = np.concatenate(all_frames)
                 probs = np.concatenate(all_probs)
                 n_frames = frames.shape[0]
-                written_box[0] = written
                 for i in range(n_frames):
                     for kind, seg_samples, start_f, end_f in seg.push(frames[i], float(probs[i])):
                         if kind == "speech_start":
                             telemetry.emit("vad.speech_start", {})
                             if stream_tbl is not None:
-                                # hand the new segment to the stream worker
-                                stream_seg["start"] = start_f * VAD_FRAME
-                                stream_seg["gen"] += 1
-                                stream_seg["open"] = True
-                                stream_wake.set()
+                                # open the streaming row before the next block
+                                await loop.run_in_executor(
+                                    None, stream_tbl.reset, stream_id, stream_prefix
+                                )
+                                st_tip = start_f * VAD_FRAME
+                                st_pos = 0
+                                st_ready = True
                         else:
                             telemetry.emit("vad.speech_end", {})
                             if stream_tbl is not None:
-                                stream_seg["open"] = False
+                                st_ready = False
                             enqueue_final(seg_samples, start_f, end_f)
-                if stream_tbl is not None and seg.in_speech:
-                    stream_wake.set()  # new scored audio for the worker
+                # emit the fused step's partial AFTER segment events: if this
+                # block closed the segment, the partial is stale (the final
+                # supersedes it) and is dropped here
+                if (
+                    partial_emit is not None
+                    and seg.in_speech
+                    and st_ready
+                    and partial_emit[1] > len(stream_prefix)
+                ):
+                    tok_row, ntk, end_f = partial_emit
+                    text = detok.decode(tok_row[len(stream_prefix) : ntk])
+                    emit_q.put_nowait(
+                        ("ptext", text, seg._segment_start_frame, end_f, seg_gen[0])
+                    )
                 # bucket-fallback live partials (streaming sessions emit
-                # partials from the stream worker instead): only enqueued
+                # partials from the fused step instead): only enqueued
                 # when the emit worker is idle; a final closing the segment
                 # cancels any in-flight partial decode
                 if self.partials and stream_tbl is None and seg.in_speech:
@@ -566,14 +524,6 @@ class WhisperNode(ProcessorNode):
                     await asyncio.wait_for(emit_task, timeout=5)
                 except (asyncio.TimeoutError, asyncio.CancelledError):
                     emit_task.cancel()
-            if stream_task is not None:
-                stream_seg["closed"] = True
-                stream_seg["open"] = False
-                stream_wake.set()
-                try:
-                    await asyncio.wait_for(stream_task, timeout=5)
-                except (asyncio.TimeoutError, asyncio.CancelledError):
-                    stream_task.cancel()
             if stream_tbl is not None and stream_id is not None:
                 stream_tbl.free(stream_id)
             if vad_slot is not None:
