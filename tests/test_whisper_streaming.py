@@ -164,3 +164,128 @@ def test_encode_respects_capacity(params):
     assert int(tbl._enc_pos[0]) == 16
     tok, n = tbl.decode_steps(params, [0], 6)
     assert int(n[0]) > 4
+
+
+def _speechy_blocks(n_blocks: int, frames_per_block: int, seed: int):
+    """Speech-amplitude noise blocks [n_blocks, frames_per_block, VAD_FRAME]."""
+    from streamkit_tpu.ops.vad import VAD_FRAME
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_blocks, frames_per_block, VAD_FRAME).astype(np.float32) * 0.2
+
+
+def test_fused_step_matches_separate_calls(params):
+    """The fused per-block step (VAD + ring append + commit-guarded encode +
+    masked decode) must be row-for-row equivalent to the separate
+    vad_append / encode_chunks / decode_steps schedule — including rows that
+    commit different chunk counts inside one batched call."""
+    from streamkit_tpu.engine.audio_ring import SessionAudioRing
+    from streamkit_tpu.models.whisper.streaming import RIGHT_CTX
+
+    rs = 1 << 14
+    ring_a = SessionAudioRing(max_slots=2, ring_samples=rs)
+    ring_b = SessionAudioRing(max_slots=2, ring_samples=rs)
+    tbl_a = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32)
+    tbl_b = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32)
+    for r in (ring_a, ring_b):
+        assert r.alloc() == 0 and r.alloc() == 1
+    for t in (tbl_a, tbl_b):
+        t.reset(0, PREFIX)
+        t.reset(1, PREFIX)
+
+    blocks = _speechy_blocks(3, 8, seed=13)  # 3 blocks x 4096 samples
+    block_n = blocks.shape[1] * blocks.shape[2]
+    written = 0
+    tip = [0, 0]  # per-row committed chunk tips (row 1 lags by one chunk)
+    probs_a_all, probs_b_all = [], []
+    for bi, block in enumerate(blocks):
+        avail_after = written + block_n - RIGHT_CTX
+        n0 = max(0, min((avail_after - tip[0]) // CHUNK_SAMPLES, 2))
+        n1 = max(0, min((avail_after - tip[1]) // CHUNK_SAMPLES, 1))  # lagger
+        do_dec = bi == len(blocks) - 1
+        probs_a, tok_a, n_a, _ = tbl_a.step(
+            params, ring_a, [0, 1], [0, 1],
+            [written % rs] * 2, [tip[0] % rs, tip[1] % rs],
+            [n0, n1], [do_dec, do_dec],
+            np.stack([block, block]), max_steps=6,
+        )
+        probs_a_all.append(np.asarray(probs_a))
+        # reference schedule: append, then per-row encodes, then decode
+        probs_b = ring_b.vad_append([0, 1], [written] * 2, np.stack([block, block]))
+        probs_b_all.append(np.asarray(probs_b))
+        if n0:
+            tbl_b.encode_chunks(
+                params, ring_b.ring_ref(), [0], [0], [tip[0] % rs], n_chunks=n0
+            )
+        if n1:
+            tbl_b.encode_chunks(
+                params, ring_b.ring_ref(), [1], [1], [tip[1] % rs], n_chunks=n1
+            )
+        if do_dec:
+            tok_b, n_b = tbl_b.decode_steps(params, [0, 1], 6)
+        tip[0] += n0 * CHUNK_SAMPLES
+        tip[1] += n1 * CHUNK_SAMPLES
+
+    # identical VAD probabilities and ring contents
+    np.testing.assert_allclose(
+        np.concatenate(probs_a_all), np.concatenate(probs_b_all), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(ring_a._ring), np.asarray(ring_b._ring))
+    # identical positions; caches equal up to the documented mel
+    # dynamic-range-floor tolerance (fused always gathers the 2-chunk
+    # window; the reference schedule gathers per-commit windows)
+    np.testing.assert_array_equal(
+        np.asarray(tbl_a._enc_pos), np.asarray(tbl_b._enc_pos)
+    )
+    np.testing.assert_allclose(
+        np.asarray(tbl_a._enc_k), np.asarray(tbl_b._enc_k), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(tbl_a._xv), np.asarray(tbl_b._xv), atol=5e-3
+    )
+    # decode advanced identically (greedy argmax is stable at these margins)
+    np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_b))
+    for row in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(tok_a)[row, : int(n_a[row])],
+            np.asarray(tok_b)[row, : int(n_b[row])],
+        )
+
+
+def test_fused_step_masked_rows_untouched(params):
+    """Rows with n_req=0/do_dec=False inside a fused batched call keep their
+    encoder caches and decode state bit-identical (the commit guard rewrites
+    old values; the decode scan masks inactive lanes)."""
+    from streamkit_tpu.engine.audio_ring import SessionAudioRing
+    from streamkit_tpu.models.whisper.streaming import RIGHT_CTX
+
+    rs = 1 << 14
+    ring = SessionAudioRing(max_slots=2, ring_samples=rs)
+    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32)
+    assert ring.alloc() == 0 and ring.alloc() == 1
+    tbl.reset(0, PREFIX)
+    tbl.reset(1, PREFIX)
+    blocks = _speechy_blocks(2, 8, seed=21)
+    block_n = blocks.shape[1] * blocks.shape[2]
+    # prime both rows with one committed chunk + a decode tick
+    tbl.step(
+        params, ring, [0, 1], [0, 1], [0] * 2, [0] * 2,
+        [1, 1], [True, True], np.stack([blocks[0]] * 2), max_steps=4,
+    )
+    snap = {
+        "ek": np.asarray(tbl._enc_k[1]).copy(),
+        "pos": int(tbl._enc_pos[1]),
+        "tok": np.asarray(tbl._tokens[1]).copy(),
+        "n": int(tbl._n_tok[1]),
+        "fed": int(tbl._fed[1]),
+    }
+    # row 0 advances; row 1 rides the batch fully masked
+    tbl.step(
+        params, ring, [0, 1], [0, 1], [block_n] * 2,
+        [CHUNK_SAMPLES % rs] * 2, [1, 0], [True, False],
+        np.stack([blocks[1]] * 2), max_steps=4,
+    )
+    assert int(tbl._enc_pos[1]) == snap["pos"]
+    np.testing.assert_array_equal(np.asarray(tbl._enc_k[1]), snap["ek"])
+    np.testing.assert_array_equal(np.asarray(tbl._tokens[1]), snap["tok"])
+    assert int(tbl._n_tok[1]) == snap["n"] and int(tbl._fed[1]) == snap["fed"]
