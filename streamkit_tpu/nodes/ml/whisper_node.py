@@ -88,6 +88,15 @@ class WhisperNode(ProcessorNode):
                 # re-encode (models/whisper/streaming.py). Falls back to the
                 # bucket re-decode path when the stream table is exhausted.
                 "streaming_partials": True,
+                # serve segment FINALS from the stream table's continuation
+                # decode (tokens already computed by the partial ticks)
+                # instead of an exact bidirectional bucket re-decode. Cuts
+                # the per-segment device cost from a 250-350 ms bucket call
+                # to zero extra work — a latency/throughput profile knob; the
+                # default keeps the reference's exact-final contract. Falls
+                # back to the exact decode when the stream horizon froze or
+                # the segment never streamed.
+                "final_from_stream": False,
                 # chunked-encoder window buckets (seconds): a segment decodes
                 # in the smallest bucket that fits, slashing transfer/encode
                 # cost for short segments and live partials. [30.0] = always
@@ -113,6 +122,9 @@ class WhisperNode(ProcessorNode):
         self.partial_interval = float(cfg["partial_interval_ms"]) / 1000.0
         self.streaming_partials = bool(cfg["streaming_partials"]) and (
             os.environ.get("SK_STREAM_PARTIALS", "1") == "1"
+        )
+        self.final_from_stream = bool(cfg["final_from_stream"]) or (
+            os.environ.get("SK_STREAM_FINALS", "0") == "1"
         )
         self.window_buckets = sorted(float(b) for b in cfg["window_buckets"])
         self.vad_block = max(1, int(cfg["vad_block_frames"]))
@@ -289,6 +301,7 @@ class WhisperNode(ProcessorNode):
         st_tip = 0  # next chunk start
         st_pos = 0  # encoder positions filled this segment
         st_last_dec = 0.0  # partial-decode cooldown
+        st_last_tok = None  # (tok_row, n_tok) from the newest fused decode
 
         def _bucket_samples(n: int) -> int:
             for b in self.window_buckets:
@@ -367,6 +380,10 @@ class WhisperNode(ProcessorNode):
                     if gen_ != seg_gen[0]:
                         continue  # segment already closed: stale
                     await send_transcription(samples_, start_f_, end_f_, False)
+                elif kind_ == "ftext":
+                    # streaming final: text comes from the stream table's
+                    # continuation decode, no device work at close
+                    await send_transcription(samples_, start_f_, end_f_, True)
                 elif kind_ == "partial":
                     if gen_ != seg_gen[0]:
                         continue  # segment already closed: stale
@@ -413,24 +430,34 @@ class WhisperNode(ProcessorNode):
                     buf = buf[self.vad_block * VAD_FRAME :]
                     all_frames.append(block)
                     if ctx.batcher is not None:
-                        fused = stream_tbl is not None and seg.in_speech and st_ready
-                        if fused:
+                        if stream_tbl is not None:
                             # ONE fused call: VAD + ring append + chunk
                             # encode + decode continuation. The chunk gather
                             # runs after the append, so audio from THIS block
                             # can be encoded and decoded in the same call.
-                            avail = written + block.size - RIGHT_CTX - st_tip
-                            room = (stream_tbl.enc_t - st_pos) // 8
-                            n_req = max(0, min(avail // CHUNK_SAMPLES, 2))
-                            if room < 2:
-                                n_req = 0  # horizon full: partials freeze
-                            now = time.monotonic()
-                            do_dec = (
-                                st_pos + 8 * n_req > 0
-                                and now - st_last_dec >= self.partial_interval
-                            )
-                            if do_dec:
-                                st_last_dec = now
+                            # Silent/idle sessions ride the SAME kind with
+                            # n_req=0/do_dec=False (bit-exact no-op on their
+                            # caches): one kind means all co-paced sessions
+                            # coalesce into ONE device call per block period
+                            # — two kinds split the batch and doubled the
+                            # call rate, saturating the tunnel (measured:
+                            # p50 3.2 s vs 538 ms).
+                            if seg.in_speech and st_ready:
+                                avail = written + block.size - RIGHT_CTX - st_tip
+                                room = (stream_tbl.enc_t - st_pos) // 8
+                                n_req = max(0, min(avail // CHUNK_SAMPLES, 2))
+                                if room < 2:
+                                    n_req = 0  # horizon full: partials freeze
+                                now = time.monotonic()
+                                do_dec = (
+                                    st_pos + 8 * n_req > 0
+                                    and now - st_last_dec >= self.partial_interval
+                                )
+                                if do_dec:
+                                    st_last_dec = now
+                            else:
+                                n_req = 0
+                                do_dec = False
                             probs, tok_row, ntk, _ = await ctx.batcher.submit(
                                 sstep_kind,
                                 np.int32(vad_slot),
@@ -445,6 +472,7 @@ class WhisperNode(ProcessorNode):
                             st_pos += n_req * 8
                             if do_dec:
                                 partial_emit = (tok_row, int(ntk), st_tip // VAD_FRAME)
+                                st_last_tok = (tok_row, int(ntk))
                         else:
                             probs = await ctx.batcher.submit(
                                 vad_kind,
@@ -472,11 +500,37 @@ class WhisperNode(ProcessorNode):
                                 st_tip = start_f * VAD_FRAME
                                 st_pos = 0
                                 st_ready = True
+                                st_last_tok = None
                         else:
                             telemetry.emit("vad.speech_end", {})
                             if stream_tbl is not None:
                                 st_ready = False
-                            enqueue_final(seg_samples, start_f, end_f)
+                            # streaming final: the continuation decode has
+                            # already consumed the whole utterance plus the
+                            # VAD hangover silence — its newest tokens ARE
+                            # the final. Guarded: the encode tip must have
+                            # reached the end of speech (a frozen horizon or
+                            # a never-streamed segment falls back to the
+                            # exact bucket decode).
+                            if (
+                                self.final_from_stream
+                                and st_last_tok is not None
+                                and st_last_tok[1] > len(stream_prefix)
+                                and st_tip >= end_f * VAD_FRAME - 2 * CHUNK_SAMPLES
+                            ):
+                                ftext = detok.decode(
+                                    st_last_tok[0][len(stream_prefix) : st_last_tok[1]]
+                                )
+                                seg_gen[0] += 1
+                                t = inflight_partial[0]
+                                if t is not None and not t.done():
+                                    t.cancel()
+                                emit_q.put_nowait(
+                                    ("ftext", ftext, start_f, end_f, seg_gen[0])
+                                )
+                            else:
+                                enqueue_final(seg_samples, start_f, end_f)
+                            st_last_tok = None
                 # emit the fused step's partial AFTER segment events: if this
                 # block closed the segment, the partial is stale (the final
                 # supersedes it) and is dropped here

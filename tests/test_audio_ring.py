@@ -234,12 +234,17 @@ def _run_node_with_batcher(node_params, audio, frame_sleep: float = 0.0):
     return asyncio.run(main())
 
 
-@pytest.mark.parametrize("streaming", [True, False], ids=["streaming", "bucket"])
-def test_partials_order_and_final(monkeypatch, streaming):
+@pytest.mark.parametrize(
+    "streaming,stream_final",
+    [(True, False), (True, True), (False, False)],
+    ids=["streaming", "stream-final", "bucket"],
+)
+def test_partials_order_and_final(monkeypatch, streaming, stream_final):
     """Partials stream while a segment is open; the final lands last and no
     stale partial outsequences it (whisper_node stale-partial cancel).
-    Covers both partial paths: incremental streaming (device-resident
-    caches) and the bucket re-decode fallback."""
+    Covers both partial paths — incremental streaming (device-resident
+    caches) and the bucket re-decode fallback — plus finals served from the
+    stream table (final_from_stream)."""
     from streamkit_tpu.models.whisper import WHISPER_CONFIGS, WhisperConfig
 
     WHISPER_CONFIGS["test-ring-tiny"] = WhisperConfig(
@@ -261,6 +266,7 @@ def test_partials_order_and_final(monkeypatch, streaming):
         "vad_block_frames": 4,
         "max_tokens": 4,
         "streaming_partials": streaming,
+        "final_from_stream": stream_final,
     }
     try:
         # warmup pass compiles the VAD/decode programs (a first-partial
