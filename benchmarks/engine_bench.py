@@ -124,7 +124,10 @@ async def amain() -> dict:
     from streamkit_tpu.engine.batcher import DeviceBatcher
 
     model_size = os.environ.get("SK_ENG_MODEL", "large-v3")
-    n_sessions = int(os.environ.get("SK_ENG_SESSIONS", "48"))
+    # default = measured throughput knee on v5e (sessions/chip: 48 fed →
+    # 57.3, 64 → 71.2, 96 → 94.5, 128 → 118.7, 192 → 96.7 past the knee —
+    # final decodes saturate; PERF_NOTES.md round-2 scaling sweep)
+    n_sessions = int(os.environ.get("SK_ENG_SESSIONS", "128"))
     seconds = float(os.environ.get("SK_ENG_SECONDS", "20"))
     # default the batch pads BEFORE any node registers its batcher kinds:
     # ONE compiled program per kind instead of a power-of-two sweep (each
