@@ -236,8 +236,8 @@ def _run_node_with_batcher(node_params, audio, frame_sleep: float = 0.0):
 
 @pytest.mark.parametrize(
     "streaming,stream_final",
-    [(True, False), (True, True), (False, False)],
-    ids=["streaming", "stream-final", "bucket"],
+    [(True, False), (True, True), (False, False), (False, True)],
+    ids=["streaming", "stream-final", "bucket", "bucket-sfinal-fallback"],
 )
 def test_partials_order_and_final(monkeypatch, streaming, stream_final):
     """Partials stream while a segment is open; the final lands last and no
