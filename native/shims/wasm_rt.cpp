@@ -116,6 +116,17 @@ struct Reader {
         if (size_t(end - p) < n) throw Trap("eof");
         p += n;
     }
+    // bounds-checked little-endian reads for f32/f64 const immediates:
+    // the memcpy must not happen before the range check (truncated bodies
+    // would otherwise leak host-heap bytes into the sandbox).
+    uint32_t f32bits() {
+        if (size_t(end - p) < 4) throw Trap("eof");
+        uint32_t v; memcpy(&v, p, 4); p += 4; return v;
+    }
+    uint64_t f64bits() {
+        if (size_t(end - p) < 8) throw Trap("eof");
+        uint64_t v; memcpy(&v, p, 8); p += 8; return v;
+    }
     std::string name() {
         uint32_t n = u32();
         if (size_t(end - p) < n) throw Trap("eof");
@@ -149,8 +160,8 @@ uint64_t eval_const_expr(Reader& r, const std::vector<Global>& globals) {
             case 0x0b: return v;
             case 0x41: v = uint64_t(uint32_t(r.s32())); break;
             case 0x42: v = uint64_t(r.s64()); break;
-            case 0x43: { uint32_t b; memcpy(&b, r.p, 4); r.skip(4); v = b; break; }
-            case 0x44: { uint64_t b; memcpy(&b, r.p, 8); r.skip(8); v = b; break; }
+            case 0x43: v = r.f32bits(); break;
+            case 0x44: v = r.f64bits(); break;
             case 0x23: v = globals.at(r.u32()).value; break;
             default: throw Trap("unsupported const expr");
         }
@@ -292,9 +303,9 @@ Module* load_module(const uint8_t* data, size_t len) {
                     uint32_t off = uint32_t(eval_const_expr(r, m->globals));
                     uint32_t cnt = r.u32();
                     if (off + size_t(cnt) > m->memory.size()) throw Trap("data out of range");
+                    if (size_t(r.end - r.p) < cnt) throw Trap("eof");
                     memcpy(m->memory.data() + off, r.p, cnt);
                     r.skip(cnt);
-                    break;
                 }
                 break;
             }
@@ -309,10 +320,18 @@ Module* load_module(const uint8_t* data, size_t len) {
 // ---------------------------------------------------------------- execution
 struct Frame;
 
+// Sandbox resource limits mirroring wasmtime's store limits (reference
+// crates/plugin-wasm/src/lib.rs:40-57): bound both native-C-stack recursion
+// (call_function recurses into exec) and the guest value stack, so hostile
+// plugins trap instead of overflowing/exhausting the host.
+constexpr uint32_t MAX_CALL_DEPTH = 1000;
+constexpr size_t MAX_VALUE_STACK = 1u << 20;  // 1M values = 8 MiB
+
 struct Interp {
     Module* m;
     std::vector<uint64_t> stack;
     uint64_t fuel;
+    uint32_t depth = 0;
 
     explicit Interp(Module* mod, uint64_t f) : m(mod), fuel(f) {}
 
@@ -327,7 +346,10 @@ struct Interp {
         stack.pop_back();
         return v;
     }
-    void push(uint64_t v) { stack.push_back(v); }
+    void push(uint64_t v) {
+        if (stack.size() >= MAX_VALUE_STACK) throw Trap("value stack limit exceeded");
+        stack.push_back(v);
+    }
     uint32_t pop32() { return uint32_t(pop()); }
 
     uint8_t* mem_at(uint64_t addr, size_t n) {
@@ -422,6 +444,12 @@ void find_block_ends(const uint8_t* p, const uint8_t* fend, const uint8_t** out_
 
 void Interp::call_function(uint32_t fidx) {
     if (fidx >= m->funcs.size()) throw Trap("bad function index");
+    if (depth >= MAX_CALL_DEPTH) throw Trap("call stack exhausted");
+    depth++;
+    struct DepthGuard {
+        uint32_t& d;
+        ~DepthGuard() { d--; }
+    } guard{depth};
     const Func& f = m->funcs[fidx];
     const FuncType& ft = m->types.at(f.type_idx);
     std::vector<uint64_t> locals(ft.params.size() + f.local_types.size(), 0);
@@ -611,8 +639,8 @@ void Interp::exec(const Func& f, std::vector<uint64_t>& locals) {
             }
             case 0x41: push(uint32_t(r.s32())); break;
             case 0x42: push(uint64_t(r.s64())); break;
-            case 0x43: { uint32_t v; memcpy(&v, r.p, 4); r.skip(4); push(v); break; }
-            case 0x44: { uint64_t v; memcpy(&v, r.p, 8); r.skip(8); push(v); break; }
+            case 0x43: push(r.f32bits()); break;
+            case 0x44: push(r.f64bits()); break;
 
             default:
                 exec_numeric_impl(*this, op, r);

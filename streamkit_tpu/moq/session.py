@@ -188,6 +188,12 @@ async def serve_moq_session(
             elif isinstance(ev, SessionRequest):
                 # another session on the same connection — acceptor handles it
                 continue
+    except Exception:
+        # Malformed control/group wire data (unknown control message,
+        # truncated varints, ...) must terminate the session cleanly, not
+        # kill the serve task and leak its subscriptions.
+        h3.conn.close(0x0101, "moq session protocol error")
+        h3.proto.transmit()
     finally:
         for task in sub_tasks.values():
             task.cancel()

@@ -170,6 +170,11 @@ class _SentPacket:
     handshake_done: bool = False
 
 
+# Packet-number dedup window per space (≈40 s of 20 ms media frames); see
+# receive_datagram for the pruning contract.
+_RECV_PN_WINDOW = 2048
+
+
 class _PnSpace:
     def __init__(self) -> None:
         self.next_pn = 0
@@ -299,8 +304,17 @@ class QuicConnection:
                 continue
             if pkt.packet_number in space.received:
                 continue
+            # Bound the dedup set for long-lived media connections: packet
+            # numbers older than the tracking window are treated as stale
+            # duplicates, and the set is pruned to the window periodically
+            # (also keeps the per-ACK range scan in _ack_frame O(window)).
+            if pkt.packet_number < space.largest_received - _RECV_PN_WINDOW:
+                continue
             space.received.add(pkt.packet_number)
             space.largest_received = max(space.largest_received, pkt.packet_number)
+            if len(space.received) > 2 * _RECV_PN_WINDOW:
+                floor = space.largest_received - _RECV_PN_WINDOW
+                space.received = {pn for pn in space.received if pn >= floor}
             if self.is_server and not self.peer_cid and pkt.scid:
                 self.peer_cid = pkt.scid
             if not self.is_server and epoch == EPOCH_INITIAL and pkt.scid:
@@ -312,6 +326,13 @@ class QuicConnection:
                 return
             except QuicConnectionError as e:
                 self._queue_close(0x0A, str(e))
+                return
+            except Exception as e:  # malformed wire input (struct.error,
+                # IndexError from truncated varints/frames, ...): close the
+                # connection instead of letting the error escape into the
+                # UDP receive callback — Initial packets are decryptable by
+                # anyone, so this path is attacker-reachable pre-handshake.
+                self._queue_close(0x07, f"frame encoding error: {e!r}")
                 return
             if ack_eliciting:
                 space.ack_pending = True
@@ -451,22 +472,30 @@ class QuicConnection:
         _delay, off = decode_varint(payload, off)
         range_count, off = decode_varint(payload, off)
         first_range, off = decode_varint(payload, off)
-        acked = set(range(largest - first_range, largest + 1))
+        # ACK ranges are attacker-controlled varints (up to 2^62): never
+        # materialize them as sets. Clamp to the packet numbers we actually
+        # sent and intersect interval-wise with the sent-packet dict.
+        largest = min(largest, space.next_pn - 1)
+        ranges: List[Tuple[int, int]] = []  # (smallest, largest) inclusive
         smallest = largest - first_range
+        if largest >= 0:
+            ranges.append((max(0, smallest), largest))
         for _ in range(range_count):
             gap, off = decode_varint(payload, off)
             rlen, off = decode_varint(payload, off)
             largest_r = smallest - gap - 2
             smallest = largest_r - rlen
-            acked.update(range(smallest, largest_r + 1))
+            if largest_r >= 0:
+                ranges.append((max(0, smallest), largest_r))
         if ecn:
             for _ in range(3):
                 _, off = decode_varint(payload, off)
-        for pn in list(space.sent):
-            if pn in acked:
-                sp = space.sent.pop(pn)
-                self.bytes_in_flight = max(0, self.bytes_in_flight - sp.size)
-                self.cwnd = min(self.cwnd_cap, self.cwnd + sp.size)  # slow start
+        if ranges:
+            for pn in list(space.sent):
+                if any(lo <= pn <= hi for lo, hi in ranges):
+                    sp = space.sent.pop(pn)
+                    self.bytes_in_flight = max(0, self.bytes_in_flight - sp.size)
+                    self.cwnd = min(self.cwnd_cap, self.cwnd + sp.size)  # slow start
         self._pto_count = 0
         return off
 

@@ -36,6 +36,11 @@ def _tune_socket(transport) -> None:
 class QuicProtocol:
     """One connection + its transmit/timer plumbing and event queue."""
 
+    # Give up on connections with no inbound datagrams for this long — reaps
+    # half-open peers (e.g. a garbage Initial that never completes the
+    # handshake) so server CID-table entries don't leak forever.
+    IDLE_TIMEOUT = 60.0
+
     def __init__(self, conn: QuicConnection, sendto: Callable[[bytes], None]) -> None:
         self.conn = conn
         self._sendto = sendto
@@ -43,6 +48,7 @@ class QuicProtocol:
         self.handshake_done = asyncio.get_event_loop().create_future()
         self._timer_task: Optional[asyncio.Task] = None
         self.closed = asyncio.Event()
+        self._last_rx = conn._now()
 
     def start(self) -> None:
         if self._timer_task is None:
@@ -50,6 +56,7 @@ class QuicProtocol:
         self.transmit()
 
     def feed(self, datagram: bytes) -> None:
+        self._last_rx = self.conn._now()
         self.conn.receive_datagram(datagram)
         self._drain_events()
         self.transmit()
@@ -74,6 +81,8 @@ class QuicProtocol:
     async def _timer_loop(self) -> None:
         while not self.conn.closed:
             await asyncio.sleep(TIMER_TICK)
+            if self.conn._now() - self._last_rx > self.IDLE_TIMEOUT:
+                self.conn.close(0, "idle timeout")
             self.conn.handle_timer()
             self._drain_events()
             self.transmit()
@@ -138,7 +147,18 @@ class QuicServer(asyncio.DatagramProtocol):
         self._by_cid[scid] = proto
         proto.start()
         self._tasks.append(asyncio.ensure_future(self.on_connection(proto)))
+        self._tasks.append(
+            asyncio.ensure_future(self._reap_on_close(proto, (original_dcid, scid)))
+        )
         return proto
+
+    async def _reap_on_close(self, proto: QuicProtocol, cids: Tuple[bytes, ...]) -> None:
+        """Remove the CID routes once the connection closes (CloseEvent or
+        idle timeout) so _by_cid doesn't accumulate dead entries."""
+        await proto.closed.wait()
+        for cid in cids:
+            if self._by_cid.get(cid) is proto:
+                del self._by_cid[cid]
 
     def close(self) -> None:
         for proto in set(self._by_cid.values()):

@@ -232,16 +232,25 @@ class H3Connection:
     async def _run(self) -> None:
         while True:
             ev = await self.proto.events.get()
-            if isinstance(ev, StreamEvent):
-                self._on_stream(ev)
-            elif isinstance(ev, DatagramEvent):
-                qsid, off = decode_varint(ev.data, 0)
-                self.events.put_nowait(WtDatagram(qsid * 4, ev.data[off:]))
-            elif isinstance(ev, CloseEvent):
-                self.events.put_nowait(ConnectionClosed(ev.error_code, ev.reason))
+            try:
+                if isinstance(ev, StreamEvent):
+                    self._on_stream(ev)
+                elif isinstance(ev, DatagramEvent):
+                    qsid, off = decode_varint(ev.data, 0)
+                    self.events.put_nowait(WtDatagram(qsid * 4, ev.data[off:]))
+                elif isinstance(ev, CloseEvent):
+                    self.events.put_nowait(ConnectionClosed(ev.error_code, ev.reason))
+                    return
+                elif isinstance(ev, HandshakeEvent):
+                    pass
+            except Exception as e:  # malformed peer frames (QpackError,
+                # IndexError from truncated varints/static-table refs, ...):
+                # convert to a connection close instead of silently killing
+                # this pump task and leaking a half-open connection.
+                self.conn.close(0x0101, f"h3 protocol error: {e!r}")  # H3_GENERAL_PROTOCOL_ERROR
+                self.proto.transmit()
+                self.events.put_nowait(ConnectionClosed(0x0101, f"h3 protocol error: {e!r}"))
                 return
-            elif isinstance(ev, HandshakeEvent):
-                pass
 
     def _on_stream(self, ev: StreamEvent) -> None:
         st = self._streams.get(ev.stream_id)

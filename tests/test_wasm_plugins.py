@@ -196,3 +196,54 @@ def test_upload_wasm_plugin_via_api(tmp_path):
         await client.close()
 
     asyncio.run(main())
+
+
+@needs_rt
+def test_unbounded_recursion_traps_not_segfaults():
+    """A self-calling function must trap on the interpreter's call-depth
+    limit (~1000 frames) long before the host C stack overflows — the
+    sandbox contract wasmtime enforces via store/stack limits
+    (reference plugin-wasm/src/lib.rs:40-57)."""
+    from streamkit_tpu.plugins.wasm_asm import CALL
+
+    b = WasmModuleBuilder()
+    f = b.add_func([], [], bytes([CALL, 0, END]))
+    b.export_func("recurse", f)
+    inst = WasmInstance(b.build(), fuel=1_000_000_000)
+    with pytest.raises(RuntimeError, match="call stack"):
+        inst.call("recurse", nresults=0)
+
+
+@needs_rt
+def test_truncated_f32_const_body_traps():
+    """An f32.const immediate cut off by the function-body end must trap
+    ('eof'), not read host-heap bytes past the module buffer."""
+    # body: f32.const <only 2 of 4 bytes> — assembler would pad, so build
+    # the truncated body by hand and fix up the code-section size.
+    from streamkit_tpu.plugins.wasm_asm import F32_CONST
+
+    b = WasmModuleBuilder()
+    f = b.add_func([], [I32], bytes([F32_CONST, 0x00, 0x00, END]))
+    b.export_func("bad", f)
+    inst = WasmInstance(b.build())
+    with pytest.raises(RuntimeError, match="eof|trunc|stack"):
+        inst.call("bad")
+
+
+@needs_rt
+def test_multiple_active_data_segments_all_applied():
+    """Every active data segment must be copied into memory — a module with
+    two segments (as wasm-ld emits without segment merging) must see both."""
+    from streamkit_tpu.plugins.wasm_asm import I32_LOAD8_U, memarg
+
+    b = WasmModuleBuilder()
+    b.set_memory(1)
+    b.add_data(16, bytes([0xAA]))
+    b.add_data(32, bytes([0xBB]))
+    f = b.add_func(
+        [I32], [I32], bytes([LOCAL_GET, 0, I32_LOAD8_U]) + memarg(0, 0) + bytes([END])
+    )
+    b.export_func("peek8", f)
+    inst = WasmInstance(b.build())
+    assert inst.call("peek8", 16) == [0xAA]
+    assert inst.call("peek8", 32) == [0xBB]
