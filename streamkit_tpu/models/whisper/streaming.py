@@ -41,9 +41,19 @@ streaming path has no reference counterpart to mirror.
 
 Memory: one slot holds enc K/V + cross K/V ``[layers, heads, head_dim,
 ENC_T]`` and decoder K/V ``[layers, heads, head_dim, DEC_T]``. At
-large-v3 with ENC_T=512 (10.24 s streaming horizon) that is ~190 MB/slot;
-slots default to 8 (``SK_STREAM_SLOTS``) and sessions that fail to get a
-slot fall back to the bucket re-decode partial path.
+large-v3 with ENC_T=512 (10.24 s streaming horizon) that is ~190 MB/slot
+in bf16. The four ENC_T-sized caches (~178 of those MB) are therefore
+stored **int8-quantized with per-column scales** by default
+(``SK_STREAM_KV_INT8``, absmax over head_dim — the same scheme the bucket
+path proved greedy-stable for cross-KV): ~110 MB/slot, so the default 64
+slots (``SK_STREAM_SLOTS``) fit in ~7 GB HBM next to the large-v3 weights.
+Decoder self-attention K/V stay in model dtype (small, and self-attn is
+the quality-sensitive cache). Quantization happens at append time, and
+attention *reads the quantized values* (XLA fuses the dequant into the
+matmul operand load, so HBM traffic per decode step is int8 — the
+bandwidth win is why this can also be slightly faster, not just smaller).
+Sessions that fail to get a slot fall back to the bucket re-decode
+partial path.
 """
 
 from __future__ import annotations
@@ -139,6 +149,73 @@ def _append_cols_guarded(rows, cols, pos, keep):
 
 
 # ---------------------------------------------------------------------------
+# int8 KV cache (tuple pytree (q8 [.., hd, T], scale [.., 1, T]) vs plain array)
+# ---------------------------------------------------------------------------
+def _quant_cols(cols: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``[B, H, hd, c]`` float cols → (int8 cols, f32 per-column scales
+    ``[B, H, 1, c]``). Scale = absmax over head_dim / 127."""
+    f = cols.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(f), axis=2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _dequant(rows, dtype):
+    """array → itself; (q8, scale) → dequantized in ``dtype``. The dequant is
+    elementwise with a T-broadcast scale, so XLA fuses it into the consuming
+    matmul's operand read — HBM traffic stays int8."""
+    if isinstance(rows, tuple):
+        return (rows[0].astype(jnp.float32) * rows[1]).astype(dtype)
+    return rows
+
+
+def _q_append(rows, cols_f: jnp.ndarray, pos: jnp.ndarray, keep=None):
+    """Append float cols into an array-or-quantized cache (commit-guarded
+    when ``keep`` is given). Quantization happens before the guard so masked
+    columns rewrite old (q8, scale) pairs unchanged."""
+    if isinstance(rows, tuple):
+        q8, s = _quant_cols(cols_f)
+        if keep is None:
+            return (_append_cols(rows[0], q8, pos), _append_cols(rows[1], s, pos))
+        return (
+            _append_cols_guarded(rows[0], q8, pos, keep),
+            _append_cols_guarded(rows[1], s, pos, keep),
+        )
+    if keep is None:
+        return _append_cols(rows, cols_f.astype(rows.dtype), pos)
+    return _append_cols_guarded(rows, cols_f.astype(rows.dtype), pos, keep)
+
+
+def _kv_layer(rows, li: int):
+    """Select layer ``li`` from a stacked ``[B, L, ...]`` cache pytree."""
+    if isinstance(rows, tuple):
+        return (rows[0][:, li], rows[1][:, li])
+    return rows[:, li]
+
+
+def _kv_stack(items):
+    """Stack a per-layer list of array-or-tuple caches on axis 1."""
+    if isinstance(items[0], tuple):
+        return tuple(
+            jnp.stack([it[i] for it in items], axis=1) for i in range(len(items[0]))
+        )
+    return jnp.stack(items, axis=1)
+
+
+def _kv_T(rows) -> int:
+    return (rows[0] if isinstance(rows, tuple) else rows).shape[-1]
+
+
+def _tree_get(table_rows, ids):
+    return jax.tree.map(lambda t: t[ids], table_rows)
+
+
+def _tree_set(table_rows, gathered, ids):
+    return jax.tree.map(lambda t, g: t.at[ids].set(g), table_rows, gathered)
+
+
+# ---------------------------------------------------------------------------
 # traced cores (shared by the standalone jits and the fused block step)
 # ---------------------------------------------------------------------------
 def _encode_core(
@@ -159,8 +236,12 @@ def _encode_core(
     append enc K/V + cross K/V into the gathered row arrays. With ``commit``,
     only each row's first ``commit[b]`` chunks are written (the rest rewrite
     old cache values) and positions advance by ``8*commit[b]`` — rows may
-    lag/lead each other inside one fused batched call."""
-    dtype = ek.dtype
+    lag/lead each other inside one fused batched call.
+
+    The four caches (``ek/ev/xkr/xvr``) are array-or-(int8, scale) pytrees;
+    attention reads the *quantized* values (dequant fused into the matmul),
+    so later chunks see exactly what this chunk stored."""
+    dtype = params["enc"]["pos"].dtype
     ring_samples = ring.shape[1]
     n_pos = CHUNK_POS * n_chunks
     gather = LEFT_CTX + CHUNK_SAMPLES * n_chunks + RIGHT_CTX
@@ -176,7 +257,7 @@ def _encode_core(
     p = pos_rows[:, None] + jnp.arange(n_pos, dtype=jnp.int32)
     x = x + e["pos"].astype(dtype)[jnp.minimum(p, e["pos"].shape[0] - 1)]
 
-    enc_t = ek.shape[-1]
+    enc_t = _kv_T(ek)
     hd_scale = (cfg.n_audio_state // cfg.n_audio_head) ** -0.25
     col = jnp.arange(enc_t, dtype=jnp.int32)
     # block-causal across chunks WITHIN the call: a query in chunk j attends
@@ -193,11 +274,6 @@ def _encode_core(
     if commit is not None:
         keep = (j // CHUNK_POS)[None, :] < commit[:, None]  # [B, n_pos]
 
-    def append(rows_l, cols_l):
-        if keep is None:
-            return _append_cols(rows_l, cols_l, pos_rows)
-        return _append_cols_guarded(rows_l, cols_l, pos_rows, keep)
-
     new_ek, new_ev = [], []
     for li, layer in enumerate(e["layers"]):
         h = _layernorm(x, layer["ln1"])
@@ -206,15 +282,19 @@ def _encode_core(
         v = _split_heads(_dense(h, layer["attn"]["v"]), cfg.n_audio_head)
         # attention must see the candidate K/V of ALL n_pos new positions
         # (block-causal mask applies); only the cache WRITE is commit-guarded
-        ek_full = _append_cols(ek[:, li], k.swapaxes(-1, -2), pos_rows)
-        ev_full = _append_cols(ev[:, li], v.swapaxes(-1, -2), pos_rows)
-        new_ek.append(append(ek[:, li], k.swapaxes(-1, -2)))
-        new_ev.append(append(ev[:, li], v.swapaxes(-1, -2)))
+        ek_full = _q_append(_kv_layer(ek, li), k.swapaxes(-1, -2), pos_rows)
+        ev_full = _q_append(_kv_layer(ev, li), v.swapaxes(-1, -2), pos_rows)
+        new_ek.append(_q_append(_kv_layer(ek, li), k.swapaxes(-1, -2), pos_rows, keep))
+        new_ev.append(_q_append(_kv_layer(ev, li), v.swapaxes(-1, -2), pos_rows, keep))
         scores = jnp.matmul(
-            q * hd_scale, ek_full.astype(dtype) * hd_scale, preferred_element_type=jnp.float32
+            q * hd_scale, _dequant(ek_full, dtype) * hd_scale,
+            preferred_element_type=jnp.float32,
         )  # [B,H,c,T]
         probs = jax.nn.softmax(scores + mask, axis=-1).astype(dtype)
-        out = jnp.einsum("bhqt,bhdt->bhqd", probs, ev_full, preferred_element_type=jnp.float32).astype(dtype)
+        out = jnp.einsum(
+            "bhqt,bhdt->bhqd", probs, _dequant(ev_full, dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
         x = x + _dense(_merge_heads(out), layer["attn"]["o"])
         x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
     enc_out = _layernorm(x, e["ln_post"])  # [B, c, d]
@@ -223,15 +303,15 @@ def _encode_core(
     for li, layer in enumerate(params["dec"]["layers"]):
         kx = _split_heads(_dense(enc_out, layer["xattn"]["k"]), cfg.n_text_head)
         vx = _split_heads(_dense(enc_out, layer["xattn"]["v"]), cfg.n_text_head)
-        new_xk.append(append(xkr[:, li], kx.swapaxes(-1, -2)))
-        new_xv.append(append(xvr[:, li], vx.swapaxes(-1, -2)))
+        new_xk.append(_q_append(_kv_layer(xkr, li), kx.swapaxes(-1, -2), pos_rows, keep))
+        new_xv.append(_q_append(_kv_layer(xvr, li), vx.swapaxes(-1, -2), pos_rows, keep))
 
     adv = n_pos if commit is None else CHUNK_POS * commit
     return (
-        jnp.stack(new_ek, axis=1),
-        jnp.stack(new_ev, axis=1),
-        jnp.stack(new_xk, axis=1),
-        jnp.stack(new_xv, axis=1),
+        _kv_stack(new_ek),
+        _kv_stack(new_ev),
+        _kv_stack(new_xk),
+        _kv_stack(new_xv),
         pos_rows + adv,
     )
 
@@ -259,7 +339,7 @@ def _decode_core(
     dtype = dk.dtype
     eot = jnp.int32(cfg.token_eot)
     dec_t = dk.shape[-1]
-    enc_t = xkr.shape[-1]
+    enc_t = _kv_T(xkr)
     hd = cfg.n_text_state // cfg.n_text_head
     scale = hd ** -0.25
     b = tok.shape[0]
@@ -305,9 +385,15 @@ def _decode_core(
             x = x + _dense(_merge_heads(attn), layer["attn"]["o"])
             hx = _layernorm(x, layer["ln_x"])
             qx = _split_heads(_dense(hx, layer["xattn"]["q"]), cfg.n_text_head)
-            xs = jnp.matmul(qx * scale, xkr[:, li] * scale, preferred_element_type=jnp.float32)
+            xs = jnp.matmul(
+                qx * scale, _dequant(_kv_layer(xkr, li), dtype) * scale,
+                preferred_element_type=jnp.float32,
+            )
             xp = jax.nn.softmax(xs + xmask, axis=-1).astype(dtype)
-            xa = jnp.einsum("bhqt,bhdt->bhqd", xp, xvr[:, li], preferred_element_type=jnp.float32).astype(dtype)
+            xa = jnp.einsum(
+                "bhqt,bhdt->bhqd", xp, _dequant(_kv_layer(xvr, li), dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
             x = x + _dense(_merge_heads(xa), layer["xattn"]["o"])
             x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
         dk = jnp.stack(new_dk, axis=1)
@@ -363,13 +449,14 @@ def _stream_encode(
     pos_rows = enc_pos[stream_ids]
     ek, ev, xkr, xvr, pos_new = _encode_core(
         params, cfg, ring, slot_ids, starts,
-        enc_k[stream_ids], enc_v[stream_ids], xk[stream_ids], xv[stream_ids],
+        _tree_get(enc_k, stream_ids), _tree_get(enc_v, stream_ids),
+        _tree_get(xk, stream_ids), _tree_get(xv, stream_ids),
         pos_rows, n_chunks,
     )
-    enc_k = enc_k.at[stream_ids].set(ek)
-    enc_v = enc_v.at[stream_ids].set(ev)
-    xk = xk.at[stream_ids].set(xkr)
-    xv = xv.at[stream_ids].set(xvr)
+    enc_k = _tree_set(enc_k, ek, stream_ids)
+    enc_v = _tree_set(enc_v, ev, stream_ids)
+    xk = _tree_set(xk, xkr, stream_ids)
+    xv = _tree_set(xv, xvr, stream_ids)
     enc_pos = enc_pos.at[stream_ids].set(pos_new)
     return enc_k, enc_v, xk, xv, enc_pos, pos_new
 
@@ -398,7 +485,7 @@ def _stream_decode(
     dk, dv, tok, fed_r, n_r = _decode_core(
         params, cfg,
         dec_k[stream_ids], dec_v[stream_ids],
-        xk[stream_ids], xv[stream_ids], enc_pos[stream_ids],
+        _tree_get(xk, stream_ids), _tree_get(xv, stream_ids), enc_pos[stream_ids],
         tokens[stream_ids], fed[stream_ids], n_tok[stream_ids],
         jnp.ones((b,), bool), max_steps,
     )
@@ -461,7 +548,8 @@ def _stream_step(
     pos_rows = enc_pos[stream_ids]
     ek, ev, xkr, xvr, pos_new = _encode_core(
         params, cfg, ring, slot_ids, cstart,
-        enc_k[stream_ids], enc_v[stream_ids], xk[stream_ids], xv[stream_ids],
+        _tree_get(enc_k, stream_ids), _tree_get(enc_v, stream_ids),
+        _tree_get(xk, stream_ids), _tree_get(xv, stream_ids),
         pos_rows, n_chunks, commit=n_req,
     )
 
@@ -473,10 +561,10 @@ def _stream_step(
         do_dec, max_steps,
     )
 
-    enc_k = enc_k.at[stream_ids].set(ek)
-    enc_v = enc_v.at[stream_ids].set(ev)
-    xk = xk.at[stream_ids].set(xkr)
-    xv = xv.at[stream_ids].set(xvr)
+    enc_k = _tree_set(enc_k, ek, stream_ids)
+    enc_v = _tree_set(enc_v, ev, stream_ids)
+    xk = _tree_set(xk, xkr, stream_ids)
+    xv = _tree_set(xv, xvr, stream_ids)
     enc_pos = enc_pos.at[stream_ids].set(pos_new)
     dec_k = dec_k.at[stream_ids].set(dk)
     dec_v = dec_v.at[stream_ids].set(dv)
@@ -519,20 +607,37 @@ class StreamTable:
         max_slots: Optional[int] = None,
         enc_t: Optional[int] = None,
         dec_t: Optional[int] = None,
+        kv_int8: Optional[bool] = None,
     ) -> None:
         self.cfg = cfg
-        self.max_slots = max_slots or int(os.environ.get("SK_STREAM_SLOTS", "8"))
+        self.max_slots = max_slots or int(os.environ.get("SK_STREAM_SLOTS", "64"))
         # clamped to the model's position tables (tiny test configs have
         # short contexts; position gathers must stay in range)
         self.enc_t = min(enc_t or int(os.environ.get("SK_STREAM_ENC_T", "512")), cfg.n_audio_ctx)
         self.dec_t = min(dec_t or int(os.environ.get("SK_STREAM_DEC_T", "128")), cfg.n_text_ctx)
+        # int8 + per-column scales for the four ENC_T caches (default on;
+        # see module docstring for the memory math that makes 64 slots fit)
+        self.kv_int8 = (
+            kv_int8
+            if kv_int8 is not None
+            else os.environ.get("SK_STREAM_KV_INT8", "1") == "1"
+        )
         s = self.max_slots
         he, hde = cfg.n_audio_head, cfg.n_audio_state // cfg.n_audio_head
         ht, hdt = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
-        self._enc_k = jnp.zeros((s, cfg.n_audio_layer, he, hde, self.enc_t), dtype)
-        self._enc_v = jnp.zeros((s, cfg.n_audio_layer, he, hde, self.enc_t), dtype)
-        self._xk = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.enc_t), dtype)
-        self._xv = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.enc_t), dtype)
+
+        def enc_cache(layers, h, hd):
+            if self.kv_int8:
+                return (
+                    jnp.zeros((s, layers, h, hd, self.enc_t), jnp.int8),
+                    jnp.zeros((s, layers, h, 1, self.enc_t), jnp.float32),
+                )
+            return jnp.zeros((s, layers, h, hd, self.enc_t), dtype)
+
+        self._enc_k = enc_cache(cfg.n_audio_layer, he, hde)
+        self._enc_v = enc_cache(cfg.n_audio_layer, he, hde)
+        self._xk = enc_cache(cfg.n_text_layer, ht, hdt)
+        self._xv = enc_cache(cfg.n_text_layer, ht, hdt)
         self._dec_k = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
         self._dec_v = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
         self._tokens = jnp.zeros((s, self.dec_t), jnp.int32)

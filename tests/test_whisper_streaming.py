@@ -59,7 +59,7 @@ def test_chunk_conv_matches_full_encoder(params):
     activations bit-for-bit — checked via the layer-0 K projection cache
     for positions ≥ 2 (the first two positions legitimately differ: the
     full window reflect-pads where streaming reads real ring context)."""
-    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32)
+    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32, kv_int8=False)
     n_chunks = 3
     ring, audio = _ring_with_audio(n_chunks)
     tbl.reset(0, PREFIX)
@@ -90,7 +90,7 @@ def test_chunk_conv_matches_full_encoder(params):
 def test_batched_rows_consistent_and_decode_matches(params):
     """Two slots fed the same audio through ONE batched encode call produce
     identical caches and identical greedy continuations."""
-    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32)
+    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32, kv_int8=False)
     ring, _ = _ring_with_audio(3, seed=1)
     tbl.reset(0, PREFIX)
     tbl.reset(1, PREFIX)
@@ -113,8 +113,8 @@ def test_batched_rows_consistent_and_decode_matches(params):
 def test_multichunk_encode_matches_single(params):
     """One n_chunks=2 call appends exactly what two consecutive n_chunks=1
     calls append (same caches, same positions)."""
-    tbl1 = StreamTable(CFG, jnp.float32, max_slots=1, enc_t=64, dec_t=32)
-    tbl2 = StreamTable(CFG, jnp.float32, max_slots=1, enc_t=64, dec_t=32)
+    tbl1 = StreamTable(CFG, jnp.float32, max_slots=1, enc_t=64, dec_t=32, kv_int8=False)
+    tbl2 = StreamTable(CFG, jnp.float32, max_slots=1, enc_t=64, dec_t=32, kv_int8=False)
     ring, _ = _ring_with_audio(2, seed=5)
     tbl1.reset(0, PREFIX)
     tbl2.reset(0, PREFIX)
@@ -137,7 +137,7 @@ def test_decode_continuation_invariance(params):
     """Decoding 12 steps in one call equals decoding 4 steps three times
     (the continuation re-feed refreshes state identically when no new audio
     arrived in between)."""
-    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32)
+    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32, kv_int8=False)
     ring, _ = _ring_with_audio(3, seed=2)
     for sid in (0, 1):
         tbl.reset(sid, PREFIX)
@@ -156,7 +156,7 @@ def test_encode_respects_capacity(params):
     """enc positions past the streaming horizon are the caller's guard; the
     table clamps nothing — verify the documented contract holds at exactly
     full capacity (enc_t multiple of chunk)."""
-    tbl = StreamTable(CFG, jnp.float32, max_slots=1, enc_t=16, dec_t=32)
+    tbl = StreamTable(CFG, jnp.float32, max_slots=1, enc_t=16, dec_t=32, kv_int8=False)
     ring, _ = _ring_with_audio(2, seed=3)
     tbl.reset(0, PREFIX)
     for k in range(2):  # exactly fills enc_t=16
@@ -185,8 +185,8 @@ def test_fused_step_matches_separate_calls(params):
     rs = 1 << 14
     ring_a = SessionAudioRing(max_slots=2, ring_samples=rs)
     ring_b = SessionAudioRing(max_slots=2, ring_samples=rs)
-    tbl_a = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32)
-    tbl_b = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32)
+    tbl_a = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32, kv_int8=False)
+    tbl_b = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32, kv_int8=False)
     for r in (ring_a, ring_b):
         assert r.alloc() == 0 and r.alloc() == 1
     for t in (tbl_a, tbl_b):
@@ -261,7 +261,7 @@ def test_fused_step_masked_rows_untouched(params):
 
     rs = 1 << 14
     ring = SessionAudioRing(max_slots=2, ring_samples=rs)
-    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32)
+    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32, kv_int8=False)
     assert ring.alloc() == 0 and ring.alloc() == 1
     tbl.reset(0, PREFIX)
     tbl.reset(1, PREFIX)
@@ -289,3 +289,85 @@ def test_fused_step_masked_rows_untouched(params):
     np.testing.assert_array_equal(np.asarray(tbl._enc_k[1]), snap["ek"])
     np.testing.assert_array_equal(np.asarray(tbl._tokens[1]), snap["tok"])
     assert int(tbl._n_tok[1]) == snap["n"] and int(tbl._fed[1]) == snap["fed"]
+
+
+def _dequant_np(cache):
+    q8, s = cache
+    return np.asarray(q8, np.float32) * np.asarray(s)
+
+
+def test_int8_table_tracks_f32(params):
+    """The int8-KV table's dequantized caches track the f32 table within the
+    per-column quantization step (absmax/127 over head_dim), and decode
+    still appends tokens."""
+    tbl_f = StreamTable(CFG, jnp.float32, max_slots=1, enc_t=64, dec_t=32, kv_int8=False)
+    tbl_q = StreamTable(CFG, jnp.float32, max_slots=1, enc_t=64, dec_t=32, kv_int8=True)
+    ring, _ = _ring_with_audio(3, seed=9)
+    for t in (tbl_f, tbl_q):
+        t.reset(0, PREFIX)
+        for k in range(3):
+            t.encode_chunks(params, ring, [0], [0], [k * CHUNK_SAMPLES])
+    assert int(tbl_f._enc_pos[0]) == int(tbl_q._enc_pos[0]) == 24
+    ref = np.asarray(tbl_f._enc_k[0])  # [L, H, hd, T]
+    got = _dequant_np(tbl_q._enc_k)[0]
+    # quant error bound: half a step = absmax/254 per column (+ drift from
+    # attention reading quantized history in later chunks)
+    step = np.abs(ref).max(axis=2, keepdims=True) / 127.0
+    assert np.abs(got - ref).max() <= (step.max() * 4 + 1e-3)
+    tok, n = tbl_q.decode_steps(params, [0], 8)
+    assert int(n[0]) > 4
+
+
+def test_int8_batched_rows_bit_identical(params):
+    """Quantization is deterministic: two int8 slots fed the same audio in
+    one batched call hold bit-identical (q8, scale) caches and decode to
+    identical tokens."""
+    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32, kv_int8=True)
+    ring, _ = _ring_with_audio(3, seed=4)
+    tbl.reset(0, PREFIX)
+    tbl.reset(1, PREFIX)
+    for k in range(3):
+        tbl.encode_chunks(params, ring, [0, 0], [0, 1], [k * CHUNK_SAMPLES] * 2)
+    np.testing.assert_array_equal(
+        np.asarray(tbl._enc_k[0][0]), np.asarray(tbl._enc_k[0][1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tbl._xv[0][0]), np.asarray(tbl._xv[0][1])
+    )
+    tok0, n0 = tbl.decode_steps(params, [0], 8)
+    tok1, n1 = tbl.decode_steps(params, [1], 8)
+    assert int(n0[0]) == int(n1[0]) > 4
+    np.testing.assert_array_equal(
+        np.asarray(tok0)[0, : int(n0[0])], np.asarray(tok1)[0, : int(n1[0])]
+    )
+
+
+def test_int8_fused_step_runs(params):
+    """The fused per-block step works against int8 tables (commit guard
+    rewrites old (q8, scale) pairs; masked rows stay bit-identical)."""
+    from streamkit_tpu.engine.audio_ring import SessionAudioRing
+
+    rs = 1 << 14
+    ring = SessionAudioRing(max_slots=2, ring_samples=rs)
+    tbl = StreamTable(CFG, jnp.float32, max_slots=2, enc_t=64, dec_t=32, kv_int8=True)
+    assert ring.alloc() == 0 and ring.alloc() == 1
+    tbl.reset(0, PREFIX)
+    tbl.reset(1, PREFIX)
+    blocks = _speechy_blocks(2, 8, seed=31)
+    block_n = blocks.shape[1] * blocks.shape[2]
+    tbl.step(
+        params, ring, [0, 1], [0, 1], [0] * 2, [0] * 2,
+        [1, 1], [True, True], np.stack([blocks[0]] * 2), max_steps=4,
+    )
+    snap_q8 = np.asarray(tbl._enc_k[0][1]).copy()
+    snap_s = np.asarray(tbl._enc_k[1][1]).copy()
+    pos1 = int(tbl._enc_pos[1])
+    tbl.step(
+        params, ring, [0, 1], [0, 1], [block_n] * 2,
+        [CHUNK_SAMPLES % rs] * 2, [1, 0], [True, False],
+        np.stack([blocks[1]] * 2), max_steps=4,
+    )
+    assert int(tbl._enc_pos[0]) == pos1 + 8  # row 0 advanced
+    assert int(tbl._enc_pos[1]) == pos1      # row 1 masked
+    np.testing.assert_array_equal(np.asarray(tbl._enc_k[0][1]), snap_q8)
+    np.testing.assert_array_equal(np.asarray(tbl._enc_k[1][1]), snap_s)
