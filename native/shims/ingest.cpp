@@ -1,0 +1,264 @@
+// SPDX-License-Identifier: Apache-2.0
+// Session audio ingestion shim: moves per-packet pacing, buffering, and
+// VAD-block assembly off the Python serving loop.
+//
+// Why: the dynamic engine's streaming STT path needs ONE fused device call
+// per VAD block (256 ms) per session — but audio arrives as 20 ms packets,
+// and a single-core Python host measurably cannot pace 64 sessions x 50
+// packets/s through asyncio (round-2 PERF_NOTES: 16 paced sessions collapse
+// to p50 8.5 s on ingestion alone). The reference pays the same cost in
+// tokio tasks + bounded channels (crates/engine/src/dynamic_pin_distributor.rs,
+// crates/nodes/src/audio/codecs/opus.rs:102-140 blocking handoff); natively
+// threaded, that is cheap — in Python it is the bottleneck.
+//
+// This shim owns:
+//   * per-session sample accumulators (float32 PCM in, any granularity),
+//   * block assembly: every `block_samples` completed samples become one
+//     queue entry stamped with the arrival time of the sample completing it,
+//   * optional paced replay: a C++ thread feeds a session's preloaded audio
+//     at exact frame cadence (the loadtest/bench ingress; real transports
+//     push from their receive callbacks instead),
+//   * a drain API returning ALL completed blocks as one coalesced batch
+//     (ids + arrival stamps + a contiguous [n, block_samples] buffer) — one
+//     ctypes call per engine tick, independent of session count.
+//
+// Python binding: streamkit_tpu/engine/ingest.py (ctypes).
+
+#include <atomic>
+#include <chrono>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace {
+
+using Clock = std::chrono::steady_clock;
+
+int64_t now_ns() {
+    return std::chrono::duration_cast<std::chrono::nanoseconds>(
+               Clock::now().time_since_epoch())
+        .count();
+}
+
+struct Block {
+    int32_t sid;
+    int64_t arrival_ns;  // arrival of the push that completed the block
+    std::vector<float> samples;
+};
+
+struct Session {
+    bool open = false;
+    std::vector<float> acc;  // partial block accumulator
+    // paced replay
+    std::thread replay;
+    std::atomic<bool> replay_stop{false};
+    bool close_at_end = false;
+    int64_t replay_start_ns = 0;
+    std::vector<float> replay_audio;
+};
+
+struct Pool {
+    int block_samples;
+    size_t queue_cap;
+    std::vector<Session> sessions;
+    std::deque<Block> queue;
+    std::mutex mu;                // guards sessions[i].acc/open + queue
+    std::condition_variable cv;   // signalled on new blocks
+    std::atomic<int64_t> dropped_blocks{0};
+
+    Pool(int max_sessions, int block, size_t cap)
+        : block_samples(block), queue_cap(cap), sessions(max_sessions) {}
+};
+
+void push_locked(Pool* p, int sid, const float* pcm, int64_t n, int64_t t_ns) {
+    Session& s = p->sessions[sid];
+    if (!s.open) return;
+    s.acc.insert(s.acc.end(), pcm, pcm + n);
+    while (s.acc.size() >= size_t(p->block_samples)) {
+        Block b;
+        b.sid = sid;
+        b.arrival_ns = t_ns;
+        b.samples.assign(s.acc.begin(), s.acc.begin() + p->block_samples);
+        s.acc.erase(s.acc.begin(), s.acc.begin() + p->block_samples);
+        if (p->queue.size() >= p->queue_cap) {
+            // backpressure: drop-oldest (the reference's BestEffort edge
+            // semantics, dynamic_pin_distributor.rs drop-old accounting)
+            p->queue.pop_front();
+            p->dropped_blocks.fetch_add(1, std::memory_order_relaxed);
+        }
+        p->queue.push_back(std::move(b));
+    }
+}
+
+void replay_thread(Pool* p, int sid, int frame_samples, int64_t frame_us,
+                   int64_t start_delay_us) {
+    Session& s = p->sessions[sid];
+    auto start = Clock::now() + std::chrono::microseconds(start_delay_us);
+    {
+        std::lock_guard<std::mutex> g(p->mu);
+        s.replay_start_ns = std::chrono::duration_cast<std::chrono::nanoseconds>(
+                                start.time_since_epoch())
+                                .count();
+    }
+    const std::vector<float>& audio = s.replay_audio;
+    int64_t n_frames = int64_t(audio.size()) / frame_samples;
+    for (int64_t i = 0; i < n_frames; i++) {
+        std::this_thread::sleep_until(start + std::chrono::microseconds(i * frame_us));
+        if (s.replay_stop.load(std::memory_order_relaxed)) return;
+        bool notify = false;
+        {
+            std::lock_guard<std::mutex> g(p->mu);
+            size_t before = p->queue.size();
+            push_locked(p, sid, audio.data() + i * frame_samples, frame_samples,
+                        now_ns());
+            notify = p->queue.size() != before;
+        }
+        if (notify) p->cv.notify_all();
+    }
+    if (s.close_at_end) {
+        std::lock_guard<std::mutex> g(p->mu);
+        s.open = false;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* skingest_create(int max_sessions, int block_samples, int queue_cap) {
+    if (max_sessions <= 0 || block_samples <= 0 || queue_cap <= 0) return nullptr;
+    return new Pool(max_sessions, block_samples, size_t(queue_cap));
+}
+
+void skingest_destroy(void* pool) {
+    auto* p = static_cast<Pool*>(pool);
+    if (!p) return;
+    for (auto& s : p->sessions) {
+        s.replay_stop.store(true);
+        if (s.replay.joinable()) s.replay.join();
+    }
+    delete p;
+}
+
+// open the lowest free session slot; -1 when full
+int skingest_open(void* pool) {
+    auto* p = static_cast<Pool*>(pool);
+    std::lock_guard<std::mutex> g(p->mu);
+    for (size_t i = 0; i < p->sessions.size(); i++) {
+        if (!p->sessions[i].open && !p->sessions[i].replay.joinable()) {
+            p->sessions[i].open = true;
+            p->sessions[i].acc.clear();
+            return int(i);
+        }
+    }
+    return -1;
+}
+
+void skingest_close(void* pool, int sid) {
+    auto* p = static_cast<Pool*>(pool);
+    if (sid < 0 || size_t(sid) >= p->sessions.size()) return;
+    Session& s = p->sessions[sid];
+    s.replay_stop.store(true);
+    if (s.replay.joinable()) s.replay.join();
+    std::lock_guard<std::mutex> g(p->mu);
+    s.open = false;
+    s.acc.clear();
+    s.replay_audio.clear();
+    s.replay_stop.store(false);
+}
+
+// append PCM from any thread (transport receive callbacks)
+int skingest_push(void* pool, int sid, const float* pcm, long long n) {
+    auto* p = static_cast<Pool*>(pool);
+    if (sid < 0 || size_t(sid) >= p->sessions.size() || n < 0) return -1;
+    bool notify = false;
+    {
+        std::lock_guard<std::mutex> g(p->mu);
+        if (!p->sessions[sid].open) return -1;
+        size_t before = p->queue.size();
+        push_locked(p, sid, pcm, n, now_ns());
+        notify = p->queue.size() != before;
+    }
+    if (notify) p->cv.notify_all();
+    return 0;
+}
+
+// start a paced replay: audio is copied; a dedicated thread pushes
+// `frame_samples` every `frame_us` starting `start_delay_us` from now.
+// close_at_end marks the session closed after the last frame.
+int skingest_start_replay(void* pool, int sid, const float* audio, long long n,
+                          int frame_samples, long long frame_us,
+                          long long start_delay_us, int close_at_end) {
+    auto* p = static_cast<Pool*>(pool);
+    if (sid < 0 || size_t(sid) >= p->sessions.size()) return -1;
+    Session& s = p->sessions[sid];
+    {
+        std::lock_guard<std::mutex> g(p->mu);
+        if (!s.open || s.replay.joinable()) return -1;
+        s.replay_audio.assign(audio, audio + n);
+        s.close_at_end = close_at_end != 0;
+        s.replay_stop.store(false);
+    }
+    s.replay = std::thread(replay_thread, p, sid, frame_samples, frame_us,
+                           start_delay_us);
+    return 0;
+}
+
+long long skingest_replay_start_ns(void* pool, int sid) {
+    auto* p = static_cast<Pool*>(pool);
+    std::lock_guard<std::mutex> g(p->mu);
+    return p->sessions[sid].replay_start_ns;
+}
+
+// drain up to max_blocks completed blocks. Blocks on the condvar up to
+// timeout_us when the queue is empty (0 = non-blocking poll). Returns the
+// number of blocks written into ids/arrival_ns/samples (caller-allocated;
+// samples holds count * block_samples floats).
+int skingest_drain(void* pool, int max_blocks, long long timeout_us,
+                   int* ids, long long* arrival_ns, float* samples) {
+    auto* p = static_cast<Pool*>(pool);
+    std::unique_lock<std::mutex> g(p->mu);
+    if (p->queue.empty() && timeout_us > 0) {
+        p->cv.wait_for(g, std::chrono::microseconds(timeout_us),
+                       [&] { return !p->queue.empty(); });
+    }
+    int count = 0;
+    while (count < max_blocks && !p->queue.empty()) {
+        Block& b = p->queue.front();
+        ids[count] = b.sid;
+        arrival_ns[count] = b.arrival_ns;
+        memcpy(samples + size_t(count) * p->block_samples, b.samples.data(),
+               sizeof(float) * p->block_samples);
+        p->queue.pop_front();
+        count++;
+    }
+    return count;
+}
+
+int skingest_pending(void* pool) {
+    auto* p = static_cast<Pool*>(pool);
+    std::lock_guard<std::mutex> g(p->mu);
+    return int(p->queue.size());
+}
+
+// sessions still open or replaying (bench end-of-run detection)
+int skingest_active(void* pool) {
+    auto* p = static_cast<Pool*>(pool);
+    std::lock_guard<std::mutex> g(p->mu);
+    int n = 0;
+    for (auto& s : p->sessions)
+        if (s.open) n++;
+    return n;
+}
+
+long long skingest_dropped(void* pool) {
+    return static_cast<Pool*>(pool)->dropped_blocks.load();
+}
+
+long long skingest_now_ns(void) { return now_ns(); }
+
+}  // extern "C"
