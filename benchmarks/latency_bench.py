@@ -189,6 +189,7 @@ async def main():
                         kind, np.int32(120), np.int32(7), np.int32(0),
                         np.int32(0), np.int32(0), np.bool_(True),
                         np.zeros((vad_block, VAD_FRAME), np.float32),
+                        np.bool_(False), np.zeros(4, np.int32),
                     )
                     for _ in range(pad_stream)
                 )

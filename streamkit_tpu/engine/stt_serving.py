@@ -1,0 +1,444 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Dense multi-session streaming STT serving.
+
+:class:`SttServingEngine` serves N concurrent realtime speech-to-text
+sessions over ONE shared Whisper model. It is the high-density form of
+:class:`~streamkit_tpu.nodes.ml.whisper_node.WhisperNode`: the node is the
+graph-pipeline citizen (channels in, packets out, one node per session);
+this engine is what the serving host runs when the session count is the
+workload — the BASELINE north star (≥64 realtime sessions/chip, <300 ms
+p50 partials) is served here.
+
+The division of labor per 256 ms VAD block and session:
+
+* **C++** (:class:`~streamkit_tpu.engine.ingest.IngestPool`): packet
+  pacing, buffering, block assembly. The Python loop does ONE coalesced
+  drain per tick regardless of session count — per-packet asyncio work is
+  what measurably collapsed a 1-core host at 16 sessions (PERF_NOTES).
+* **TPU** (:func:`~streamkit_tpu.models.whisper.streaming._stream_step`
+  via the :class:`~streamkit_tpu.engine.batcher.DeviceBatcher`): VAD
+  scoring + ring append + chunk-causal encode + decode continuation +
+  segment-open reset, fused into ONE batched call covering every co-paced
+  session.
+* **Python** (here): the per-session segmentation state machine
+  (:class:`~streamkit_tpu.nodes.ml.vad_node.SpeechSegmenter` — the
+  reference's VAD gating contract, ``plugins/native/whisper/src/
+  lib.rs:404-490``), cursor planning for the fused step, and event
+  emission. Cost: a few hundred Python ops per session per 256 ms.
+
+Finals come in two modes (the node's ``final_from_stream`` knob):
+
+* ``final_mode="stream"`` — the continuation decode has already consumed
+  the utterance plus the VAD hangover; its newest tokens ARE the final.
+  Zero device work at segment close.
+* ``final_mode="exact"`` — the reference's contract: re-decode the whole
+  segment with the exact bidirectional encoder (bucketed ring decode).
+  The session's worker awaits it inline, serializing that session for the
+  decode duration, exactly like the reference's per-session plugin call
+  (``plugin-native/src/wrapper.rs`` spawn_blocking).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core import ResourceKey, ResourceManager
+from ..models.whisper import (
+    WHISPER_CONFIGS,
+    WhisperDetokenizer,
+    init_params,
+    load_pretrained,
+)
+from ..models.whisper.streaming import CHUNK_SAMPLES, RIGHT_CTX, get_stream_table
+from ..ops import VAD_FRAME
+from .batcher import DeviceBatcher
+from .ingest import IngestPool
+
+__all__ = ["SttServingEngine"]
+
+_SR = 16_000
+_LANG_INDEX = {"en": 0, "zh": 1, "de": 2, "es": 3, "ru": 4, "ko": 5, "fr": 6, "ja": 7, "pt": 8}
+
+
+@dataclass
+class _Session:
+    sid: int
+    vad_slot: int
+    stream_id: int
+    on_event: Callable[[dict], None]
+    seg: object
+    q: asyncio.Queue = field(default_factory=asyncio.Queue)
+    worker: Optional[asyncio.Task] = None
+    written: int = 0
+    st_tip: int = 0
+    st_pos: int = 0
+    st_ready: bool = False
+    st_last_dec: float = 0.0
+    st_last_tok: Optional[tuple] = None
+    pending_reset: bool = False
+    seq: int = 0
+
+
+class SttServingEngine:
+    """N realtime STT sessions over one shared model (module docstring)."""
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        model_size: str = "tiny",
+        language: str = "en",
+        dtype: str = "bfloat16",
+        max_sessions: int = 64,
+        vad_block_frames: int = 8,
+        vad_threshold: float = 0.5,
+        min_silence_ms: float = 700.0,
+        max_segment_secs: float = 30.0,
+        partial_interval_ms: float = 250.0,
+        final_mode: str = "stream",  # "stream" | "exact"
+        window_buckets: Optional[List[float]] = None,  # exact-final buckets
+        max_tokens: int = 32,
+        batcher: Optional[DeviceBatcher] = None,
+        resources: Optional[ResourceManager] = None,
+    ) -> None:
+        if final_mode not in ("stream", "exact"):
+            raise ValueError(f"final_mode must be stream|exact, got {final_mode}")
+        self.model_path = model_path
+        self.model_size = model_size
+        self.language = language
+        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.max_sessions = max_sessions
+        self.vad_block = vad_block_frames
+        self.block_samples = vad_block_frames * VAD_FRAME
+        self.vad_threshold = vad_threshold
+        self.min_silence_ms = min_silence_ms
+        self.max_segment_secs = max_segment_secs
+        self.partial_interval = partial_interval_ms / 1000.0
+        self.final_mode = final_mode
+        self.window_buckets = sorted(window_buckets or [4.0, 8.0, 30.0])
+        self.max_tokens = max_tokens
+        self.batcher = batcher or DeviceBatcher(
+            tick_ms=float(os.environ.get("SK_STT_TICK_MS", "5"))
+        )
+        self._own_batcher = batcher is None
+        self.resources = resources
+        self.pool: Optional[IngestPool] = None
+        self._sessions: Dict[int, _Session] = {}
+        self._drain_task: Optional[asyncio.Task] = None
+        self._running = False
+        # filled by start()
+        self._params = None
+        self._cfg = None
+        self._detok = None
+        self._ring = None
+        self._tbl = None
+        self._prefix = None
+        self._sstep_kind = None
+        self._stt_kind = None
+        self._stream_steps = int(os.environ.get("SK_STREAM_STEPS", "3"))
+
+    # -- lifecycle -----------------------------------------------------------
+    async def start(self) -> None:
+        loop = asyncio.get_running_loop()
+
+        def build():
+            if self.model_path and os.path.isdir(self.model_path):
+                cfg, params = load_pretrained(self.model_path, self.dtype)
+                tok = WhisperDetokenizer.from_model_dir(self.model_path)
+            else:
+                cfg = WHISPER_CONFIGS[self.model_size]
+                params = init_params(cfg, jax.random.PRNGKey(0), self.dtype)
+                tok = WhisperDetokenizer()
+            return cfg, params, tok
+
+        if self.resources is not None:
+            key = ResourceKey.from_params(
+                "whisper",
+                {"path": self.model_path, "size": self.model_size, "dtype": str(self.dtype)},
+            )
+
+            async def loader():
+                return await loop.run_in_executor(None, build)
+
+            self._cfg, self._params, self._detok = await self.resources.get_or_create(
+                key, loader
+            )
+        else:
+            self._cfg, self._params, self._detok = await loop.run_in_executor(None, build)
+
+        lang_index = _LANG_INDEX.get(self.language, 0)
+        self._prefix = np.asarray(
+            [
+                self._cfg.token_sot,
+                self._cfg.token_language(lang_index),
+                self._cfg.token_transcribe,
+                self._cfg.token_no_timestamps,
+            ],
+            np.int32,
+        )
+        # shared audio ring + stream table (same process-wide instances the
+        # whisper node uses, so both serving forms share compiled programs)
+        from ..nodes.ml.whisper_node import _get_audio_ring
+
+        self._ring = _get_audio_ring()
+        model_tag = f"{self.model_path or self.model_size}:{lang_index}:{self.max_tokens}"
+        self._tbl = get_stream_table(model_tag, self._cfg, self.dtype)
+        self._sstep_kind = f"stream_step:{model_tag}:{self.vad_block}"
+        params, cfg, ring, tbl = self._params, self._cfg, self._ring, self._tbl
+
+        def batched_sstep(slot_ids, sids, wpos, cstart, n_req, do_dec, frames, do_rst, prefix):
+            return tbl.step(
+                params, ring, slot_ids, sids, wpos, cstart, n_req, do_dec,
+                frames, self._stream_steps, do_reset=do_rst, prefix_b=prefix,
+            )
+
+        stream_pad = int(os.environ.get("SK_STREAM_PAD", str(min(64, self._tbl.max_slots))))
+        self.batcher.register(
+            self._sstep_kind,
+            batched_sstep,
+            pad_to=stream_pad,
+            gather_ms=float(os.environ.get("SK_STREAM_GATHER_MS", "30")),
+        )
+
+        if self.final_mode == "exact":
+            from ..models.whisper.decode import transcribe_ring
+
+            self._stt_kind = f"whisper_ring:{model_tag}"
+            pad_stt = int(os.environ.get("SK_STT_PAD_TO", "0")) or None
+            gather_ms = float(os.environ.get("SK_STT_GATHER_MS", "150"))
+
+            def make_ring_stt(window: int, tok_budget: int):
+                def batched_stt(slot_ids, starts, lengths):
+                    return transcribe_ring(
+                        params, cfg, ring.ring_ref(), slot_ids, starts, lengths,
+                        window_samples=window, language_index=lang_index,
+                        max_tokens=tok_budget,
+                    )
+
+                return batched_stt
+
+            for b in self.window_buckets:
+                tok_budget = min(self.max_tokens, max(12, int(b * 4) + 8))
+                self.batcher.register(
+                    f"{self._stt_kind}:{int(b * _SR)}",
+                    make_ring_stt(int(b * _SR), tok_budget),
+                    pad_to=pad_stt,
+                    gather_ms=gather_ms,
+                )
+
+        self.pool = IngestPool(self.max_sessions, self.block_samples)
+        self.batcher.start()
+        self._running = True
+        self._drain_task = asyncio.ensure_future(self._drain_loop())
+
+    async def stop(self) -> None:
+        self._running = False
+        for s in list(self._sessions.values()):
+            self.close_session(s.sid)
+        if self._drain_task is not None:
+            try:
+                await asyncio.wait_for(self._drain_task, timeout=5)
+            except (asyncio.TimeoutError, asyncio.CancelledError):
+                self._drain_task.cancel()
+        # reap session workers
+        for s in list(self._sessions.values()):
+            if s.worker is not None:
+                try:
+                    await asyncio.wait_for(s.worker, timeout=5)
+                except (asyncio.TimeoutError, asyncio.CancelledError):
+                    s.worker.cancel()
+        self._sessions.clear()
+        if self._own_batcher:
+            self.batcher.stop()
+        if self.pool is not None:
+            self.pool.close()
+
+    # -- sessions ------------------------------------------------------------
+    def open_session(self, on_event: Callable[[dict], None]) -> int:
+        """Open one STT session; returns its id (also the ingest session id
+        for :meth:`push`/:meth:`start_replay`). ``on_event`` receives dicts
+        ``{type: partial|final|speech_start|speech_end, text?, start_ms?,
+        end_ms?, seq}`` from the event loop thread."""
+        from ..nodes.ml.vad_node import SpeechSegmenter
+
+        vad_slot = self._ring.alloc()
+        if vad_slot is None:
+            raise RuntimeError("audio ring full")
+        stream_id = self._tbl.try_alloc()
+        if stream_id is None:
+            self._ring.free(vad_slot)
+            raise RuntimeError("stream table full")
+        sid = self.pool.open()
+        s = _Session(
+            sid=sid,
+            vad_slot=vad_slot,
+            stream_id=stream_id,
+            on_event=on_event,
+            seg=SpeechSegmenter(self.vad_threshold, self.min_silence_ms, self.max_segment_secs),
+        )
+        s.worker = asyncio.ensure_future(self._session_worker(s))
+        self._sessions[sid] = s
+        return sid
+
+    def close_session(self, sid: int) -> None:
+        s = self._sessions.get(sid)
+        if s is None:
+            return
+        self.pool.close_session(sid)
+        s.q.put_nowait(None)
+
+    def push(self, sid: int, pcm: np.ndarray) -> None:
+        self.pool.push(sid, pcm)
+
+    def start_replay(self, sid: int, audio: np.ndarray, **kw) -> None:
+        self.pool.start_replay(sid, audio, **kw)
+
+    # -- serving loops -------------------------------------------------------
+    async def _drain_loop(self) -> None:
+        loop = asyncio.get_running_loop()
+        pool = self.pool
+        while self._running:
+            ids, arrivals, blocks = await loop.run_in_executor(
+                None, pool.drain, None, 20_000
+            )
+            for i in range(len(ids)):
+                s = self._sessions.get(int(ids[i]))
+                if s is not None:
+                    s.q.put_nowait((int(arrivals[i]), blocks[i]))
+
+    async def _session_worker(self, s: _Session) -> None:
+        try:
+            while True:
+                item = await s.q.get()
+                if item is None:
+                    break
+                _arrival_ns, block = item
+                await self._handle_block(s, block)
+            # stream flush: close any open segment
+            for ev in s.seg.flush():
+                await self._segment_closed(s, ev[2], ev[3], flush=True)
+        finally:
+            self._tbl.free(s.stream_id)
+            self._ring.free(s.vad_slot)
+            self._sessions.pop(s.sid, None)
+
+    async def _handle_block(self, s: _Session, block: np.ndarray) -> None:
+        block2 = block.reshape(self.vad_block, VAD_FRAME)
+        # plan the fused step (same cursor math as the whisper node)
+        if s.seg.in_speech and s.st_ready:
+            avail = s.written + block.size - RIGHT_CTX - s.st_tip
+            room = (self._tbl.enc_t - s.st_pos) // 8
+            n_req = max(0, min(avail // CHUNK_SAMPLES, 2))
+            if room < 2:
+                n_req = 0  # horizon full: partials freeze
+            now = time.monotonic()
+            do_dec = s.st_pos + 8 * n_req > 0 and now - s.st_last_dec >= self.partial_interval
+            if do_dec:
+                s.st_last_dec = now
+        else:
+            n_req = 0
+            do_dec = False
+        do_rst = s.pending_reset
+        s.pending_reset = False
+        rs = self._ring.ring_samples
+        probs, tok_row, ntk, _ = await self.batcher.submit(
+            self._sstep_kind,
+            np.int32(s.vad_slot),
+            np.int32(s.stream_id),
+            np.int32(s.written % rs),
+            np.int32(s.st_tip % rs),
+            np.int32(n_req),
+            np.bool_(do_dec),
+            block2,
+            np.bool_(do_rst),
+            self._prefix,
+        )
+        s.written += block.size
+        s.st_tip += n_req * CHUNK_SAMPLES
+        s.st_pos += n_req * 8
+        partial_emit = None
+        if do_dec:
+            partial_emit = (tok_row, int(ntk), s.st_tip // VAD_FRAME)
+            s.st_last_tok = (tok_row, int(ntk))
+
+        probs = np.asarray(probs)
+        for i in range(self.vad_block):
+            for kind, _samples, start_f, end_f in s.seg.push(block2[i], float(probs[i])):
+                if kind == "speech_start":
+                    s.on_event({"type": "speech_start", "seq": s.seq})
+                    s.pending_reset = True
+                    s.st_tip = start_f * VAD_FRAME
+                    s.st_pos = 0
+                    s.st_ready = True
+                    s.st_last_tok = None
+                else:
+                    s.st_ready = False
+                    await self._segment_closed(s, start_f, end_f)
+                    s.st_last_tok = None
+        # fused-step partial AFTER segment events (a closing block's partial
+        # is superseded by the final)
+        if (
+            partial_emit is not None
+            and s.seg.in_speech
+            and s.st_ready
+            and partial_emit[1] > len(self._prefix)
+        ):
+            tok_row, ntk, end_f = partial_emit
+            text = self._detok.decode(tok_row[len(self._prefix) : ntk])
+            self._emit(s, "partial", text, s.seg._segment_start_frame, end_f)
+
+    async def _segment_closed(self, s: _Session, start_f: int, end_f: int, flush=False) -> None:
+        s.on_event({"type": "speech_end", "seq": s.seq})
+        stream_ok = (
+            s.st_last_tok is not None
+            and s.st_last_tok[1] > len(self._prefix)
+            and s.st_tip >= end_f * VAD_FRAME - 2 * CHUNK_SAMPLES
+        )
+        if self.final_mode == "stream" and stream_ok:
+            text = self._detok.decode(s.st_last_tok[0][len(self._prefix) : s.st_last_tok[1]])
+            self._emit(s, "final", text, start_f, end_f)
+            return
+        # exact (or stream-fallback) final: bucketed ring re-decode
+        if self._stt_kind is None and self.final_mode == "stream":
+            # stream final unavailable (never decoded / horizon froze) and no
+            # exact path registered: emit what we have (possibly empty)
+            text = (
+                self._detok.decode(s.st_last_tok[0][len(self._prefix) : s.st_last_tok[1]])
+                if s.st_last_tok is not None and s.st_last_tok[1] > len(self._prefix)
+                else ""
+            )
+            self._emit(s, "final", text, start_f, end_f)
+            return
+        n = min((end_f - start_f) * VAD_FRAME, int(self.window_buckets[-1] * _SR))
+        window = next(
+            (int(b * _SR) for b in self.window_buckets if n <= int(b * _SR)),
+            int(self.window_buckets[-1] * _SR),
+        )
+        rs = self._ring.ring_samples
+        tokens, length = await self.batcher.submit(
+            f"{self._stt_kind}:{window}",
+            np.int32(s.vad_slot),
+            np.int32((start_f * VAD_FRAME) % rs),
+            np.int32(n),
+        )
+        self._emit(s, "final", self._detok.decode(tokens[: int(length)]), start_f, end_f)
+
+    def _emit(self, s: _Session, typ: str, text: str, start_f: int, end_f: int) -> None:
+        s.on_event(
+            {
+                "type": typ,
+                "text": text,
+                "start_ms": start_f * VAD_FRAME * 1000 // _SR,
+                "end_ms": end_f * VAD_FRAME * 1000 // _SR,
+                "seq": s.seq,
+            }
+        )
+        s.seq += 1

@@ -523,16 +523,45 @@ def _stream_step(
     n_req: jnp.ndarray,  # [B] int32 chunks to commit (0..n_chunks)
     do_dec: jnp.ndarray,  # [B] bool — run the decode continuation
     frames_b: jnp.ndarray,  # [B, n_frames, VAD_FRAME] f32
+    do_reset: jnp.ndarray,  # [B] bool — open a new segment BEFORE this block
+    prefix_b: jnp.ndarray,  # [B, P] int32 decoder prefixes for resetting rows
     cfg: WhisperConfig,
     max_steps: int,
     n_chunks: int = 2,
 ):
-    """Fused per-VAD-block streaming step: score VAD frames, append them to
-    the audio rings, encode up to ``n_chunks`` pending chunks (per-row
-    commit counts), and advance the decode continuation — ONE device call
-    per block instead of three. The chunk gather happens AFTER the ring
-    append, so a chunk ending inside this block decodes in the same call.
+    """Fused per-VAD-block streaming step: (optionally) open a new segment,
+    score VAD frames, append them to the audio rings, encode up to
+    ``n_chunks`` pending chunks (per-row commit counts), and advance the
+    decode continuation — ONE device call per block instead of three-plus.
+    The chunk gather happens AFTER the ring append, so a chunk ending inside
+    this block decodes in the same call. The fused ``do_reset`` replaces the
+    standalone :func:`_stream_reset` call on the serving path: at high
+    session counts every utterance start would otherwise cost its own
+    unbatched device dispatch.
     """
+    # 0) per-row segment open (reset): prefix into the token buffer, counters
+    # to zero. Caches need no clearing — masks bound every read. Duplicate
+    # pad rows write identical values.
+    p_len = prefix_b.shape[1]
+    bi = jnp.arange(stream_ids.shape[0])
+    tok_rows0 = tokens[stream_ids]
+    tok_rows0 = jnp.where(
+        do_reset[:, None],
+        jax.lax.dynamic_update_slice_in_dim(
+            jnp.zeros_like(tok_rows0), prefix_b, 0, axis=1
+        ),
+        tok_rows0,
+    )
+    tokens = tokens.at[stream_ids].set(tok_rows0)
+    fed = fed.at[stream_ids].set(jnp.where(do_reset, 0, fed[stream_ids]))
+    n_tok = n_tok.at[stream_ids].set(
+        jnp.where(do_reset, p_len, n_tok[stream_ids])
+    )
+    enc_pos = enc_pos.at[stream_ids].set(
+        jnp.where(do_reset, 0, enc_pos[stream_ids])
+    )
+    del bi
+
     # 1) VAD score + ring append (audio_ring._vad_append semantics)
     ring_samples = ring.shape[1]
     rows = jax.tree.map(lambda s: s[slot_ids], vad_state)
@@ -714,12 +743,19 @@ class StreamTable:
         do_dec,
         frames_b,
         max_steps: int,
+        do_reset=None,
+        prefix_b=None,
     ):
         """Fused per-block step (VAD + ring append + encode + decode) — ONE
         device call. Takes both tables' step locks (ring first, then stream —
         the only place both are held, so the order cannot deadlock) and
         exchanges the ring's buffers in place, mirroring
         ``SessionAudioRing.vad_append`` semantics (ring not donated)."""
+        b = len(slot_ids) if hasattr(slot_ids, "__len__") else int(slot_ids.shape[0])
+        if do_reset is None:
+            do_reset = np.zeros((b,), bool)
+        if prefix_b is None:
+            prefix_b = np.zeros((b, 4), np.int32)
         with audio_ring._step_lock:
             with self._step_lock:
                 (
@@ -741,6 +777,8 @@ class StreamTable:
                     jnp.asarray(n_req, jnp.int32),
                     jnp.asarray(do_dec, bool),
                     frames_b,
+                    jnp.asarray(do_reset, bool),
+                    jnp.asarray(prefix_b, jnp.int32),
                     self.cfg,
                     max_steps,
                 )

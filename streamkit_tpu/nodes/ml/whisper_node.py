@@ -275,10 +275,13 @@ class WhisperNode(ProcessorNode):
                 # + tunnel RTT saturated a 1-core serving host
                 sstep_kind = f"stream_step:{model_tag}:{self.vad_block}"
 
-                def batched_sstep(slot_ids, sids, wpos, cstart, n_req, do_dec, frames):
+                def batched_sstep(
+                    slot_ids, sids, wpos, cstart, n_req, do_dec, frames, do_rst, prefix
+                ):
                     return stream_tbl.step(
                         params, ring, slot_ids, sids, wpos, cstart,
                         n_req, do_dec, frames, stream_steps,
+                        do_reset=do_rst, prefix_b=prefix,
                     )
 
                 sgather = float(os.environ.get("SK_STREAM_GATHER_MS", "0"))
@@ -302,6 +305,7 @@ class WhisperNode(ProcessorNode):
         st_pos = 0  # encoder positions filled this segment
         st_last_dec = 0.0  # partial-decode cooldown
         st_last_tok = None  # (tok_row, n_tok) from the newest fused decode
+        st_pending_reset = False  # fused do_reset rides the NEXT block's step
 
         def _bucket_samples(n: int) -> int:
             for b in self.window_buckets:
@@ -458,6 +462,8 @@ class WhisperNode(ProcessorNode):
                             else:
                                 n_req = 0
                                 do_dec = False
+                            do_rst = st_pending_reset
+                            st_pending_reset = False
                             probs, tok_row, ntk, _ = await ctx.batcher.submit(
                                 sstep_kind,
                                 np.int32(vad_slot),
@@ -467,6 +473,8 @@ class WhisperNode(ProcessorNode):
                                 np.int32(n_req),
                                 np.bool_(do_dec),
                                 block,
+                                np.bool_(do_rst),
+                                stream_prefix,
                             )
                             st_tip += n_req * CHUNK_SAMPLES
                             st_pos += n_req * 8
@@ -493,10 +501,11 @@ class WhisperNode(ProcessorNode):
                         if kind == "speech_start":
                             telemetry.emit("vad.speech_start", {})
                             if stream_tbl is not None:
-                                # open the streaming row before the next block
-                                await loop.run_in_executor(
-                                    None, stream_tbl.reset, stream_id, stream_prefix
-                                )
+                                # open the streaming row on the NEXT block's
+                                # fused step (do_reset) — a standalone reset
+                                # call per utterance would serialize on the
+                                # device at high session counts
+                                st_pending_reset = True
                                 st_tip = start_f * VAD_FRAME
                                 st_pos = 0
                                 st_ready = True
