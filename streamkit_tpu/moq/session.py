@@ -173,6 +173,17 @@ async def serve_moq_session(
                     continue
                 if ev.bidi:
                     if control_stream is None:
+                        # protocol demux on the first bidi stream's first
+                        # byte: moq-lite opens with stream-type 0 (SESSION);
+                        # the native protocol's first control message is
+                        # MSG_SETUP (0x01). See moq/lite_session.py.
+                        if ev.data[:1] == b"\x00":
+                            from .lite_session import serve_moq_lite_session
+
+                            await serve_moq_lite_session(
+                                h3, session_id, relay, gateway, first_event=ev
+                            )
+                            return
                         control_stream = ev.stream_id
                     if ev.stream_id == control_stream:
                         for mtype, fields in parser.feed(ev.data):
