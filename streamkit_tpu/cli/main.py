@@ -95,6 +95,23 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("loadtest", aliases=["lt"], help="run a load test")
     p.add_argument("config", help="load-test TOML config")
 
+    p = sub.add_parser("moq", help="publish/subscribe media over MoQ WebTransport")
+    msub = p.add_subparsers(dest="moq_cmd", required=True)
+    for name in ("publish", "subscribe"):
+        m = msub.add_parser(name)
+        m.add_argument("broadcast", help="broadcast name (relay) or gateway path")
+        if name == "publish":
+            m.add_argument("wav", help="16-bit PCM WAV file to publish as 20 ms frames")
+        else:
+            m.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = forever)")
+        m.add_argument(
+            "--protocol",
+            choices=["native", "lite"],
+            default="native",
+            help="wire protocol: the compact native protocol or moq-lite draft-02 + hang",
+        )
+        m.add_argument("--moq-port", type=int, default=4443, help="server UDP MoQ port")
+
     return parser
 
 
@@ -109,6 +126,9 @@ async def _run(args) -> int:
         results = await run_load_test(cfg)
         print(json.dumps(results, indent=2))
         return 0
+
+    if cmd == "moq":
+        return await _run_moq(args)
 
     async with SkitClient(args.server) as client:
         if cmd == "oneshot":
@@ -192,6 +212,73 @@ async def _run(args) -> int:
                 print(json.dumps(resp, indent=2))
                 return 0
             print("ok")
+    return 0
+
+
+async def _run_moq(args) -> int:
+    """MoQ media client: publish a WAV as 20 ms Opus frames, or subscribe a
+    broadcast and dump raw Opus packets to stdout. ``--protocol lite``
+    speaks moq-lite draft-02 + hang (the reference's wire protocol,
+    peer.rs:459-880); ``native`` is the compact in-house protocol."""
+    import asyncio
+    import urllib.parse
+    import wave
+
+    import aiohttp
+    import numpy as np
+
+    host = urllib.parse.urlparse(args.server).hostname or "127.0.0.1"
+    async with aiohttp.ClientSession() as s:
+        async with s.get(f"{args.server.rstrip('/')}/api/v1/moq/fingerprints") as resp:
+            fps = [bytes.fromhex(f) for f in (await resp.json())["fingerprints"]]
+
+    if args.protocol == "lite":
+        from ..moq.lite_session import MoqLiteClient as Client
+    else:
+        from ..moq.session import MoqClient as Client
+
+    client = Client()
+    await client.connect(host, args.moq_port, fps)
+    try:
+        if args.moq_cmd == "publish":
+            from ..nodes.codecs.opus import OpusEncoder
+
+            with wave.open(args.wav) as w:
+                sr, ch = w.getframerate(), w.getnchannels()
+                pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+            audio = pcm.astype(np.float32) / 32768.0
+            if ch > 1:
+                audio = audio.reshape(-1, ch).mean(axis=1)
+            if sr != 48_000:
+                print(f"warning: resampling {sr} -> 48000 not applied; frames sent as-is", file=sys.stderr)
+            enc = OpusEncoder(48_000, 1, 64_000)
+            pub = await client.publish(args.broadcast)
+            await asyncio.sleep(0.3)  # lite: server announce/subscribe handshake
+            frame = 960  # 20 ms @48k
+            n = len(audio) // frame
+            start = asyncio.get_running_loop().time()
+            for i in range(n):
+                delay = start + i * 0.02 - asyncio.get_running_loop().time()
+                if delay > 0:
+                    await asyncio.sleep(delay)
+                pkt = enc.encode(audio[i * frame : (i + 1) * frame])
+                pub.send(pkt, i * 20_000, key=(i % 50 == 0))
+            pub.end()
+            print(f"published {n} frames", file=sys.stderr)
+        else:
+            sub = await client.subscribe(args.broadcast)
+            count = 0
+            while args.frames == 0 or count < args.frames:
+                f = await sub.recv(timeout=30)
+                if f is None:
+                    break
+                payload, ts, key = f
+                sys.stdout.buffer.write(payload)
+                sys.stdout.buffer.flush()
+                count += 1
+            print(f"received {count} frames", file=sys.stderr)
+    finally:
+        client.close()
     return 0
 
 

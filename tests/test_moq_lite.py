@@ -181,3 +181,63 @@ def test_lite_publisher_native_subscriber_interop():
         await wt.stop()
 
     asyncio.run(main())
+
+
+def test_cli_moq_publish_lite_subscribe_native(tmp_path):
+    """The CLI `moq` command round-trips media: publish a WAV as opus over
+    moq-lite, subscribe via the native protocol, against the full server
+    app (fingerprints fetched over HTTP)."""
+    import sys
+    import types
+    import wave
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from streamkit_tpu.cli.main import _run_moq
+    from streamkit_tpu.moq.session import MoqClient
+    from streamkit_tpu.server import ServerConfig, create_app
+
+    wav_path = tmp_path / "tone.wav"
+    sr = 48_000
+    t = np.arange(sr) / sr
+    tone = (0.25 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(tone.tobytes())
+
+    async def main():
+        cfg = ServerConfig()
+        cfg.moq_port = 0
+        app = create_app(cfg)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        state = app["state"]
+        wt = state.webtransport
+        http_url = f"http://127.0.0.1:{client.port}"
+
+        sub_c = MoqClient()
+        await sub_c.connect("127.0.0.1", wt.port, [bytes.fromhex(wt.fingerprint)])
+
+        args = types.SimpleNamespace(
+            server=http_url, moq_cmd="publish", broadcast="cli/audio",
+            wav=str(wav_path), protocol="lite", moq_port=wt.port,
+        )
+        pub_task = asyncio.ensure_future(_run_moq(args))
+        await asyncio.sleep(0.6)  # publisher connected + announced
+        sub = await sub_c.subscribe("cli/audio")
+        frames = []
+        while len(frames) < 10:
+            f = await sub.recv(timeout=10)
+            assert f is not None, "no frames over CLI moq-lite publish"
+            frames.append(f)
+        assert all(len(p[0]) > 0 for p in frames)
+        ts = [p[1] for p in frames]
+        assert ts == sorted(ts)
+        pub_task.cancel()
+        sub_c.close()
+        await client.close()
+
+    asyncio.run(main())
