@@ -1,17 +1,23 @@
 # SPDX-License-Identifier: Apache-2.0
 """End-to-end engine throughput benchmark: sessions/chip *through the
-dynamic data path* — audio packets → WhisperNode (VAD rings + continuous
-batcher + slot tables) → sink — not just the model kernels.
+dynamic data path* — by default **opus-in → finals-out**: 20 ms Opus
+packets → opus decoder (libopus, 48 kHz) → resampler (48 k → 16 k) →
+WhisperNode (VAD rings + continuous batcher + slot tables) → sink. That
+is the reference's full per-session media path
+(``audio/codecs/opus.rs:102-140`` → resampler → whisper), so the headline
+number includes codec + framing + inter-node hop costs, not just the
+model kernels. ``SK_ENG_OPUS=0`` reverts to raw-PCM feeding (the round-2
+ceiling configuration).
 
 Each of N concurrent sessions feeds S seconds of synthesized speech in
-20 ms AudioFrame packets as fast as channel backpressure admits (finals
-only: the serving configuration). Sustained realtime sessions/chip =
+20 ms packets as fast as channel backpressure admits (finals only: the
+serving configuration). Sustained realtime sessions/chip =
 N × S / wall_time: if the engine digests N×S seconds of audio in T seconds
 of wall clock, it can sustain that many realtime sessions.
 
 Run: python benchmarks/engine_bench.py (or via bench.py)
 Env: SK_ENG_MODEL (large-v3), SK_ENG_SESSIONS (32), SK_ENG_SECONDS (30),
-     SK_ENG_TICK_MS (10).
+     SK_ENG_TICK_MS (10), SK_ENG_OPUS (1).
 """
 
 from __future__ import annotations
@@ -49,7 +55,22 @@ def _resources():
     return _RM
 
 
-async def run_session(idx: int, model_size: str, audio: np.ndarray, batcher, counts: list):
+def encode_opus_packets(audio48: np.ndarray) -> list:
+    """Client-side cost: pre-encode 48 kHz audio into 20 ms Opus packets."""
+    from streamkit_tpu.nodes.codecs.opus import OpusEncoder
+
+    enc = OpusEncoder(48_000, 1, 64_000)
+    frame = 960
+    return [
+        enc.encode(audio48[i * frame : (i + 1) * frame])
+        for i in range(len(audio48) // frame)
+    ]
+
+
+async def run_session(idx: int, model_size: str, audio, batcher, counts: list, opus: bool):
+    """One session's full media path. ``opus=True``: audio is a list of
+    pre-encoded Opus packets fed through decoder → resampler → whisper
+    (the reference chain); ``False``: raw 16 kHz PCM straight to whisper."""
     from streamkit_tpu.core import (
         AudioFormat,
         AudioFrame,
@@ -57,11 +78,10 @@ async def run_session(idx: int, model_size: str, audio: np.ndarray, batcher, cou
         NodeContext,
         OutputSender,
         Packet,
+        PacketMetadata,
     )
     from streamkit_tpu.nodes.ml.whisper_node import WhisperNode
 
-    sr = 16000
-    frame = 320  # 20 ms packets, the realistic serving granularity
     node = WhisperNode(
         {
             "model_size": model_size,
@@ -72,27 +92,69 @@ async def run_session(idx: int, model_size: str, audio: np.ndarray, batcher, cou
             "dtype": "bfloat16",
         }
     )
-    in_ch = Channel(256)
     out_ch = Channel(4096)
-    ctx = NodeContext(
-        node_name=f"stt{idx}",
-        inputs={"in": in_ch},
-        output=OutputSender(f"stt{idx}", direct={"out": out_ch}),
-        batcher=batcher,
-        resources=_resources(),
-    )
-    task = asyncio.ensure_future(node.run(ctx))
-    fmt = AudioFormat(sr, 1)
+    tasks = []
+    chans = []
 
-    async def feeder():
-        n_frames = len(audio) // frame
-        for i in range(n_frames):
-            await in_ch.send(
-                Packet.new_audio(AudioFrame(audio[i * frame : (i + 1) * frame], fmt))
-            )
-            if i % 8 == 0:
-                await asyncio.sleep(0)  # cooperative yield under full-speed feed
-        in_ch.close()
+    def spawn(n, name, in_ch, out):
+        ctx = NodeContext(
+            node_name=name,
+            inputs={"in": in_ch},
+            output=OutputSender(name, direct={"out": out}),
+            batcher=batcher,
+            resources=_resources(),
+        )
+        tasks.append(asyncio.ensure_future(n.run(ctx)))
+        return ctx
+
+    if opus:
+        from streamkit_tpu.nodes.audio.filters import ResamplerNode
+        from streamkit_tpu.nodes.codecs.opus import OpusDecoderNode
+
+        in_ch = Channel(256)
+        dec_out = Channel(64)
+        rs_out = Channel(64)
+        chans = [in_ch, dec_out, rs_out]
+        spawn(OpusDecoderNode({"channels": 1}), f"dec{idx}", in_ch, dec_out)
+        spawn(
+            # host backend: 20 ms live chunks at high session counts must not
+            # pay a per-chunk device dispatch (see ResamplerNode docstring)
+            ResamplerNode(
+                {"target_sample_rate": 16000, "output_frame_size": 0, "backend": "host"}
+            ),
+            f"rs{idx}", dec_out, rs_out,
+        )
+        stt_ctx = spawn(node, f"stt{idx}", rs_out, out_ch)
+
+        async def feeder():
+            for i, pkt in enumerate(audio):
+                await in_ch.send(
+                    Packet.new_binary(
+                        pkt, "audio/opus",
+                        PacketMetadata(timestamp_us=i * 20_000, duration_us=20_000, sequence=i),
+                    )
+                )
+                if i % 8 == 0:
+                    await asyncio.sleep(0)
+            in_ch.close()
+
+    else:
+        sr = 16000
+        frame = 320  # 20 ms packets, the realistic serving granularity
+        in_ch = Channel(256)
+        chans = [in_ch]
+        stt_ctx = spawn(node, f"stt{idx}", in_ch, out_ch)
+        fmt = AudioFormat(sr, 1)
+
+        async def feeder():
+            n_frames = len(audio) // frame
+            for i in range(n_frames):
+                await in_ch.send(
+                    Packet.new_audio(AudioFrame(audio[i * frame : (i + 1) * frame], fmt))
+                )
+                if i % 8 == 0:
+                    await asyncio.sleep(0)  # cooperative yield under full-speed feed
+            in_ch.close()
 
     async def collector():
         n = 0
@@ -107,8 +169,11 @@ async def run_session(idx: int, model_size: str, audio: np.ndarray, batcher, cou
     feed = asyncio.ensure_future(feeder())
     collect = asyncio.ensure_future(collector())
     await feed
-    await task
-    ctx.output.close()
+    for t, ch in zip(tasks, chans[1:] + [None]):
+        await t
+        if ch is not None:
+            ch.close()
+    stt_ctx.output.close()
     await collect
 
 
@@ -141,11 +206,18 @@ async def amain() -> dict:
     batcher = DeviceBatcher(tick_ms=float(os.environ.get("SK_ENG_TICK_MS", 10)))
     batcher.start()
 
+    use_opus = os.environ.get("SK_ENG_OPUS", "1") == "1"
+
+    def session_audio(seconds: float, seed: int):
+        if use_opus:
+            return encode_opus_packets(_speech(seconds, seed, sr=48_000))
+        return _speech(seconds, seed)
+
     # warmup: compile all (kind, padded-batch) programs outside the timed run
     # (same recipe as latency_bench — a mid-run XLA compile stalls a batch by
     # 30-60 s and poisons the measurement)
     warm_counts: list = []
-    await run_session(9999, model_size, _speech(10.0, seed=777), batcher, warm_counts)
+    await run_session(9999, model_size, session_audio(10.0, 777), batcher, warm_counts, use_opus)
     print(f"# warmup session done ({warm_counts} finals)", file=sys.stderr, flush=True)
 
     vad_block = int(os.environ.get("SK_ENG_VAD_BLOCK", 16))
@@ -187,7 +259,7 @@ async def amain() -> dict:
                 print(f"# warmed {kind} batch={nb}", file=sys.stderr, flush=True)
     print("# compile warmup done", file=sys.stderr, flush=True)
 
-    audios = [_speech(seconds, seed=i) for i in range(n_sessions)]
+    audios = [session_audio(seconds, i) for i in range(n_sessions)]
     counts: list = []
     t0 = time.perf_counter()
 
@@ -201,13 +273,19 @@ async def amain() -> dict:
 
     prog = asyncio.ensure_future(progress())
     await asyncio.gather(
-        *[run_session(i, model_size, audios[i], batcher, counts) for i in range(n_sessions)]
+        *[
+            run_session(i, model_size, audios[i], batcher, counts, use_opus)
+            for i in range(n_sessions)
+        ]
     )
     prog.cancel()
     wall = time.perf_counter() - t0
     batcher.stop()
 
-    total_audio = sum(len(a) for a in audios) / 16000.0
+    if use_opus:
+        total_audio = sum(len(a) * 0.020 for a in audios)  # 20 ms packets
+    else:
+        total_audio = sum(len(a) for a in audios) / 16000.0
     sessions = total_audio / wall
     finals = sum(counts)
     print(
@@ -216,9 +294,11 @@ async def amain() -> dict:
         file=sys.stderr,
         flush=True,
     )
+    ingress = "opus-in (decode 48k + resample 16k)" if use_opus else "pcm-in"
     return {
         "metric": f"sustained realtime whisper-{model_size} sessions/chip through the "
-        f"dynamic engine (20ms packets, VAD rings + continuous batcher, finals)",
+        f"dynamic engine ({ingress} -> finals-out, 20ms packets, VAD rings + "
+        f"continuous batcher)",
         "value": round(sessions, 1),
         "unit": "sessions",
         "vs_baseline": round(sessions / 64.0, 2),
@@ -227,6 +307,7 @@ async def amain() -> dict:
             "fed_sessions": n_sessions,
             "audio_s_per_session": seconds,
             "final_transcripts": finals,
+            "ingress": ingress,
             "batcher": batcher.stats(),
         },
     }

@@ -9,7 +9,18 @@ measured the same way at VAD close.
 
 Run on the real chip:  python benchmarks/latency_bench.py
 Env: SK_LAT_MODEL (tiny|base|...|large-v3, default large-v3),
-     SK_LAT_SESSIONS (default 8), SK_LAT_SECONDS (default 30).
+     SK_LAT_SESSIONS (default 8), SK_LAT_SECONDS (default 30),
+     SK_LAT_INGEST (cpp|py, default cpp), SK_LAT_FINAL (stream|exact).
+
+Two ingestion modes:
+
+* ``cpp`` (default) — the serving path: C++ ingest pool paces every
+  session from native threads and assembles VAD blocks; the
+  SttServingEngine drives one fused batched device step per block
+  (engine/stt_serving.py). This is the configuration the ≥64-session
+  north star is served with.
+* ``py`` — round-2's per-session asyncio feeders through WhisperNode;
+  kept for A/B comparison (measures the Python ingestion ceiling).
 
 Prints one JSON line: p50/p90 partial latency ms + sessions + model.
 """
@@ -130,6 +141,119 @@ async def run_session(idx: int, model_size: str, seconds: float, batcher, latenc
     await collect_task
 
 
+async def main_cpp():
+    """Native-ingest serving bench: paced C++ replay into SttServingEngine."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/skit-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from streamkit_tpu.engine.stt_serving import SttServingEngine
+
+    model_size = os.environ.get("SK_LAT_MODEL", "large-v3")
+    n_sessions = int(os.environ.get("SK_LAT_SESSIONS", "8"))
+    seconds = float(os.environ.get("SK_LAT_SECONDS", "30"))
+    final_mode = os.environ.get("SK_LAT_FINAL", "stream")
+    os.environ.setdefault("SK_STREAM_PAD", str(n_sessions))
+    os.environ.setdefault("SK_STREAM_GATHER_MS", "30")
+    os.environ.setdefault("SK_STREAM_SLOTS", str(max(64, n_sessions)))
+    os.environ.setdefault("SK_RING_SLOTS", str(max(128, n_sessions + 8)))
+    os.environ.setdefault("SK_STT_PAD_TO", str(n_sessions))
+    frame_us = 20_000
+
+    eng = SttServingEngine(
+        model_size=model_size,
+        dtype="bfloat16",
+        max_sessions=n_sessions + 2,
+        final_mode=final_mode,
+        partial_interval_ms=float(os.environ.get("SK_LAT_PARTIAL_MS", 250)),
+        window_buckets=[float(b) for b in os.environ.get("SK_LAT_BUCKETS", "4,8").split(",")],
+        vad_block_frames=int(os.environ.get("SK_LAT_VAD_BLOCK", 8)),
+        max_tokens=32,
+        resources=_resources(),
+    )
+    await eng.start()
+
+    # -- warmup: compile the fused step (padded) + final path on a spare
+    # session fed at 8x realtime
+    warm_events: list = []
+    wsid = eng.open_session(lambda ev: warm_events.append(ev))
+    eng.start_replay(wsid, synth_speech(8.0, seed=999), frame_us=frame_us // 8)
+    deadline = time.monotonic() + 600
+    while time.monotonic() < deadline:
+        if any(e["type"] == "final" for e in warm_events):
+            break
+        await asyncio.sleep(0.5)
+    eng.close_session(wsid)
+    await asyncio.sleep(0.5)
+    print(f"# warmup done ({len(warm_events)} events)", file=sys.stderr, flush=True)
+
+    # -- timed run: N co-paced sessions, latencies from replay frame cadence
+    events: dict = {}
+    sids = []
+    audio = {}
+    for i in range(n_sessions):
+        events[i] = []
+        sid = eng.open_session(
+            lambda ev, i=i: events[i].append((eng.pool.now_ns(), ev))
+        )
+        sids.append(sid)
+        audio[i] = synth_speech(seconds, seed=i)
+    t0 = time.monotonic()
+    for i, sid in enumerate(sids):
+        # shared epoch: all replays start 800 ms from now, frame-aligned
+        eng.start_replay(sid, audio[i], frame_us=frame_us, start_delay_us=800_000)
+    # wait for replays to finish + VAD hangover to close tail segments
+    while eng.pool.active() > 0:
+        await asyncio.sleep(1.0)
+    await asyncio.sleep(3.0)
+    wall = time.monotonic() - t0
+    starts = {i: eng.pool.replay_start_ns(sid) for i, sid in enumerate(sids)}
+    dropped = eng.pool.dropped()
+    for sid in sids:
+        eng.close_session(sid)
+    batcher_stats = eng.batcher.stats()
+    await eng.stop()
+
+    lat_partial: list = []
+    lat_final: list = []
+    for i, evs in events.items():
+        audio_ms = len(audio[i]) / 16.0
+        for now_ns, ev in evs:
+            if ev["type"] not in ("partial", "final"):
+                continue
+            end_ms = min(ev["end_ms"], audio_ms)
+            arr_ns = starts[i] + int(end_ms / 20.0) * frame_us * 1000
+            (lat_partial if ev["type"] == "partial" else lat_final).append(
+                (now_ns - arr_ns) / 1e6
+            )
+    lat = sorted(lat_partial + lat_final)
+    if not lat:
+        print(json.dumps({"error": "no transcripts emitted"}))
+        return
+    p50 = lat[len(lat) // 2]
+    p90 = lat[int(len(lat) * 0.9)]
+    fin = sorted(lat_final)
+    print(
+        json.dumps(
+            {
+                "metric": f"streaming partial-transcript latency p50, whisper-{model_size}, "
+                f"{n_sessions} concurrent realtime sessions (cpp ingest, {final_mode} finals)",
+                "value": round(p50, 1),
+                "unit": "ms",
+                "p90_ms": round(p90, 1),
+                "final_p50_ms": round(fin[len(fin) // 2], 1) if fin else None,
+                "transcripts": len(lat),
+                "finals": len(fin),
+                "wall_secs": round(wall, 1),
+                "audio_secs": round(seconds, 1),
+                "dropped_blocks": dropped,
+                "batcher": batcher_stats,
+                "vs_baseline": round(300.0 / p50, 2),
+            }
+        )
+    )
+
+
 async def main():
     from streamkit_tpu.engine.batcher import DeviceBatcher
 
@@ -186,10 +310,9 @@ async def main():
             await asyncio.gather(
                 *(
                     batcher.submit(
-                        kind, np.int32(120), np.int32(7), np.int32(0),
-                        np.int32(0), np.int32(0), np.bool_(True),
+                        kind,
+                        np.asarray([120, 7, 0, 0, 0, 1, 0, 0, 0, 0, 0], np.int32),
                         np.zeros((vad_block, VAD_FRAME), np.float32),
-                        np.bool_(False), np.zeros(4, np.int32),
                     )
                     for _ in range(pad_stream)
                 )
@@ -254,4 +377,7 @@ async def main():
 
 
 if __name__ == "__main__":
-    asyncio.run(main())
+    if os.environ.get("SK_LAT_INGEST", "cpp") == "cpp":
+        asyncio.run(main_cpp())
+    else:
+        asyncio.run(main())

@@ -132,6 +132,7 @@ class SttServingEngine:
         self.resources = resources
         self.pool: Optional[IngestPool] = None
         self._sessions: Dict[int, _Session] = {}
+        self._workers: set = set()  # all live worker tasks (for stop())
         self._drain_task: Optional[asyncio.Task] = None
         self._running = False
         # filled by start()
@@ -194,10 +195,11 @@ class SttServingEngine:
         self._sstep_kind = f"stream_step:{model_tag}:{self.vad_block}"
         params, cfg, ring, tbl = self._params, self._cfg, self._ring, self._tbl
 
-        def batched_sstep(slot_ids, sids, wpos, cstart, n_req, do_dec, frames, do_rst, prefix):
+        def batched_sstep(meta, frames):
+            # meta [B, 11]: packed per-row scalars + prefix (streaming.META_COLS)
             return tbl.step(
-                params, ring, slot_ids, sids, wpos, cstart, n_req, do_dec,
-                frames, self._stream_steps, do_reset=do_rst, prefix_b=prefix,
+                params, ring, meta, None, None, None, None, None,
+                frames, self._stream_steps,
             )
 
         stream_pad = int(os.environ.get("SK_STREAM_PAD", str(min(64, self._tbl.max_slots))))
@@ -248,13 +250,15 @@ class SttServingEngine:
                 await asyncio.wait_for(self._drain_task, timeout=5)
             except (asyncio.TimeoutError, asyncio.CancelledError):
                 self._drain_task.cancel()
-        # reap session workers
-        for s in list(self._sessions.values()):
-            if s.worker is not None:
-                try:
-                    await asyncio.wait_for(s.worker, timeout=5)
-                except (asyncio.TimeoutError, asyncio.CancelledError):
-                    s.worker.cancel()
+        # reap every worker task (workers remove themselves from _sessions,
+        # so the reap list must be independent of it)
+        if self._workers:
+            done, pending = await asyncio.wait(self._workers, timeout=5)
+            for t in pending:
+                t.cancel()
+            if pending:
+                await asyncio.gather(*pending, return_exceptions=True)
+        self._workers.clear()
         self._sessions.clear()
         if self._own_batcher:
             self.batcher.stop()
@@ -285,6 +289,8 @@ class SttServingEngine:
             seg=SpeechSegmenter(self.vad_threshold, self.min_silence_ms, self.max_segment_secs),
         )
         s.worker = asyncio.ensure_future(self._session_worker(s))
+        self._workers.add(s.worker)
+        s.worker.add_done_callback(self._workers.discard)
         self._sessions[sid] = s
         return sid
 
@@ -349,17 +355,25 @@ class SttServingEngine:
         do_rst = s.pending_reset
         s.pending_reset = False
         rs = self._ring.ring_samples
+        meta_row = np.concatenate(
+            [
+                np.asarray(
+                    [
+                        s.vad_slot,
+                        s.stream_id,
+                        s.written % rs,
+                        s.st_tip % rs,
+                        n_req,
+                        int(do_dec),
+                        int(do_rst),
+                    ],
+                    np.int32,
+                ),
+                self._prefix,
+            ]
+        )
         probs, tok_row, ntk, _ = await self.batcher.submit(
-            self._sstep_kind,
-            np.int32(s.vad_slot),
-            np.int32(s.stream_id),
-            np.int32(s.written % rs),
-            np.int32(s.st_tip % rs),
-            np.int32(n_req),
-            np.bool_(do_dec),
-            block2,
-            np.bool_(do_rst),
-            self._prefix,
+            self._sstep_kind, meta_row, block2
         )
         s.written += block.size
         s.st_tip += n_req * CHUNK_SAMPLES

@@ -497,6 +497,14 @@ def _stream_decode(
     return dec_k, dec_v, tokens, fed, n_tok, tok, n_r
 
 
+# meta vector layout for the fused step: ONE int32 array carries every
+# per-row scalar so a batched call transfers 2 host arrays (meta + frames)
+# instead of 9 — each per-argument transfer costs a full tunnel round trip
+# (~24 ms on the serving host), and the scalars dominated the arg count.
+META_COLS = 7  # slot, stream, wpos, cstart, n_req, do_dec, do_reset
+META_PREFIX = 4  # decoder prefix tokens appended after the scalars
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_steps", "n_chunks"),
@@ -516,15 +524,8 @@ def _stream_step(
     fed: jnp.ndarray,
     n_tok: jnp.ndarray,
     ring: jnp.ndarray,  # NOT donated: decode snapshots may hold the old ref
-    slot_ids: jnp.ndarray,  # [B] audio-ring slots
-    stream_ids: jnp.ndarray,  # [B]
-    wpos: jnp.ndarray,  # [B] ring write positions for this block
-    cstart: jnp.ndarray,  # [B] chunk start samples (ring coords)
-    n_req: jnp.ndarray,  # [B] int32 chunks to commit (0..n_chunks)
-    do_dec: jnp.ndarray,  # [B] bool — run the decode continuation
+    meta: jnp.ndarray,  # [B, META_COLS + META_PREFIX] int32 (layout above)
     frames_b: jnp.ndarray,  # [B, n_frames, VAD_FRAME] f32
-    do_reset: jnp.ndarray,  # [B] bool — open a new segment BEFORE this block
-    prefix_b: jnp.ndarray,  # [B, P] int32 decoder prefixes for resetting rows
     cfg: WhisperConfig,
     max_steps: int,
     n_chunks: int = 2,
@@ -539,6 +540,14 @@ def _stream_step(
     session counts every utterance start would otherwise cost its own
     unbatched device dispatch.
     """
+    slot_ids = meta[:, 0]
+    stream_ids = meta[:, 1]
+    wpos = meta[:, 2]
+    cstart = meta[:, 3]
+    n_req = meta[:, 4]
+    do_dec = meta[:, 5] != 0
+    do_reset = meta[:, 6] != 0
+    prefix_b = meta[:, META_COLS:]
     # 0) per-row segment open (reset): prefix into the token buffer, counters
     # to zero. Caches need no clearing — masks bound every read. Duplicate
     # pad rows write identical values.
@@ -750,12 +759,39 @@ class StreamTable:
         device call. Takes both tables' step locks (ring first, then stream —
         the only place both are held, so the order cannot deadlock) and
         exchanges the ring's buffers in place, mirroring
-        ``SessionAudioRing.vad_append`` semantics (ring not donated)."""
-        b = len(slot_ids) if hasattr(slot_ids, "__len__") else int(slot_ids.shape[0])
-        if do_reset is None:
-            do_reset = np.zeros((b,), bool)
-        if prefix_b is None:
-            prefix_b = np.zeros((b, 4), np.int32)
+        ``SessionAudioRing.vad_append`` semantics (ring not donated).
+
+        Accepts either per-field arrays (built into the packed meta vector
+        here) or, when ``slot_ids`` is 2-D, a pre-packed ``meta`` array of
+        shape ``[B, META_COLS + META_PREFIX]`` (the serving path packs on the
+        host to cut per-call transfers)."""
+        sl = np.asarray(slot_ids)
+        if sl.ndim == 2:
+            meta = sl.astype(np.int32)
+        else:
+            b = sl.shape[0]
+            if do_reset is None:
+                do_reset = np.zeros((b,), bool)
+            if prefix_b is None:
+                prefix_b = np.zeros((b, META_PREFIX), np.int32)
+            meta = np.concatenate(
+                [
+                    np.stack(
+                        [
+                            np.asarray(slot_ids, np.int32),
+                            np.asarray(stream_ids, np.int32),
+                            np.asarray(wpos, np.int32),
+                            np.asarray(cstart, np.int32),
+                            np.asarray(n_req, np.int32),
+                            np.asarray(do_dec, np.int32),
+                            np.asarray(do_reset, np.int32),
+                        ],
+                        axis=1,
+                    ),
+                    np.asarray(prefix_b, np.int32).reshape(b, META_PREFIX),
+                ],
+                axis=1,
+            )
         with audio_ring._step_lock:
             with self._step_lock:
                 (
@@ -770,15 +806,8 @@ class StreamTable:
                     self._enc_k, self._enc_v, self._xk, self._xv, self._enc_pos,
                     self._dec_k, self._dec_v, self._tokens, self._fed, self._n_tok,
                     audio_ring._ring,
-                    jnp.asarray(slot_ids, jnp.int32),
-                    jnp.asarray(stream_ids, jnp.int32),
-                    jnp.asarray(wpos, jnp.int32),
-                    jnp.asarray(cstart, jnp.int32),
-                    jnp.asarray(n_req, jnp.int32),
-                    jnp.asarray(do_dec, bool),
+                    jnp.asarray(meta),
                     frames_b,
-                    jnp.asarray(do_reset, bool),
-                    jnp.asarray(prefix_b, jnp.int32),
                     self.cfg,
                     max_steps,
                 )

@@ -128,13 +128,29 @@ class ResamplerNode(ProcessorNode):
     def __init__(self, params: Optional[dict]) -> None:
         cfg = parse_config_optional(
             params,
-            {"target_sample_rate": 48000, "chunk_frames": 960, "output_frame_size": 960},
+            {
+                "target_sample_rate": 48000,
+                "chunk_frames": 960,
+                "output_frame_size": 960,
+                # "device": chunks batch across sessions into slot-table
+                # device calls (oneshot/bulk: big chunks amortize dispatch).
+                # "host": the identical LinearResampler kernel on the host —
+                # the right choice for 20 ms live streams at high session
+                # counts, where a per-chunk device dispatch (~RTT-bound)
+                # costs orders of magnitude more than the 960-sample FIR
+                # itself. Same algorithm, byte-identical output
+                # (tests/test_batcher.py::test_resampler_slot_table_matches_host_path).
+                "backend": "device",
+            },
         )
         if params is not None:
             require_param(params, "target_sample_rate")
         self.target_rate = int(cfg["target_sample_rate"])
         self.chunk_frames = int(cfg["chunk_frames"])
         self.output_frame_size = int(cfg["output_frame_size"])
+        self.backend = str(cfg["backend"])
+        if self.backend not in ("device", "host"):
+            raise ConfigurationError("backend must be device|host")
         if self.target_rate <= 0:
             raise ConfigurationError("target_sample_rate must be greater than 0")
         if self.chunk_frames <= 0:
@@ -205,7 +221,7 @@ class ResamplerNode(ProcessorNode):
                     resampler = LinearResampler(
                         fmt.sample_rate, self.target_rate, self.chunk_frames, fmt.channels
                     )
-                    if ctx.batcher is not None:
+                    if ctx.batcher is not None and self.backend == "device":
                         # per-session phase/history live in a device slot
                         # table; chunks from all sessions batch per config
                         batched = _resampler_slot_kind(

@@ -275,13 +275,12 @@ class WhisperNode(ProcessorNode):
                 # + tunnel RTT saturated a 1-core serving host
                 sstep_kind = f"stream_step:{model_tag}:{self.vad_block}"
 
-                def batched_sstep(
-                    slot_ids, sids, wpos, cstart, n_req, do_dec, frames, do_rst, prefix
-                ):
+                def batched_sstep(meta, frames):
+                    # meta [B, 11]: packed per-row scalars + prefix (ONE
+                    # transfer instead of nine — streaming.META_COLS layout)
                     return stream_tbl.step(
-                        params, ring, slot_ids, sids, wpos, cstart,
-                        n_req, do_dec, frames, stream_steps,
-                        do_reset=do_rst, prefix_b=prefix,
+                        params, ring, meta, None, None, None,
+                        None, None, frames, stream_steps,
                     )
 
                 sgather = float(os.environ.get("SK_STREAM_GATHER_MS", "0"))
@@ -464,17 +463,25 @@ class WhisperNode(ProcessorNode):
                                 do_dec = False
                             do_rst = st_pending_reset
                             st_pending_reset = False
+                            meta_row = np.concatenate(
+                                [
+                                    np.asarray(
+                                        [
+                                            vad_slot,
+                                            stream_id,
+                                            written % ring.ring_samples,
+                                            st_tip % ring.ring_samples,
+                                            n_req,
+                                            int(do_dec),
+                                            int(do_rst),
+                                        ],
+                                        np.int32,
+                                    ),
+                                    stream_prefix,
+                                ]
+                            )
                             probs, tok_row, ntk, _ = await ctx.batcher.submit(
-                                sstep_kind,
-                                np.int32(vad_slot),
-                                np.int32(stream_id),
-                                np.int32(written % ring.ring_samples),
-                                np.int32(st_tip % ring.ring_samples),
-                                np.int32(n_req),
-                                np.bool_(do_dec),
-                                block,
-                                np.bool_(do_rst),
-                                stream_prefix,
+                                sstep_kind, meta_row, block
                             )
                             st_tip += n_req * CHUNK_SAMPLES
                             st_pos += n_req * 8
