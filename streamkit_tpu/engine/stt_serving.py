@@ -108,6 +108,7 @@ class SttServingEngine:
         max_tokens: int = 32,
         batcher: Optional[DeviceBatcher] = None,
         resources: Optional[ResourceManager] = None,
+        mesh=None,
     ) -> None:
         if final_mode not in ("stream", "exact"):
             raise ValueError(f"final_mode must be stream|exact, got {final_mode}")
@@ -130,6 +131,10 @@ class SttServingEngine:
         )
         self._own_batcher = batcher is None
         self.resources = resources
+        # optional (dp, tp) jax.sharding.Mesh: weights go TP, KV slot tables
+        # dp(slots)×tp(heads), audio rings dp — parallel/serving.py layout.
+        # None = single chip (default; no behavior change).
+        self.mesh = mesh
         self.pool: Optional[IngestPool] = None
         self._sessions: Dict[int, _Session] = {}
         self._workers: set = set()  # all live worker tasks (for stop())
@@ -192,6 +197,12 @@ class SttServingEngine:
         self._ring = _get_audio_ring()
         model_tag = f"{self.model_path or self.model_size}:{lang_index}:{self.max_tokens}"
         self._tbl = get_stream_table(model_tag, self._cfg, self.dtype)
+        if self.mesh is not None:
+            from ..parallel.serving import shard_serving_state
+
+            self._params = shard_serving_state(
+                self.mesh, self._params, table=self._tbl, ring=self._ring
+            )
         self._sstep_kind = f"stream_step:{model_tag}:{self.vad_block}"
         params, cfg, ring, tbl = self._params, self._cfg, self._ring, self._tbl
 

@@ -68,10 +68,29 @@ def _path_str(path) -> str:
     return "/".join(str(p) for p in path)
 
 
+def _fits(spec: P, shape, mesh: Mesh) -> bool:
+    """A spec fits iff every sharded dim divides by its mesh-axis size."""
+    for i, axis in enumerate(spec):
+        if axis is None:
+            continue
+        if i >= len(shape) or shape[i] % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
 def whisper_param_sharding(mesh: Mesh, params):
-    """Build a NamedSharding pytree matching the whisper param pytree."""
+    """Build a NamedSharding pytree matching the whisper param pytree.
+
+    Leaves whose sharded dim does not divide by the mesh axis (e.g. the
+    51865-token vocab embedding under tp=2) fall back to replication —
+    correctness first; pad-to-multiple is a later optimization."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    specs = [NamedSharding(mesh, _spec_for_path(_path_str(path))) for path, _ in flat]
+    specs = []
+    for path, leaf in flat:
+        spec = _spec_for_path(_path_str(path))
+        if not _fits(spec, np.shape(leaf), mesh):
+            spec = P()
+        specs.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
