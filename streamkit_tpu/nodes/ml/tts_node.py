@@ -108,8 +108,13 @@ class TtsNode(ProcessorNode):
         )
         self.model_path = cfg["model_path"] or cfg["model_dir"]
         self.backend = str(cfg["backend"])
-        if self.backend not in ("auto", "vits", "fastspeech"):
+        if self.backend not in ("auto", "vits", "fastspeech", "kokoro"):
             raise ConfigurationError(f"unknown tts backend: {self.backend!r}")
+        self.speaker_id = int(cfg["speaker_id"])
+        if not 0 <= self.speaker_id <= 102:  # v1.1 voices (config.rs:14)
+            raise ConfigurationError("speaker_id must be 0-102")
+        if not 0.5 <= float(cfg["speed"]) <= 2.0:  # config.rs:18
+            raise ConfigurationError("speed must be 0.5-2.0")
         self.sample_rate = int(cfg["sample_rate"])
         self.frames_per_char = float(cfg["frames_per_char"])
         self.speed = float(cfg["speed"])
@@ -121,21 +126,25 @@ class TtsNode(ProcessorNode):
     def output_pins(self) -> List[OutputPin]:
         return [OutputPin("out", PacketType.raw_audio(AudioFormat(self.sample_rate, 1)))]
 
-    def _use_vits(self) -> bool:
-        if self.backend == "vits":
-            return True
-        if self.backend == "fastspeech":
-            return False
+    def _pick_backend(self) -> str:
         import os
 
-        return bool(
-            self.model_path
-            and os.path.isdir(self.model_path)
-            and os.path.exists(os.path.join(self.model_path, "config.json"))
-        )
+        if self.backend != "auto":
+            return self.backend
+        if self.model_path and os.path.isdir(self.model_path):
+            # voices.bin is the kokoro model-dir signature (kokoro_node.rs:706)
+            if os.path.exists(os.path.join(self.model_path, "voices.bin")):
+                return "kokoro"
+            if os.path.exists(os.path.join(self.model_path, "config.json")):
+                return "vits"
+        return "fastspeech"
+
+    def _use_vits(self) -> bool:
+        return self._pick_backend() == "vits"
 
     async def _load(self, ctx: NodeContext):
-        use_vits = self._use_vits()
+        backend = self._pick_backend()
+        use_vits = backend == "vits"
 
         async def loader():
             loop = asyncio.get_running_loop()
@@ -143,6 +152,14 @@ class TtsNode(ProcessorNode):
             def build():
                 import os
 
+                if backend == "kokoro":
+                    from ...models.kokoro import load_kokoro_dir
+
+                    if not (self.model_path and os.path.isdir(self.model_path)):
+                        raise ConfigurationError(
+                            f"kokoro backend requires a model dir: {self.model_path}"
+                        )
+                    return ("kokoro",) + load_kokoro_dir(self.model_path)
                 if use_vits:
                     from ...models.vits import (
                         VitsCharTokenizer,
@@ -176,7 +193,7 @@ class TtsNode(ProcessorNode):
             return await loop.run_in_executor(None, build)
 
         key = ResourceKey.from_params(
-            "tts", {"path": self.model_path, "vits": use_vits}
+            "tts", {"path": self.model_path, "backend": backend}
         )
         if ctx.resources is not None:
             return await ctx.resources.get_or_create(key, loader)
@@ -191,7 +208,22 @@ class TtsNode(ProcessorNode):
         loop = asyncio.get_running_loop()
         seq = 0
 
-        if loaded[0] == "vits":
+        if loaded[0] == "kokoro":
+            from ...models.kokoro import SAMPLE_RATE as KOKORO_SR, kokoro_synthesize
+
+            _, kcfg, kparams, ktokens, kvoices = loaded
+            if self.speaker_id >= kvoices.shape[0]:
+                raise ConfigurationError(
+                    f"speaker_id {self.speaker_id} out of range: voices.bin has "
+                    f"{kvoices.shape[0]} voices"
+                )
+            pack = kvoices[self.speaker_id]
+            fmt = AudioFormat(KOKORO_SR, 1)
+
+            def synth_sync(sentence: str) -> np.ndarray:
+                ids = ktokens.encode(sentence)
+                return kokoro_synthesize(kparams, kcfg, ids, pack, speed=self.speed)
+        elif loaded[0] == "vits":
             from ...models.vits import synthesize as vits_synthesize
 
             _, mcfg, mparams, tok = loaded

@@ -77,6 +77,38 @@ def write_opus_ogg(path: str, audio: np.ndarray, sr_in: int, bitrate: int = 3200
         f.write(bytes(out))
 
 
+
+def make_kokoro_golden(outdir: str, n_voices: int = 3, seed: int = 7) -> None:
+    """Synthetic kokoro golden pack with the reference model-dir layout
+    (kokoro_node.rs:705-709): tokens.txt, voices.bin, espeak-ng-data/,
+    dict/. Voice styles are deterministic pseudo-random vectors so the
+    converter and speaker selection are testable without real weights."""
+    from streamkit_tpu.models.kokoro import STYLE_DIM, STYLE_ROWS
+
+    os.makedirs(outdir, exist_ok=True)
+    chars = list("abcdefghijklmnopqrstuvwxyz") + [" ", ".", ",", "?", "!", "'"]
+    with open(os.path.join(outdir, "tokens.txt"), "w", encoding="utf-8") as f:
+        for i, c in enumerate(chars):
+            f.write(f"{c} {i}\n")
+    rng = np.random.RandomState(seed)
+    voices = rng.randn(n_voices, STYLE_ROWS, STYLE_DIM).astype("<f4") * 0.1
+    # make voices clearly distinct for tests
+    for v in range(n_voices):
+        voices[v] += v * 0.5
+    voices.tofile(os.path.join(outdir, "voices.bin"))
+    for sub in ("espeak-ng-data", "dict"):
+        os.makedirs(os.path.join(outdir, sub), exist_ok=True)
+        with open(os.path.join(outdir, sub, ".gitkeep"), "w") as f:
+            f.write("")
+    with open(os.path.join(outdir, "README.md"), "w") as f:
+        f.write(
+            "Synthetic kokoro golden pack (tools/make_fixtures.py make_kokoro_golden):\n"
+            "reference model-dir layout for converter/node tests; model.onnx is\n"
+            "intentionally absent (graph weights are provisioned separately).\n"
+        )
+    print(f"wrote kokoro golden pack: {outdir} ({n_voices} voices)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="samples/media")
