@@ -1,0 +1,241 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Trained-weight quality gates, scaffolded wide (VERDICT round-2 #9).
+
+This environment is zero-egress, so every suite here is keyed on an env
+var pointing at a provisioned checkpoint and SKIPS when absent — the day
+weights land, the whole quality surface lights up at once:
+
+* ``SK_MARIAN_WEIGHTS``    — HF MarianMT dir → translation parity vs
+  transformers greedy output (helsinki plugin class)
+* ``SK_NLLB_WEIGHTS``      — HF NLLB dir → translation parity
+* ``SK_VITS_WEIGHTS``      — HF VitsModel dir → waveform parity
+* ``SK_SENSEVOICE_WEIGHTS``— SenseVoice dir (+ optional ``ref.txt``) →
+  CTC transcript sanity/parity
+* ``SK_VAD_WEIGHTS``       — Silero-layout .npz → segmentation
+  precision/recall vs the synthesized speech plan's ground truth
+* ``SK_KOKORO_MODEL_DIR``  — converted kokoro dir → non-silent audio (+
+  optional ``ref.wav`` spectral correlation)
+
+Companion of ``tests/test_transcript_parity.py`` (SK_WHISPER_WEIGHTS).
+Architecture parity (random weights, exact layouts vs torch/HF) lives in
+the per-model test files; THESE gates verify trained output quality.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+MARIAN = os.environ.get("SK_MARIAN_WEIGHTS", "")
+NLLB = os.environ.get("SK_NLLB_WEIGHTS", "")
+VITS = os.environ.get("SK_VITS_WEIGHTS", "")
+SENSEVOICE = os.environ.get("SK_SENSEVOICE_WEIGHTS", "")
+VAD = os.environ.get("SK_VAD_WEIGHTS", "")
+KOKORO = os.environ.get("SK_KOKORO_MODEL_DIR", "")
+
+SENTENCES = [
+    "The weather is beautiful today.",
+    "Machine translation has improved dramatically.",
+    "Please close the door quietly.",
+]
+
+
+def _word_overlap(a: str, b: str) -> float:
+    import re
+
+    wa = set(re.sub(r"[^\w ]", "", a.lower()).split())
+    wb = set(re.sub(r"[^\w ]", "", b.lower()).split())
+    if not wa or not wb:
+        return 0.0
+    return len(wa & wb) / max(len(wa), len(wb))
+
+
+@pytest.mark.skipif(not os.path.isdir(MARIAN), reason="set SK_MARIAN_WEIGHTS (HF MarianMT dir)")
+def test_marian_translation_parity():
+    import torch
+    from transformers import MarianMTModel, MarianTokenizer
+
+    from streamkit_tpu.models.marian import (
+        marian_config_from_hf,
+        marian_greedy_translate,
+        marian_params_from_hf,
+    )
+
+    tok = MarianTokenizer.from_pretrained(MARIAN)
+    hf = MarianMTModel.from_pretrained(MARIAN)
+    cfg = marian_config_from_hf(hf.config)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = marian_params_from_hf(sd, cfg)
+
+    for text in SENTENCES:
+        enc = tok(text, return_tensors="pt")
+        with torch.no_grad():
+            ref_ids = hf.generate(**enc, num_beams=1, do_sample=False, max_length=64)
+        ref = tok.decode(ref_ids[0], skip_special_tokens=True)
+        src = np.asarray(enc["input_ids"], np.int32)
+        out = marian_greedy_translate(params, cfg, src, max_len=64)
+        got = tok.decode([t for t in out[0] if t != cfg.pad_token_id], skip_special_tokens=True)
+        assert _word_overlap(got, ref) >= 0.8, (text, got, ref)
+
+
+@pytest.mark.skipif(not os.path.isdir(NLLB), reason="set SK_NLLB_WEIGHTS (HF NLLB dir)")
+def test_nllb_translation_parity():
+    import torch
+    from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
+
+    from streamkit_tpu.models.nllb import (
+        nllb_config_from_hf,
+        nllb_greedy_translate,
+        nllb_params_from_hf,
+    )
+
+    tok = AutoTokenizer.from_pretrained(NLLB, src_lang="eng_Latn")
+    hf = AutoModelForSeq2SeqLM.from_pretrained(NLLB)
+    cfg = nllb_config_from_hf(hf.config)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = nllb_params_from_hf(sd, cfg)
+    bos = tok.convert_tokens_to_ids("fra_Latn")
+
+    for text in SENTENCES:
+        enc = tok(text, return_tensors="pt")
+        with torch.no_grad():
+            ref_ids = hf.generate(
+                **enc, forced_bos_token_id=bos, num_beams=1, do_sample=False, max_length=64
+            )
+        ref = tok.decode(ref_ids[0], skip_special_tokens=True)
+        src = np.asarray(enc["input_ids"], np.int32)
+        out = nllb_greedy_translate(params, cfg, src, target_lang_token=bos, max_tokens=64)
+        got = tok.decode([t for t in out[0] if t != cfg.pad_token_id], skip_special_tokens=True)
+        assert _word_overlap(got, ref) >= 0.8, (text, got, ref)
+
+
+@pytest.mark.skipif(not os.path.isdir(VITS), reason="set SK_VITS_WEIGHTS (HF VitsModel dir)")
+def test_vits_waveform_parity():
+    import torch
+    from transformers import VitsModel, VitsTokenizer
+
+    from streamkit_tpu.models.vits import load_vits, synthesize
+
+    tok = VitsTokenizer.from_pretrained(VITS)
+    hf = VitsModel.from_pretrained(VITS)
+    hf.eval()
+    cfg, params, _ = load_vits(VITS)
+
+    text = "hello world"
+    enc = tok(text, return_tensors="pt")
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = hf(**enc).waveform[0].numpy()
+    ids = np.asarray(enc["input_ids"], np.int32)
+    wave, n_valid = synthesize(params, cfg, ids, max_frames=512, noise_scale=0.0)
+    got = np.asarray(wave[0][: int(n_valid[0])])
+    # stochastic components differ run-to-run: require energy + spectral
+    # envelope agreement rather than sample equality
+    assert got.size > 0.5 * ref.size
+    ref_e = np.abs(np.fft.rfft(ref[: got.size]))
+    got_e = np.abs(np.fft.rfft(got[: got.size]))
+    n = min(ref_e.size, got_e.size)
+    corr = np.corrcoef(ref_e[:n], got_e[:n])[0, 1]
+    assert corr > 0.7, corr
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SENSEVOICE), reason="set SK_SENSEVOICE_WEIGHTS (SenseVoice dir)"
+)
+def test_sensevoice_transcript_sanity():
+    from streamkit_tpu.nodes.ml.sensevoice_node import SenseVoiceNode  # noqa: F401
+    from streamkit_tpu.utils.speechsynth import synth_speech_with_plan
+
+    # model-dir load goes through the node's loader; a ref.txt beside the
+    # weights pins the expected transcript of samples/media/speech_8s.wav
+    ref_path = os.path.join(SENSEVOICE, "ref.txt")
+    audio, _ = synth_speech_with_plan(8.0, 16_000, seed=1)
+    # (full node-driven decode; import kept lazy so collection stays cheap)
+    import asyncio
+
+    from streamkit_tpu.core import Channel, NodeContext, OutputSender, Packet
+    from streamkit_tpu.core.types import AudioFormat, AudioFrame
+
+    async def main():
+        node = SenseVoiceNode({"model_dir": SENSEVOICE, "allow_random_init": False})
+        in_ch = Channel(64)
+        out_ch = Channel(256)
+        ctx = NodeContext(
+            node_name="sv", inputs={"in": in_ch},
+            output=OutputSender("sv", direct={"out": out_ch}),
+        )
+        task = asyncio.ensure_future(node.run(ctx))
+        fmt = AudioFormat(16_000, 1)
+        for i in range(0, len(audio), 16_000):
+            await in_ch.send(Packet.new_audio(AudioFrame(audio[i : i + 16_000], fmt)))
+        in_ch.close()
+        await task
+        ctx.output.close()
+        texts = []
+        while True:
+            pkt = await out_ch.recv_optional()
+            if pkt is None:
+                break
+            if pkt.transcription is not None:
+                texts.append(pkt.transcription.text)
+        return " ".join(texts)
+
+    text = asyncio.run(main())
+    assert text.strip(), "trained SenseVoice produced no transcript"
+    if os.path.exists(ref_path):
+        ref = open(ref_path).read()
+        assert _word_overlap(text, ref) >= 0.6, (text, ref)
+
+
+@pytest.mark.skipif(not os.path.isfile(VAD), reason="set SK_VAD_WEIGHTS (Silero-layout npz)")
+def test_vad_segmentation_quality_real_weights():
+    """Segmentation vs the synthesized plan's ground-truth speech spans:
+    frame-level precision and recall ≥ 0.8 (the reference gates whisper on
+    Silero v6 — plugins/native/whisper/src/vad.rs:19-60)."""
+    from streamkit_tpu.models.silero_vad import apply, init_state, load_params
+    from streamkit_tpu.ops.vad import VAD_FRAME
+    from streamkit_tpu.utils.speechsynth import synth_speech_with_plan
+
+    params = load_params(VAD)
+    audio, plan = synth_speech_with_plan(20.0, 16_000, seed=5)
+    n_frames = len(audio) // VAD_FRAME
+    state = init_state((1,))
+    probs = []
+    for i in range(n_frames):
+        frame = audio[i * VAD_FRAME : (i + 1) * VAD_FRAME].reshape(1, 1, VAD_FRAME)
+        p, state = apply(params, state, frame)
+        probs.append(float(np.asarray(p)[0, 0]))
+    probs = np.asarray(probs)
+    truth = plan.speech_mask(VAD_FRAME / 16_000)[:n_frames]
+    probs = probs[: truth.size]
+    pred = probs >= 0.5
+    tp = (pred & truth).sum()
+    precision = tp / max(pred.sum(), 1)
+    recall = tp / max(truth.sum(), 1)
+    assert precision >= 0.8 and recall >= 0.8, (precision, recall)
+
+
+@pytest.mark.skipif(not os.path.isdir(KOKORO), reason="set SK_KOKORO_MODEL_DIR (converted dir)")
+def test_kokoro_trained_audio_quality():
+    from streamkit_tpu.models.kokoro import kokoro_synthesize, load_kokoro_dir
+
+    cfg, params, tokens, voices = load_kokoro_dir(KOKORO)
+    assert os.path.exists(os.path.join(KOKORO, "weights.npz")), (
+        "trained gate requires converted weights.npz (tools/convert_kokoro.py)"
+    )
+    ids = tokens.encode("hello, this is a kokoro quality check.")
+    audio = kokoro_synthesize(params, cfg, ids, voices[0])
+    assert audio.size > 24_000 * 0.5  # at least half a second
+    assert np.isfinite(audio).all()
+    rms = float(np.sqrt(np.mean(audio**2)))
+    assert rms > 0.01, f"near-silent output (rms={rms})"
+    ref_path = os.path.join(KOKORO, "ref.wav")
+    if os.path.exists(ref_path):
+        import wave
+
+        with wave.open(ref_path) as w:
+            ref = np.frombuffer(w.readframes(w.getnframes()), np.int16).astype(np.float32) / 32768
+        n = min(ref.size, audio.size)
+        re = np.abs(np.fft.rfft(ref[:n]))
+        ge = np.abs(np.fft.rfft(audio[:n]))
+        assert np.corrcoef(re, ge)[0, 1] > 0.7
