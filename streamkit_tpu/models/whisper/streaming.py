@@ -187,32 +187,32 @@ def _q_append(rows, cols_f: jnp.ndarray, pos: jnp.ndarray, keep=None):
     return _append_cols_guarded(rows, cols_f.astype(rows.dtype), pos, keep)
 
 
-def _kv_layer(rows, li: int):
-    """Select layer ``li`` from a stacked ``[B, L, ...]`` cache pytree."""
-    if isinstance(rows, tuple):
-        return (rows[0][:, li], rows[1][:, li])
-    return rows[:, li]
-
-
-def _kv_stack(items):
-    """Stack a per-layer list of array-or-tuple caches on axis 1."""
-    if isinstance(items[0], tuple):
-        return tuple(
-            jnp.stack([it[i] for it in items], axis=1) for i in range(len(items[0]))
-        )
-    return jnp.stack(items, axis=1)
-
-
 def _kv_T(rows) -> int:
     return (rows[0] if isinstance(rows, tuple) else rows).shape[-1]
 
 
-def _tree_get(table_rows, ids):
-    return jax.tree.map(lambda t: t[ids], table_rows)
+def _kv_layer_rows(table, li: int, ids):
+    """Gather ONE layer's rows ``[B, H, hd|1, T]`` from a ``[S, L, ...]``
+    table pytree. Per-layer gathers (inside the layer loops) are the memory
+    contract that makes 64-slot serving fit: a whole-cache gather
+    ``table[ids]`` materializes ``B×L×H×hd×T`` (~2.7 GB int8 per tensor at
+    large-v3 B=64, ~2.4× more after TPU tiling padding) and OOMs the chip;
+    per-layer temps stay ~100 MB and XLA frees them between layers."""
+    if isinstance(table, tuple):
+        return (table[0][ids, li], table[1][ids, li])
+    return table[ids, li]
 
 
-def _tree_set(table_rows, gathered, ids):
-    return jax.tree.map(lambda t, g: t.at[ids].set(g), table_rows, gathered)
+def _kv_layer_set(table, li: int, ids, rows):
+    """Scatter one layer's rows back into the ``[S, L, ...]`` table
+    (donated → in-place). Duplicate ids write identical values (the
+    batcher's pad-by-duplication contract)."""
+    if isinstance(table, tuple):
+        return (
+            table[0].at[ids, li].set(rows[0]),
+            table[1].at[ids, li].set(rows[1]),
+        )
+    return table.at[ids, li].set(rows)
 
 
 # ---------------------------------------------------------------------------
@@ -224,23 +224,25 @@ def _encode_core(
     ring: jnp.ndarray,
     slot_ids: jnp.ndarray,
     starts: jnp.ndarray,
-    ek: jnp.ndarray,  # [B, Le, H, hd, T] gathered rows
-    ev: jnp.ndarray,
-    xkr: jnp.ndarray,  # [B, Ld, H, hd, T]
-    xvr: jnp.ndarray,
+    ek,  # [S, Le, H, hd, T] table pytree (NOT gathered — see _kv_layer_rows)
+    ev,
+    xkr,  # [S, Ld, H, hd, T]
+    xvr,
+    stream_ids: jnp.ndarray,  # [B] rows into the tables
     pos_rows: jnp.ndarray,  # [B]
     n_chunks: int,
     commit: Optional[jnp.ndarray] = None,  # [B] int32 chunks to commit (None = all)
 ):
     """Encode ``n_chunks`` consecutive chunks per row from the audio ring and
-    append enc K/V + cross K/V into the gathered row arrays. With ``commit``,
-    only each row's first ``commit[b]`` chunks are written (the rest rewrite
-    old cache values) and positions advance by ``8*commit[b]`` — rows may
-    lag/lead each other inside one fused batched call.
+    append enc K/V + cross K/V into the tables at ``stream_ids``. With
+    ``commit``, only each row's first ``commit[b]`` chunks are written (the
+    rest rewrite old cache values) and positions advance by ``8*commit[b]``
+    — rows may lag/lead each other inside one fused batched call.
 
     The four caches (``ek/ev/xkr/xvr``) are array-or-(int8, scale) pytrees;
     attention reads the *quantized* values (dequant fused into the matmul),
-    so later chunks see exactly what this chunk stored."""
+    so later chunks see exactly what this chunk stored. Returns the updated
+    tables + new positions."""
     dtype = params["enc"]["pos"].dtype
     ring_samples = ring.shape[1]
     n_pos = CHUNK_POS * n_chunks
@@ -274,7 +276,6 @@ def _encode_core(
     if commit is not None:
         keep = (j // CHUNK_POS)[None, :] < commit[:, None]  # [B, n_pos]
 
-    new_ek, new_ev = [], []
     for li, layer in enumerate(e["layers"]):
         h = _layernorm(x, layer["ln1"])
         q = _split_heads(_dense(h, layer["attn"]["q"]), cfg.n_audio_head)  # [B,H,c,hd]
@@ -282,10 +283,12 @@ def _encode_core(
         v = _split_heads(_dense(h, layer["attn"]["v"]), cfg.n_audio_head)
         # attention must see the candidate K/V of ALL n_pos new positions
         # (block-causal mask applies); only the cache WRITE is commit-guarded
-        ek_full = _q_append(_kv_layer(ek, li), k.swapaxes(-1, -2), pos_rows)
-        ev_full = _q_append(_kv_layer(ev, li), v.swapaxes(-1, -2), pos_rows)
-        new_ek.append(_q_append(_kv_layer(ek, li), k.swapaxes(-1, -2), pos_rows, keep))
-        new_ev.append(_q_append(_kv_layer(ev, li), v.swapaxes(-1, -2), pos_rows, keep))
+        ek_l = _kv_layer_rows(ek, li, stream_ids)
+        ev_l = _kv_layer_rows(ev, li, stream_ids)
+        ek_full = _q_append(ek_l, k.swapaxes(-1, -2), pos_rows)
+        ev_full = _q_append(ev_l, v.swapaxes(-1, -2), pos_rows)
+        ek = _kv_layer_set(ek, li, stream_ids, _q_append(ek_l, k.swapaxes(-1, -2), pos_rows, keep))
+        ev = _kv_layer_set(ev, li, stream_ids, _q_append(ev_l, v.swapaxes(-1, -2), pos_rows, keep))
         scores = jnp.matmul(
             q * hd_scale, _dequant(ek_full, dtype) * hd_scale,
             preferred_element_type=jnp.float32,
@@ -299,30 +302,30 @@ def _encode_core(
         x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
     enc_out = _layernorm(x, e["ln_post"])  # [B, c, d]
 
-    new_xk, new_xv = [], []
     for li, layer in enumerate(params["dec"]["layers"]):
         kx = _split_heads(_dense(enc_out, layer["xattn"]["k"]), cfg.n_text_head)
         vx = _split_heads(_dense(enc_out, layer["xattn"]["v"]), cfg.n_text_head)
-        new_xk.append(_q_append(_kv_layer(xkr, li), kx.swapaxes(-1, -2), pos_rows, keep))
-        new_xv.append(_q_append(_kv_layer(xvr, li), vx.swapaxes(-1, -2), pos_rows, keep))
+        xkr = _kv_layer_set(
+            xkr, li, stream_ids,
+            _q_append(_kv_layer_rows(xkr, li, stream_ids), kx.swapaxes(-1, -2), pos_rows, keep),
+        )
+        xvr = _kv_layer_set(
+            xvr, li, stream_ids,
+            _q_append(_kv_layer_rows(xvr, li, stream_ids), vx.swapaxes(-1, -2), pos_rows, keep),
+        )
 
     adv = n_pos if commit is None else CHUNK_POS * commit
-    return (
-        _kv_stack(new_ek),
-        _kv_stack(new_ev),
-        _kv_stack(new_xk),
-        _kv_stack(new_xv),
-        pos_rows + adv,
-    )
+    return ek, ev, xkr, xvr, pos_rows + adv
 
 
 def _decode_core(
     params: Params,
     cfg: WhisperConfig,
-    dk: jnp.ndarray,  # [B, Ld, H, hd, DEC_T] gathered rows
-    dv: jnp.ndarray,
-    xkr: jnp.ndarray,
-    xvr: jnp.ndarray,
+    dk,  # [S, Ld, H, hd, DEC_T] table pytree (per-layer gathers, see above)
+    dv,
+    xkr,  # [S, Ld, H, hd, ENC_T] tables
+    xvr,
+    stream_ids: jnp.ndarray,  # [B] rows into the tables
     ep: jnp.ndarray,  # [B] encoder positions (cross-attn horizon)
     tok: jnp.ndarray,  # [B, DEC_T]
     fed_r: jnp.ndarray,
@@ -336,9 +339,9 @@ def _decode_core(
     argmax unless it is ``<|eot|>``, which is held back (the utterance may
     continue). Rows stop on eot; the next tick retries with more audio."""
     d = params["dec"]
-    dtype = dk.dtype
+    dtype = params["enc"]["pos"].dtype
     eot = jnp.int32(cfg.token_eot)
-    dec_t = dk.shape[-1]
+    dec_t = (dk[0] if isinstance(dk, tuple) else dk).shape[-1]
     enc_t = _kv_T(xkr)
     hd = cfg.n_text_state // cfg.n_text_head
     scale = hd ** -0.25
@@ -364,21 +367,22 @@ def _decode_core(
         smask = jnp.where(
             dcol[None, :] <= feed_idx[:, None], 0.0, -jnp.inf
         ).astype(jnp.float32)[:, None, None, :]
-        new_dk, new_dv = [], []
         for li, layer in enumerate(d["layers"]):
             h = _layernorm(x, layer["ln1"])
             q = _split_heads(_dense(h, layer["attn"]["q"]), cfg.n_text_head)  # [B,H,1,hd]
             k1 = _split_heads(_dense(h, layer["attn"]["k"]), cfg.n_text_head)
             v1 = _split_heads(_dense(h, layer["attn"]["v"]), cfg.n_text_head)
-            old_k = _read_col(dk[:, li], feed_idx)
-            old_v = _read_col(dv[:, li], feed_idx)
+            dk_rows = _kv_layer_rows(dk, li, stream_ids)
+            dv_rows = _kv_layer_rows(dv, li, stream_ids)
+            old_k = _read_col(dk_rows, feed_idx)
+            old_v = _read_col(dv_rows, feed_idx)
             g = active[:, None, None, None]
             kcol = jnp.where(g, k1.swapaxes(-1, -2), old_k)
             vcol = jnp.where(g, v1.swapaxes(-1, -2), old_v)
-            dk_l = _append_cols(dk[:, li], kcol, feed_idx)
-            dv_l = _append_cols(dv[:, li], vcol, feed_idx)
-            new_dk.append(dk_l)
-            new_dv.append(dv_l)
+            dk_l = _append_cols(dk_rows, kcol, feed_idx)
+            dv_l = _append_cols(dv_rows, vcol, feed_idx)
+            dk = _kv_layer_set(dk, li, stream_ids, dk_l)
+            dv = _kv_layer_set(dv, li, stream_ids, dv_l)
             scores = jnp.matmul(q * scale, dk_l * scale, preferred_element_type=jnp.float32)
             probs = jax.nn.softmax(scores + smask, axis=-1).astype(dtype)
             attn = jnp.einsum("bhqt,bhdt->bhqd", probs, dv_l, preferred_element_type=jnp.float32).astype(dtype)
@@ -386,18 +390,16 @@ def _decode_core(
             hx = _layernorm(x, layer["ln_x"])
             qx = _split_heads(_dense(hx, layer["xattn"]["q"]), cfg.n_text_head)
             xs = jnp.matmul(
-                qx * scale, _dequant(_kv_layer(xkr, li), dtype) * scale,
+                qx * scale, _dequant(_kv_layer_rows(xkr, li, stream_ids), dtype) * scale,
                 preferred_element_type=jnp.float32,
             )
             xp = jax.nn.softmax(xs + xmask, axis=-1).astype(dtype)
             xa = jnp.einsum(
-                "bhqt,bhdt->bhqd", xp, _dequant(_kv_layer(xvr, li), dtype),
+                "bhqt,bhdt->bhqd", xp, _dequant(_kv_layer_rows(xvr, li, stream_ids), dtype),
                 preferred_element_type=jnp.float32,
             ).astype(dtype)
             x = x + _dense(_merge_heads(xa), layer["xattn"]["o"])
             x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
-        dk = jnp.stack(new_dk, axis=1)
-        dv = jnp.stack(new_dv, axis=1)
         xfin = _layernorm(x, d["ln"])
         logits = jnp.matmul(
             xfin[:, 0], d["tok_emb"].T.astype(dtype), preferred_element_type=jnp.float32
@@ -447,16 +449,10 @@ def _stream_encode(
     """Standalone batched chunk encode (the fused block step is the serving
     path; this remains for tools/tests and mixed pipelines)."""
     pos_rows = enc_pos[stream_ids]
-    ek, ev, xkr, xvr, pos_new = _encode_core(
+    enc_k, enc_v, xk, xv, pos_new = _encode_core(
         params, cfg, ring, slot_ids, starts,
-        _tree_get(enc_k, stream_ids), _tree_get(enc_v, stream_ids),
-        _tree_get(xk, stream_ids), _tree_get(xv, stream_ids),
-        pos_rows, n_chunks,
+        enc_k, enc_v, xk, xv, stream_ids, pos_rows, n_chunks,
     )
-    enc_k = _tree_set(enc_k, ek, stream_ids)
-    enc_v = _tree_set(enc_v, ev, stream_ids)
-    xk = _tree_set(xk, xkr, stream_ids)
-    xv = _tree_set(xv, xvr, stream_ids)
     enc_pos = enc_pos.at[stream_ids].set(pos_new)
     return enc_k, enc_v, xk, xv, enc_pos, pos_new
 
@@ -482,15 +478,12 @@ def _stream_decode(
 ):
     """Standalone batched decode continuation (see :func:`_decode_core`)."""
     b = stream_ids.shape[0]
-    dk, dv, tok, fed_r, n_r = _decode_core(
+    dec_k, dec_v, tok, fed_r, n_r = _decode_core(
         params, cfg,
-        dec_k[stream_ids], dec_v[stream_ids],
-        _tree_get(xk, stream_ids), _tree_get(xv, stream_ids), enc_pos[stream_ids],
+        dec_k, dec_v, xk, xv, stream_ids, enc_pos[stream_ids],
         tokens[stream_ids], fed[stream_ids], n_tok[stream_ids],
         jnp.ones((b,), bool), max_steps,
     )
-    dec_k = dec_k.at[stream_ids].set(dk)
-    dec_v = dec_v.at[stream_ids].set(dv)
     tokens = tokens.at[stream_ids].set(tok)
     fed = fed.at[stream_ids].set(fed_r)
     n_tok = n_tok.at[stream_ids].set(n_r)
@@ -584,28 +577,20 @@ def _stream_step(
 
     # 2) commit-guarded chunk encode against the freshly appended ring
     pos_rows = enc_pos[stream_ids]
-    ek, ev, xkr, xvr, pos_new = _encode_core(
+    enc_k, enc_v, xk, xv, pos_new = _encode_core(
         params, cfg, ring, slot_ids, cstart,
-        _tree_get(enc_k, stream_ids), _tree_get(enc_v, stream_ids),
-        _tree_get(xk, stream_ids), _tree_get(xv, stream_ids),
-        pos_rows, n_chunks, commit=n_req,
+        enc_k, enc_v, xk, xv, stream_ids, pos_rows, n_chunks, commit=n_req,
     )
 
     # 3) decode continuation against the updated cross context
-    dk, dv, tok, fed_r, n_r = _decode_core(
+    dec_k, dec_v, tok, fed_r, n_r = _decode_core(
         params, cfg,
-        dec_k[stream_ids], dec_v[stream_ids], xkr, xvr, pos_new,
+        dec_k, dec_v, xk, xv, stream_ids, pos_new,
         tokens[stream_ids], fed[stream_ids], n_tok[stream_ids],
         do_dec, max_steps,
     )
 
-    enc_k = _tree_set(enc_k, ek, stream_ids)
-    enc_v = _tree_set(enc_v, ev, stream_ids)
-    xk = _tree_set(xk, xkr, stream_ids)
-    xv = _tree_set(xv, xvr, stream_ids)
     enc_pos = enc_pos.at[stream_ids].set(pos_new)
-    dec_k = dec_k.at[stream_ids].set(dk)
-    dec_v = dec_v.at[stream_ids].set(dv)
     tokens = tokens.at[stream_ids].set(tok)
     fed = fed.at[stream_ids].set(fed_r)
     n_tok = n_tok.at[stream_ids].set(n_r)
