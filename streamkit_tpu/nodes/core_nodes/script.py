@@ -363,7 +363,13 @@ class ScriptNode(ProcessorNode):
             params,
             {
                 "script": None,
+                "script_path": None,  # reference param (script.rs config)
+                # auto: .js path or JS-looking source → the mjs JavaScript
+                # engine (reference QuickJS dialect, utils/mjs.py);
+                # otherwise the sandboxed-Python dialect
+                "language": "auto",
                 "timeout_ms": 100.0,
+                "memory_limit_mb": 64.0,  # accepted (mjs bounds via op budget)
                 "pass_audio_through": True,
                 "max_events_per_sec": 100.0,
                 # fetch() secret→header injection (reference HeaderMapping,
@@ -371,8 +377,16 @@ class ScriptNode(ProcessorNode):
                 "headers": [],
             },
         )
-        if not cfg["script"]:
-            raise ConfigurationError("script node requires a 'script' parameter")
+        source = cfg["script"]
+        self.script_path = cfg["script_path"]
+        if source is None and self.script_path:
+            try:
+                with open(self.script_path, encoding="utf-8") as f:
+                    source = f.read()
+            except OSError as e:
+                raise ConfigurationError(f"cannot read script_path: {e}") from e
+        if not source:
+            raise ConfigurationError("script node requires a 'script' or 'script_path' parameter")
         self.timeout = float(cfg["timeout_ms"]) / 1000.0
         self.pass_audio = bool(cfg["pass_audio_through"])
         self.max_events_per_sec = float(cfg["max_events_per_sec"])
@@ -382,20 +396,33 @@ class ScriptNode(ProcessorNode):
                 raise ConfigurationError(
                     "headers entries must be {secret, header[, template]} mappings"
                 )
-        _check_source_limits(cfg["script"])
+        _check_source_limits(source)
+        lang = str(cfg["language"])
+        if lang not in ("auto", "python", "javascript"):
+            raise ConfigurationError("language must be auto|python|javascript")
+        if lang == "auto":
+            stripped = source.lstrip()
+            if (self.script_path or "").endswith(".js") or stripped.startswith(
+                ("function ", "const ", "let ", "var ", "async function", "//", "/*")
+            ):
+                lang = "javascript"
+            else:
+                lang = "python"
+        self.language = lang
+        self._code = None
+        self._js_source = None
+        if lang == "javascript":
+            from ...utils.mjs import JSError, _Parser, _tokenize
+
+            try:  # parse eagerly so config errors surface at node creation
+                _Parser(_tokenize(source)).parse_program()
+            except JSError as e:
+                raise ConfigurationError(f"javascript syntax error: {e}") from e
+            self._js_source = source
+            return
         try:
-            tree = ast.parse(cfg["script"])
+            tree = ast.parse(source)
         except SyntaxError as e:
-            src = cfg["script"].lstrip()
-            if src.startswith(("function ", "const ", "let ", "var ", "(", "async function")):
-                # reference scripts are QuickJS JavaScript; ours is a Python
-                # sandbox dialect — say so instead of a bare syntax error
-                raise ConfigurationError(
-                    "script looks like JavaScript (the Rust reference's QuickJS "
-                    "dialect); this runtime executes a sandboxed *Python* dialect — "
-                    "port the script: def process(packet): ... returning "
-                    "{'type': 'Text', 'data': ...} (see docs/nodes.md core::script)"
-                ) from e
             raise ConfigurationError(f"script syntax error: {e}") from e
         _validate_script(tree)
         self._code = compile(tree, "<script-node>", "exec")
@@ -410,6 +437,9 @@ class ScriptNode(ProcessorNode):
         ctx.emit_state(NodeState.running())
         stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
         telemetry = TelemetryEmitter(ctx.node_name, ctx.telemetry_tx, self.max_events_per_sec)
+        if self._js_source is not None:
+            await self._run_js(ctx, stats, telemetry)
+            return
 
         emitted: List[dict] = []
         env: Dict[str, Any] = {
@@ -475,6 +505,109 @@ class ScriptNode(ProcessorNode):
         stats.flush()
         ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
 
+    # ------------------------------------------------------------------ JS
+    async def _run_js(self, ctx: NodeContext, stats, telemetry) -> None:
+        """QuickJS-dialect execution via :mod:`...utils.mjs`: per-packet
+        ``process(packet)`` with the reference's packet shape
+        (``script.rs:453-693``), fetch() allowlist + secret headers, and the
+        telemetry span API (``script.rs:1071-1097``)."""
+        from ...utils.mjs import (
+            JSError,
+            JSInterpreter,
+            JSObject,
+            from_python,
+            js_to_string,
+            to_python,
+        )
+
+        interp = JSInterpreter(op_budget=50_000_000)
+        interp.set_global(
+            "fetch",
+            lambda url, options=None: _do_fetch(
+                js_to_string(url), to_python(options), self.header_mappings
+            ),
+        )
+        spans: Dict[str, tuple] = {}
+        span_seq = [0]
+
+        def start_span(event_type, data=None):
+            span_seq[0] += 1
+            sid = f"span-{span_seq[0]}"
+            spans[sid] = (js_to_string(event_type), time.monotonic(), to_python(data) or {})
+            return sid
+
+        def end_span(sid, data=None):
+            info = spans.pop(js_to_string(sid), None)
+            if info is None:
+                return
+            event_type, t0, d0 = info
+            payload = dict(d0)
+            payload.update(to_python(data) or {})
+            payload["duration_ms"] = round((time.monotonic() - t0) * 1000, 1)
+            telemetry.emit(event_type, payload)
+
+        tel = JSObject()
+        tel["emit"] = lambda ev, data=None: telemetry.emit(js_to_string(ev), to_python(data) or {})
+        tel["startSpan"] = start_span
+        tel["endSpan"] = end_span
+        interp.set_global("telemetry", tel)
+        console = JSObject()
+        console["log"] = lambda *a: telemetry.emit(
+            "script.log", {"message": " ".join(js_to_string(x) for x in a)[:500]}
+        )
+        console["warn"] = console["log"]
+        console["error"] = console["log"]
+        interp.set_global("console", console)
+
+        loop = asyncio.get_running_loop()
+        try:
+            # top-level runs once (module state persists across packets,
+            # like the reference's long-lived QuickJS context)
+            await loop.run_in_executor(
+                None, _run_with_deadline, lambda _: interp.run(self._js_source), None,
+                max(self.timeout, 1.0),
+            )
+        except (JSError, _ScriptTimeout) as e:
+            raise RuntimeNodeError(f"script top-level failed: {e}") from e
+        try:
+            while True:
+                pkt = await ctx.recv_with_cancellation("in")
+                if pkt is None:
+                    break
+                stats.packet_received()
+                if pkt.audio is not None and self.pass_audio:
+                    await ctx.output.send("out", pkt)
+                    stats.packet_sent()
+                    continue
+                js_pkt = _packet_to_js(pkt)
+                try:
+                    result = await loop.run_in_executor(
+                        None, _run_with_deadline,
+                        lambda p: interp.call("process", p), js_pkt, self.timeout,
+                    )
+                except _ScriptTimeout as e:
+                    stats.packet_errored()
+                    telemetry.emit("script.timeout", {"ms": e.elapsed_ms})
+                    await ctx.output.send("out", pkt)  # reference passthrough
+                    stats.packet_sent()
+                    continue
+                except JSError as e:
+                    stats.packet_errored()
+                    telemetry.emit("script.error", {"error": str(e)[:500]})
+                    continue
+                out_pkt = _js_to_packet(result, pkt)
+                if out_pkt is None:
+                    stats.packet_discarded()
+                    continue
+                await ctx.output.send("out", out_pkt)
+                stats.packet_sent()
+        except ChannelClosed:
+            ctx.emit_state(NodeState.stopped(StopReason.OUTPUT_CLOSED))
+            stats.flush()
+            return
+        stats.flush()
+        ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
+
     @staticmethod
     def _materialize(result, proxy: _PacketProxy, original: Packet) -> Optional[Packet]:
         if result is None:
@@ -497,6 +630,79 @@ class ScriptNode(ProcessorNode):
         if isinstance(result, str):
             return Packet.new_text(result, original.metadata)
         return original
+
+
+def _packet_to_js(pkt: Packet):
+    """Packet → the reference's JS packet shape (script.rs:453-628):
+    {type, data, ...}; audio carries metadata only."""
+    from ...utils.mjs import JSObject, from_python
+
+    obj = JSObject()
+    if pkt.text is not None:
+        obj["type"] = "Text"
+        obj["data"] = pkt.text
+    elif pkt.transcription is not None:
+        tr = pkt.transcription
+        obj["type"] = "Transcription"
+        data = JSObject()
+        data["text"] = tr.text
+        if tr.language:
+            data["language"] = tr.language
+        data["segments"] = from_python(
+            [
+                {
+                    "text": s.text,
+                    "start_time_ms": s.start_time_ms,
+                    "end_time_ms": s.end_time_ms,
+                }
+                for s in tr.segments
+            ]
+        )
+        obj["data"] = data
+    elif pkt.custom is not None:
+        obj["type"] = "Custom"
+        obj["type_id"] = pkt.custom.type_id
+        obj["data"] = from_python(pkt.custom.data)
+    elif pkt.audio is not None:
+        obj["type"] = "Audio"
+        meta = JSObject()
+        meta["sample_rate"] = float(pkt.audio.format.sample_rate)
+        meta["channels"] = float(pkt.audio.format.channels)
+        frames = len(pkt.audio.samples) // max(1, pkt.audio.format.channels)
+        meta["frames"] = float(frames)
+        meta["duration_ms"] = float(frames * 1000 // max(1, pkt.audio.format.sample_rate))
+        obj["metadata"] = meta
+    elif pkt.binary is not None:
+        obj["type"] = "Binary"
+        obj["content_type"] = pkt.content_type or ""
+        obj["size"] = float(len(pkt.binary))
+    return obj
+
+
+def _js_to_packet(result, original: Packet) -> Optional[Packet]:
+    """JS return value → Packet (script.rs:629-693): null drops; {type:
+    'Text'|'Custom', ...} builds a new packet; the input object (or any
+    other value) passes the original through."""
+    from ...utils.mjs import UNDEFINED, JSObject, js_to_string, to_python
+
+    if result is None or result is UNDEFINED:
+        return None
+    if isinstance(result, JSObject):
+        ptype = result.get("type")
+        if ptype == "Text":
+            return Packet.new_text(js_to_string(result.get("data", "")), original.metadata)
+        if ptype == "Custom":
+            return Packet.new_custom(
+                CustomPacketData(
+                    js_to_string(result.get("type_id", "script/custom@1")),
+                    to_python(result.get("data")),
+                ),
+                original.metadata,
+            )
+        return original
+    if isinstance(result, str):
+        return Packet.new_text(result, original.metadata)
+    return original
 
 
 class _ScriptTimeout(BaseException):
