@@ -101,7 +101,8 @@ class WebTransportServer:
 
     def register_http(self, app: web.Application) -> None:
         async def fingerprints(_req: web.Request) -> web.Response:
-            return web.json_response({"fingerprints": self.fingerprints})
+            # port included so browser clients can dial the UDP acceptor
+            return web.json_response({"fingerprints": self.fingerprints, "port": self.port})
 
         async def cert_sha256(_req: web.Request) -> web.Response:
             return web.Response(text=self.fingerprint, content_type="text/plain")
