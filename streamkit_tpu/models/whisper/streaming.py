@@ -39,8 +39,8 @@ The reference emits only whole segments (``plugins/native/whisper/src/
 lib.rs:404-490``); live partials are this framework's extension, so the
 streaming path has no reference counterpart to mirror.
 
-Memory: one slot holds enc K/V + cross K/V ``[layers, heads, head_dim,
-ENC_T]`` and decoder K/V ``[layers, heads, head_dim, DEC_T]``. At
+Memory: one slot holds enc K/V + cross K/V ``[heads, head_dim, ENC_T]``
+per layer and decoder K/V ``[heads, head_dim, DEC_T]`` per layer. At
 large-v3 with ENC_T=512 (10.24 s streaming horizon) that is ~190 MB/slot
 in bf16. The four ENC_T-sized caches (~178 of those MB) are therefore
 stored **int8-quantized with per-column scales** by default
@@ -52,6 +52,9 @@ the quality-sensitive cache). Quantization happens at append time, and
 attention *reads the quantized values* (XLA fuses the dequant into the
 matmul operand load, so HBM traffic per decode step is int8 — the
 bandwidth win is why this can also be slightly faster, not just smaller).
+Caches are **per-layer buffer lists**, not one monolithic array — the
+layout constraint that keeps per-call cost independent of table size (see
+the cache-representation note above :func:`_kv_T` for the measurements).
 Sessions that fail to get a slot fall back to the bucket re-decode
 partial path.
 """
@@ -187,32 +190,44 @@ def _q_append(rows, cols_f: jnp.ndarray, pos: jnp.ndarray, keep=None):
     return _append_cols_guarded(rows, cols_f.astype(rows.dtype), pos, keep)
 
 
-def _kv_T(rows) -> int:
-    return (rows[0] if isinstance(rows, tuple) else rows).shape[-1]
+# Cache representation: a LIST over layers; each element is one layer's
+# buffer ``[S, H, hd, T]`` (or an (int8, scale) tuple of such). Two hard
+# constraints force this layout, both measured on-chip:
+#
+# * a monolithic ``[S, L, ...]`` buffer + whole-cache gather OOMs at B=64
+#   (the gather materializes 2.7 GB int8 per tensor, ~2.4× more after TPU
+#   tiling padding),
+# * a monolithic buffer + per-layer ``.at[ids, li].set`` chains makes XLA
+#   copy the WHOLE table once per layer update (aliasing cannot be proven
+#   mid-chain): the fused step measured 195 ms with 8-slot tables vs
+#   850 ms with 64-slot tables — per-call cost scaling with table size,
+#   not batch. With per-layer buffers each gets exactly ONE donated
+#   update per call, the standard in-place KV-cache pattern.
+
+
+def _kv_T(table) -> int:
+    head = table[0]
+    return (head[0] if isinstance(head, tuple) else head).shape[-1]
 
 
 def _kv_layer_rows(table, li: int, ids):
-    """Gather ONE layer's rows ``[B, H, hd|1, T]`` from a ``[S, L, ...]``
-    table pytree. Per-layer gathers (inside the layer loops) are the memory
-    contract that makes 64-slot serving fit: a whole-cache gather
-    ``table[ids]`` materializes ``B×L×H×hd×T`` (~2.7 GB int8 per tensor at
-    large-v3 B=64, ~2.4× more after TPU tiling padding) and OOMs the chip;
-    per-layer temps stay ~100 MB and XLA frees them between layers."""
-    if isinstance(table, tuple):
-        return (table[0][ids, li], table[1][ids, li])
-    return table[ids, li]
+    """Gather one layer's rows ``[B, H, hd|1, T]`` from the layer-list."""
+    elem = table[li]
+    if isinstance(elem, tuple):
+        return (elem[0][ids], elem[1][ids])
+    return elem[ids]
 
 
 def _kv_layer_set(table, li: int, ids, rows):
-    """Scatter one layer's rows back into the ``[S, L, ...]`` table
-    (donated → in-place). Duplicate ids write identical values (the
-    batcher's pad-by-duplication contract)."""
-    if isinstance(table, tuple):
-        return (
-            table[0].at[ids, li].set(rows[0]),
-            table[1].at[ids, li].set(rows[1]),
-        )
-    return table.at[ids, li].set(rows)
+    """Functionally replace layer ``li``'s buffer with the rows scattered
+    in (donated → in-place on device). Duplicate ids write identical
+    values (the batcher's pad-by-duplication contract)."""
+    elem = table[li]
+    if isinstance(elem, tuple):
+        new = (elem[0].at[ids].set(rows[0]), elem[1].at[ids].set(rows[1]))
+    else:
+        new = elem.at[ids].set(rows)
+    return table[:li] + [new] + table[li + 1 :]
 
 
 # ---------------------------------------------------------------------------
@@ -341,7 +356,7 @@ def _decode_core(
     d = params["dec"]
     dtype = params["enc"]["pos"].dtype
     eot = jnp.int32(cfg.token_eot)
-    dec_t = (dk[0] if isinstance(dk, tuple) else dk).shape[-1]
+    dec_t = _kv_T(dk)
     enc_t = _kv_T(xkr)
     hd = cfg.n_text_state // cfg.n_text_head
     scale = hd ** -0.25
@@ -650,19 +665,28 @@ class StreamTable:
         ht, hdt = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
 
         def enc_cache(layers, h, hd):
+            # layer-LIST of per-layer buffers (see the cache-representation
+            # note above _kv_T for why a monolithic array is not viable)
             if self.kv_int8:
-                return (
-                    jnp.zeros((s, layers, h, hd, self.enc_t), jnp.int8),
-                    jnp.zeros((s, layers, h, 1, self.enc_t), jnp.float32),
-                )
-            return jnp.zeros((s, layers, h, hd, self.enc_t), dtype)
+                return [
+                    (
+                        jnp.zeros((s, h, hd, self.enc_t), jnp.int8),
+                        jnp.zeros((s, h, 1, self.enc_t), jnp.float32),
+                    )
+                    for _ in range(layers)
+                ]
+            return [jnp.zeros((s, h, hd, self.enc_t), dtype) for _ in range(layers)]
 
         self._enc_k = enc_cache(cfg.n_audio_layer, he, hde)
         self._enc_v = enc_cache(cfg.n_audio_layer, he, hde)
         self._xk = enc_cache(cfg.n_text_layer, ht, hdt)
         self._xv = enc_cache(cfg.n_text_layer, ht, hdt)
-        self._dec_k = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
-        self._dec_v = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
+        self._dec_k = [
+            jnp.zeros((s, ht, hdt, self.dec_t), dtype) for _ in range(cfg.n_text_layer)
+        ]
+        self._dec_v = [
+            jnp.zeros((s, ht, hdt, self.dec_t), dtype) for _ in range(cfg.n_text_layer)
+        ]
         self._tokens = jnp.zeros((s, self.dec_t), jnp.int32)
         self._fed = jnp.zeros((s,), jnp.int32)
         self._n_tok = jnp.zeros((s,), jnp.int32)

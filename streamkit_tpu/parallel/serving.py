@@ -43,21 +43,26 @@ def _put(x, mesh: Mesh, spec: P):
 
 def shard_stream_table(mesh: Mesh, table) -> None:
     """Reshard a :class:`~streamkit_tpu.models.whisper.streaming.StreamTable`
-    in place: slots over dp, KV heads over tp."""
-    kv = P("dp", None, "tp", None, None)  # [S, L, H, hd|1, T]
+    in place: slots over dp, KV heads over tp. Caches are layer-LISTS of
+    ``[S, H, hd|1, T]`` buffers (streaming.py cache-representation note);
+    each buffer shards independently."""
+    kv = P("dp", "tp", None, None)  # [S, H, hd|1, T]
     vec = P("dp")
 
     def put_kv(cache):
-        if isinstance(cache, tuple):  # int8 (q8, scale) — scale is [S,L,H,1,T]
-            return tuple(_put(c, mesh, kv) for c in cache)
-        return _put(cache, mesh, kv)
+        def one(elem):
+            if isinstance(elem, tuple):  # int8 (q8, scale [S,H,1,T])
+                return tuple(_put(c, mesh, kv) for c in elem)
+            return _put(elem, mesh, kv)
+
+        return [one(elem) for elem in cache]
 
     table._enc_k = put_kv(table._enc_k)
     table._enc_v = put_kv(table._enc_v)
     table._xk = put_kv(table._xk)
     table._xv = put_kv(table._xv)
-    table._dec_k = _put(table._dec_k, mesh, kv)
-    table._dec_v = _put(table._dec_v, mesh, kv)
+    table._dec_k = put_kv(table._dec_k)
+    table._dec_v = put_kv(table._dec_v)
     table._tokens = _put(table._tokens, mesh, P("dp", None))
     table._fed = _put(table._fed, mesh, vec)
     table._n_tok = _put(table._n_tok, mesh, vec)
