@@ -139,18 +139,6 @@ def _read_col(rows: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     return _read_cols(rows, pos, 1)
 
 
-def _append_cols_guarded(rows, cols, pos, keep):
-    """Like :func:`_append_cols` but per-column: where ``keep [B, c]`` is
-    False the old cache value is rewritten (no-op). dynamic_update_slice
-    clamps start so ``pos + c`` may exceed T ONLY when every clamp-shifted
-    column is masked (the callers guarantee pos+c ≤ T whenever any column
-    is kept)."""
-    c = cols.shape[-1]
-    old = _read_cols(rows, pos, c)
-    val = jnp.where(keep[:, None, None, :], cols, old)
-    return _append_cols(rows, val, pos)
-
-
 # ---------------------------------------------------------------------------
 # int8 KV cache (tuple pytree (q8 [.., hd, T], scale [.., 1, T]) vs plain array)
 # ---------------------------------------------------------------------------
@@ -171,23 +159,6 @@ def _dequant(rows, dtype):
     if isinstance(rows, tuple):
         return (rows[0].astype(jnp.float32) * rows[1]).astype(dtype)
     return rows
-
-
-def _q_append(rows, cols_f: jnp.ndarray, pos: jnp.ndarray, keep=None):
-    """Append float cols into an array-or-quantized cache (commit-guarded
-    when ``keep`` is given). Quantization happens before the guard so masked
-    columns rewrite old (q8, scale) pairs unchanged."""
-    if isinstance(rows, tuple):
-        q8, s = _quant_cols(cols_f)
-        if keep is None:
-            return (_append_cols(rows[0], q8, pos), _append_cols(rows[1], s, pos))
-        return (
-            _append_cols_guarded(rows[0], q8, pos, keep),
-            _append_cols_guarded(rows[1], s, pos, keep),
-        )
-    if keep is None:
-        return _append_cols(rows, cols_f.astype(rows.dtype), pos)
-    return _append_cols_guarded(rows, cols_f.astype(rows.dtype), pos, keep)
 
 
 # Cache representation: a LIST over layers; each element is one layer's
@@ -227,6 +198,48 @@ def _kv_layer_set(table, li: int, ids, rows):
         new = (elem[0].at[ids].set(rows[0]), elem[1].at[ids].set(rows[1]))
     else:
         new = elem.at[ids].set(rows)
+    return table[:li] + [new] + table[li + 1 :]
+
+
+def _quant_like(elem, cols_f: jnp.ndarray):
+    """Candidate columns ``[B, H, hd, c]`` in the cache's representation:
+    (q8, scale) when the layer buffer is quantized, else cast to its dtype.
+    Attention reads THESE (quantized) values so later reads of the stored
+    cache see exactly what this call attended to."""
+    if isinstance(elem, tuple):
+        return _quant_cols(cols_f)
+    return cols_f.astype(elem.dtype)
+
+
+def _col_write(arr: jnp.ndarray, ids, pos, vals: jnp.ndarray, keep) -> jnp.ndarray:
+    """Scatter ``vals [B, H', hd', c]`` into ``arr [S, H', hd', T]`` at
+    rows ``ids`` / column offsets ``pos[b]..pos[b]+c`` — writing ONLY the
+    new columns. This is the bandwidth contract of the fused step: a
+    read-modify-write of whole rows (dynamic_update_slice then row
+    scatter) copies ~84 MB per tensor per layer at B=64 and measured
+    650+ ms/call; column scatters write c columns (~1 MB). ``keep``
+    rewrites the old value where False (commit guard)."""
+    c = vals.shape[-1]
+    cols = (pos[:, None] + jnp.arange(c, dtype=pos.dtype)) % arr.shape[-1]
+    # advanced indexing (B,1)+(B,c) → result axes (B, c) with the middle
+    # slice dims appended: [B, c, H', hd']
+    old = arr[ids[:, None], :, :, cols]
+    new = jnp.moveaxis(vals, -1, 1)  # [B, c, H', hd']
+    if keep is not None:
+        new = jnp.where(keep[:, :, None, None], new, old)
+    return arr.at[ids[:, None], :, :, cols].set(new)
+
+
+def _kv_write_cols(table, li: int, ids, pos, vals, keep=None):
+    """Guarded column write of candidate K/V into layer ``li``'s buffer."""
+    elem = table[li]
+    if isinstance(elem, tuple):
+        new = (
+            _col_write(elem[0], ids, pos, vals[0], keep),
+            _col_write(elem[1], ids, pos, vals[1], keep),
+        )
+    else:
+        new = _col_write(elem, ids, pos, vals, keep)
     return table[:li] + [new] + table[li + 1 :]
 
 
@@ -277,15 +290,21 @@ def _encode_core(
     enc_t = _kv_T(ek)
     hd_scale = (cfg.n_audio_state // cfg.n_audio_head) ** -0.25
     col = jnp.arange(enc_t, dtype=jnp.int32)
-    # block-causal across chunks WITHIN the call: a query in chunk j attends
-    # history + its own chunk only, exactly matching j sequential 1-chunk
-    # calls (full lookahead inside each 160 ms chunk, none across)
+    # split attention = history (cached rows, read in place) + candidates
+    # (this call's n_pos new positions). History is visible to every query;
+    # candidates are block-causal WITHIN the call: a query in chunk j sees
+    # candidate j2 only when j2 < (j//8+1)*8 — exactly matching j
+    # sequential 1-chunk calls (full lookahead inside each 160 ms chunk,
+    # none across). Attention must see ALL candidates regardless of commit;
+    # only the cache WRITE is commit-guarded.
     j = jnp.arange(n_pos, dtype=jnp.int32)
     qblk = (j // CHUNK_POS + 1) * CHUNK_POS
-    limit = pos_rows[:, None] + qblk[None, :]  # [B, n_pos]
-    mask = jnp.where(
-        col[None, None, :] < limit[:, :, None], 0.0, -jnp.inf
-    ).astype(jnp.float32)[:, None, :, :]  # [B, 1, n_pos, T]
+    hist_mask = jnp.where(
+        col[None, :] < pos_rows[:, None], 0.0, -jnp.inf
+    ).astype(jnp.float32)[:, None, None, :]  # [B,1,1,T]
+    cand_mask = jnp.where(
+        j[None, :] < qblk[:, None], 0.0, -jnp.inf
+    ).astype(jnp.float32)[None, None, :, :]  # [1,1,n_pos,n_pos]
 
     keep = None
     if commit is not None:
@@ -296,22 +315,27 @@ def _encode_core(
         q = _split_heads(_dense(h, layer["attn"]["q"]), cfg.n_audio_head)  # [B,H,c,hd]
         k = _split_heads(_dense(h, layer["attn"]["k"]), cfg.n_audio_head)
         v = _split_heads(_dense(h, layer["attn"]["v"]), cfg.n_audio_head)
-        # attention must see the candidate K/V of ALL n_pos new positions
-        # (block-causal mask applies); only the cache WRITE is commit-guarded
         ek_l = _kv_layer_rows(ek, li, stream_ids)
         ev_l = _kv_layer_rows(ev, li, stream_ids)
-        ek_full = _q_append(ek_l, k.swapaxes(-1, -2), pos_rows)
-        ev_full = _q_append(ev_l, v.swapaxes(-1, -2), pos_rows)
-        ek = _kv_layer_set(ek, li, stream_ids, _q_append(ek_l, k.swapaxes(-1, -2), pos_rows, keep))
-        ev = _kv_layer_set(ev, li, stream_ids, _q_append(ev_l, v.swapaxes(-1, -2), pos_rows, keep))
-        scores = jnp.matmul(
-            q * hd_scale, _dequant(ek_full, dtype) * hd_scale,
-            preferred_element_type=jnp.float32,
+        kq = _quant_like(ek_l, k.swapaxes(-1, -2))
+        vq = _quant_like(ev_l, v.swapaxes(-1, -2))
+        ek = _kv_write_cols(ek, li, stream_ids, pos_rows, kq, keep)
+        ev = _kv_write_cols(ev, li, stream_ids, pos_rows, vq, keep)
+        qs = q * hd_scale
+        scores_h = jnp.matmul(
+            qs, _dequant(ek_l, dtype) * hd_scale, preferred_element_type=jnp.float32
         )  # [B,H,c,T]
-        probs = jax.nn.softmax(scores + mask, axis=-1).astype(dtype)
-        out = jnp.einsum(
-            "bhqt,bhdt->bhqd", probs, _dequant(ev_full, dtype),
-            preferred_element_type=jnp.float32,
+        scores_c = jnp.matmul(
+            qs, _dequant(kq, dtype) * hd_scale, preferred_element_type=jnp.float32
+        )  # [B,H,c,n_pos]
+        scores = jnp.concatenate(
+            [scores_h + hist_mask, scores_c + cand_mask], axis=-1
+        )
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        p_h, p_c = probs[..., :enc_t], probs[..., enc_t:]
+        out = (
+            jnp.einsum("bhqt,bhdt->bhqd", p_h, _dequant(ev_l, dtype), preferred_element_type=jnp.float32)
+            + jnp.einsum("bhqt,bhdt->bhqd", p_c, _dequant(vq, dtype), preferred_element_type=jnp.float32)
         ).astype(dtype)
         x = x + _dense(_merge_heads(out), layer["attn"]["o"])
         x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
@@ -320,13 +344,11 @@ def _encode_core(
     for li, layer in enumerate(params["dec"]["layers"]):
         kx = _split_heads(_dense(enc_out, layer["xattn"]["k"]), cfg.n_text_head)
         vx = _split_heads(_dense(enc_out, layer["xattn"]["v"]), cfg.n_text_head)
-        xkr = _kv_layer_set(
-            xkr, li, stream_ids,
-            _q_append(_kv_layer_rows(xkr, li, stream_ids), kx.swapaxes(-1, -2), pos_rows, keep),
+        xkr = _kv_write_cols(
+            xkr, li, stream_ids, pos_rows, _quant_like(xkr[li], kx.swapaxes(-1, -2)), keep
         )
-        xvr = _kv_layer_set(
-            xvr, li, stream_ids,
-            _q_append(_kv_layer_rows(xvr, li, stream_ids), vx.swapaxes(-1, -2), pos_rows, keep),
+        xvr = _kv_write_cols(
+            xvr, li, stream_ids, pos_rows, _quant_like(xvr[li], vx.swapaxes(-1, -2)), keep
         )
 
     adv = n_pos if commit is None else CHUNK_POS * commit
@@ -379,8 +401,10 @@ def _decode_core(
         cur = tok[bi, feed_idx]
         x = d["tok_emb"][cur][:, None, :] + d["pos_emb"][feed_idx][:, None, :]
         x = x.astype(dtype)
+        # split self-attention: history (cached rows, col < feed_idx) +
+        # the current token's fresh K/V — no row-level cache copies
         smask = jnp.where(
-            dcol[None, :] <= feed_idx[:, None], 0.0, -jnp.inf
+            dcol[None, :] < feed_idx[:, None], 0.0, -jnp.inf
         ).astype(jnp.float32)[:, None, None, :]
         for li, layer in enumerate(d["layers"]):
             h = _layernorm(x, layer["ln1"])
@@ -394,13 +418,18 @@ def _decode_core(
             g = active[:, None, None, None]
             kcol = jnp.where(g, k1.swapaxes(-1, -2), old_k)
             vcol = jnp.where(g, v1.swapaxes(-1, -2), old_v)
-            dk_l = _append_cols(dk_rows, kcol, feed_idx)
-            dv_l = _append_cols(dv_rows, vcol, feed_idx)
-            dk = _kv_layer_set(dk, li, stream_ids, dk_l)
-            dv = _kv_layer_set(dv, li, stream_ids, dv_l)
-            scores = jnp.matmul(q * scale, dk_l * scale, preferred_element_type=jnp.float32)
-            probs = jax.nn.softmax(scores + smask, axis=-1).astype(dtype)
-            attn = jnp.einsum("bhqt,bhdt->bhqd", probs, dv_l, preferred_element_type=jnp.float32).astype(dtype)
+            dk = _kv_write_cols(dk, li, stream_ids, feed_idx, kcol)
+            dv = _kv_write_cols(dv, li, stream_ids, feed_idx, vcol)
+            qs = q * scale
+            scores_h = jnp.matmul(qs, dk_rows * scale, preferred_element_type=jnp.float32)
+            scores_c = jnp.matmul(qs, kcol * scale, preferred_element_type=jnp.float32)
+            scores = jnp.concatenate([scores_h + smask, scores_c], axis=-1)
+            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            p_h, p_c = probs[..., :dec_t], probs[..., dec_t:]
+            attn = (
+                jnp.einsum("bhqt,bhdt->bhqd", p_h, dv_rows, preferred_element_type=jnp.float32)
+                + jnp.einsum("bhqt,bhdt->bhqd", p_c, vcol, preferred_element_type=jnp.float32)
+            ).astype(dtype)
             x = x + _dense(_merge_heads(attn), layer["attn"]["o"])
             hx = _layernorm(x, layer["ln_x"])
             qx = _split_heads(_dense(hx, layer["xattn"]["q"]), cfg.n_text_head)
