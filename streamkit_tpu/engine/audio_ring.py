@@ -55,9 +55,25 @@ def _vad_append(vad_state, ring, slot_ids, starts, frames_b, ring_samples):
     b = frames_b.shape[0]
     flat = frames_b.reshape(b, -1)
     wire = jnp.clip(flat * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
-    pos = (starts[:, None] + jnp.arange(flat.shape[1], dtype=jnp.int32)) % ring_samples
-    ring = ring.at[slot_ids[:, None], pos].set(wire)
+    ring = ring_append_rows(ring, slot_ids, starts, wire)
     return new_state, ring, probs
+
+
+def ring_append_rows(ring, slot_ids, starts, wire):
+    """Append ``wire [B, n]`` int16 at per-row absolute ``starts`` (mod).
+
+    CONTRACT: every caller appends whole VAD blocks whose length divides
+    ``ring_samples`` (a power of two) at block-aligned starts, so a write
+    never splits across the wrap. That lets the append run as per-row
+    dynamic_update_slice over gathered rows — an element-indexed scatter
+    (``ring.at[ids[:,None], pos].set``) measured 65 ms at B=64 on v5e; this
+    formulation moves ~3 row copies (~1 ms)."""
+    p = starts % ring.shape[1]
+    rows = ring[slot_ids]
+    rows = jax.vmap(
+        lambda r, w, q: jax.lax.dynamic_update_slice(r, w, (q,))
+    )(rows, wire, p)
+    return ring.at[slot_ids].set(rows)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

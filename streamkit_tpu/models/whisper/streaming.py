@@ -153,12 +153,43 @@ def _quant_cols(cols: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _dequant(rows, dtype):
-    """array → itself; (q8, scale) → dequantized in ``dtype``. The dequant is
-    elementwise with a T-broadcast scale, so XLA fuses it into the consuming
-    matmul's operand read — HBM traffic stays int8."""
+    """array → itself; (q8, scale) → dequantized in ``dtype``. Only for
+    small operands (candidate columns): on full-T caches use
+    :func:`_scores_vs_cache`/:func:`_attend_cache`, which keep the int8
+    operand on the matmul directly."""
     if isinstance(rows, tuple):
         return (rows[0].astype(jnp.float32) * rows[1]).astype(dtype)
     return rows
+
+
+def _scores_vs_cache(qs, rows, op_scale, dtype):
+    """``qs [B,H,c,hd]`` (pre-scaled) · cache rows → f32 scores ``[B,H,c,T]``.
+
+    For quantized rows the per-column scale is applied AFTER the dot
+    (scores[..,t] = (Σ_d q·k8) · s[t]): the int8 tensor feeds the matmul
+    operand directly. A generic dequant-then-matmul materializes an ~84 MB
+    bf16 buffer per tensor per layer (per decode step!) — measured as the
+    bulk of the fused step's decode time at B=64."""
+    if isinstance(rows, tuple):
+        raw = jnp.matmul(
+            qs, rows[0].astype(dtype) * op_scale, preferred_element_type=jnp.float32
+        )
+        return raw * rows[1][:, :, 0, :][:, :, None, :]
+    return jnp.matmul(qs, rows * op_scale, preferred_element_type=jnp.float32)
+
+
+def _attend_cache(probs, rows, dtype):
+    """``probs [B,H,c,T]`` f32 · cache values → ``[B,H,c,hd]`` f32. For
+    quantized rows the column scale folds into the probabilities
+    (Σ_t p·v8·s = Σ_t (p·s)·v8), keeping the int8 operand on the einsum."""
+    if isinstance(rows, tuple):
+        p = (probs * rows[1][:, :, 0, :][:, :, None, :]).astype(dtype)
+        return jnp.einsum(
+            "bhqt,bhdt->bhqd", p, rows[0].astype(dtype), preferred_element_type=jnp.float32
+        )
+    return jnp.einsum(
+        "bhqt,bhdt->bhqd", probs.astype(dtype), rows, preferred_element_type=jnp.float32
+    )
 
 
 # Cache representation: a LIST over layers; each element is one layer's
@@ -322,20 +353,15 @@ def _encode_core(
         ek = _kv_write_cols(ek, li, stream_ids, pos_rows, kq, keep)
         ev = _kv_write_cols(ev, li, stream_ids, pos_rows, vq, keep)
         qs = q * hd_scale
-        scores_h = jnp.matmul(
-            qs, _dequant(ek_l, dtype) * hd_scale, preferred_element_type=jnp.float32
-        )  # [B,H,c,T]
-        scores_c = jnp.matmul(
-            qs, _dequant(kq, dtype) * hd_scale, preferred_element_type=jnp.float32
-        )  # [B,H,c,n_pos]
+        scores_h = _scores_vs_cache(qs, ek_l, hd_scale, dtype)  # [B,H,c,T]
+        scores_c = _scores_vs_cache(qs, kq, hd_scale, dtype)  # [B,H,c,n_pos]
         scores = jnp.concatenate(
             [scores_h + hist_mask, scores_c + cand_mask], axis=-1
         )
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        probs = jax.nn.softmax(scores, axis=-1)
         p_h, p_c = probs[..., :enc_t], probs[..., enc_t:]
         out = (
-            jnp.einsum("bhqt,bhdt->bhqd", p_h, _dequant(ev_l, dtype), preferred_element_type=jnp.float32)
-            + jnp.einsum("bhqt,bhdt->bhqd", p_c, _dequant(vq, dtype), preferred_element_type=jnp.float32)
+            _attend_cache(p_h, ev_l, dtype) + _attend_cache(p_c, vq, dtype)
         ).astype(dtype)
         x = x + _dense(_merge_heads(out), layer["attn"]["o"])
         x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
@@ -433,15 +459,11 @@ def _decode_core(
             x = x + _dense(_merge_heads(attn), layer["attn"]["o"])
             hx = _layernorm(x, layer["ln_x"])
             qx = _split_heads(_dense(hx, layer["xattn"]["q"]), cfg.n_text_head)
-            xs = jnp.matmul(
-                qx * scale, _dequant(_kv_layer_rows(xkr, li, stream_ids), dtype) * scale,
-                preferred_element_type=jnp.float32,
+            xs = _scores_vs_cache(
+                qx * scale, _kv_layer_rows(xkr, li, stream_ids), scale, dtype
             )
-            xp = jax.nn.softmax(xs + xmask, axis=-1).astype(dtype)
-            xa = jnp.einsum(
-                "bhqt,bhdt->bhqd", xp, _dequant(_kv_layer_rows(xvr, li, stream_ids), dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(dtype)
+            xp = jax.nn.softmax(xs + xmask, axis=-1)
+            xa = _attend_cache(xp, _kv_layer_rows(xvr, li, stream_ids), dtype).astype(dtype)
             x = x + _dense(_merge_heads(xa), layer["xattn"]["o"])
             x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
         xfin = _layernorm(x, d["ln"])
@@ -608,16 +630,18 @@ def _stream_step(
     )
     del bi
 
-    # 1) VAD score + ring append (audio_ring._vad_append semantics)
-    ring_samples = ring.shape[1]
+    # 1) VAD score + ring append (audio_ring._vad_append semantics; row-level
+    # append per audio_ring.ring_append_rows — the element-indexed scatter
+    # measured 65 ms at B=64)
+    from ...engine.audio_ring import ring_append_rows
+
     rows = jax.tree.map(lambda s: s[slot_ids], vad_state)
     probs, new_rows = vad_frame_probs(rows, frames_b)
     vad_state = jax.tree.map(lambda s, r: s.at[slot_ids].set(r), vad_state, new_rows)
     b = frames_b.shape[0]
     flat = frames_b.reshape(b, -1)
     wire = jnp.clip(flat * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
-    rpos = (wpos[:, None] + jnp.arange(flat.shape[1], dtype=jnp.int32)) % ring_samples
-    ring = ring.at[slot_ids[:, None], rpos].set(wire)
+    ring = ring_append_rows(ring, slot_ids, wpos, wire)
 
     # 2) commit-guarded chunk encode against the freshly appended ring
     pos_rows = enc_pos[stream_ids]
