@@ -52,11 +52,12 @@ the quality-sensitive cache). Quantization happens at append time, and
 attention *reads the quantized values* (XLA fuses the dequant into the
 matmul operand load, so HBM traffic per decode step is int8 — the
 bandwidth win is why this can also be slightly faster, not just smaller).
-Caches are **per-layer buffer lists**, not one monolithic array — the
-layout constraint that keeps per-call cost independent of table size (see
-the cache-representation note above :func:`_kv_T` for the measurements).
-Sessions that fail to get a slot fall back to the bucket re-decode
-partial path.
+Caches are **flat chunk-row buffers** — one per cache kind, rows =
+``(slot · L + layer) · n_chunks + chunk`` — so every append is ONE
+contiguous row scatter per kind instead of hundreds of per-layer column
+scatters (see the cache-representation note above :func:`_kv_enc_t` for
+the on-chip measurements that force this). Sessions that fail to get a
+slot fall back to the bucket re-decode partial path.
 """
 
 from __future__ import annotations
@@ -117,28 +118,6 @@ def _conv_valid(x, w, b, stride: int):
     return y + b
 
 
-def _append_cols(rows: jnp.ndarray, cols: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Write ``cols [B, H, hd, c]`` into T-major ``rows [B, H, hd, T]`` at
-    per-row column offset ``pos [B]`` (vmapped dynamic_update_slice →
-    batched scatter; duplicate rows write identical values, so the
-    batcher's pad-by-duplication stays safe)."""
-    return jax.vmap(
-        lambda row, col, p: jax.lax.dynamic_update_slice(row, col, (0, 0, p))
-    )(rows, cols, pos)
-
-
-def _read_cols(rows: jnp.ndarray, pos: jnp.ndarray, c: int) -> jnp.ndarray:
-    """Read ``c`` columns ``[B, H, hd, c]`` at per-row offset ``pos``."""
-    h, hd = rows.shape[1], rows.shape[2]
-    return jax.vmap(
-        lambda row, p: jax.lax.dynamic_slice(row, (0, 0, p), (h, hd, c))
-    )(rows, pos)
-
-
-def _read_col(rows: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    return _read_cols(rows, pos, 1)
-
-
 # ---------------------------------------------------------------------------
 # int8 KV cache (tuple pytree (q8 [.., hd, T], scale [.., 1, T]) vs plain array)
 # ---------------------------------------------------------------------------
@@ -150,16 +129,6 @@ def _quant_cols(cols: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     scale = jnp.maximum(absmax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
     return q, scale
-
-
-def _dequant(rows, dtype):
-    """array → itself; (q8, scale) → dequantized in ``dtype``. Only for
-    small operands (candidate columns): on full-T caches use
-    :func:`_scores_vs_cache`/:func:`_attend_cache`, which keep the int8
-    operand on the matmul directly."""
-    if isinstance(rows, tuple):
-        return (rows[0].astype(jnp.float32) * rows[1]).astype(dtype)
-    return rows
 
 
 def _scores_vs_cache(qs, rows, op_scale, dtype):
@@ -192,86 +161,176 @@ def _attend_cache(probs, rows, dtype):
     )
 
 
-# Cache representation: a LIST over layers; each element is one layer's
-# buffer ``[S, H, hd, T]`` (or an (int8, scale) tuple of such). Two hard
-# constraints force this layout, both measured on-chip:
+# Cache representation: ONE flat chunk-row buffer per cache kind,
 #
-# * a monolithic ``[S, L, ...]`` buffer + whole-cache gather OOMs at B=64
-#   (the gather materializes 2.7 GB int8 per tensor, ~2.4× more after TPU
-#   tiling padding),
-# * a monolithic buffer + per-layer ``.at[ids, li].set`` chains makes XLA
-#   copy the WHOLE table once per layer update (aliasing cannot be proven
-#   mid-chain): the fused step measured 195 ms with 8-slot tables vs
-#   850 ms with 64-slot tables — per-call cost scaling with table size,
-#   not batch. With per-layer buffers each gets exactly ONE donated
-#   update per call, the standard in-place KV-cache pattern.
+#     data  ``[(S · L · NCH), H·8·hd]``  (int8 or model dtype)
+#     scale ``[(S · L), H, T]`` f32       (int8 kinds only; per-column)
+#
+# with s-major rows (``row = (s·L + l)·NCH + chunk``) so dp-sharding over
+# slots stays a contiguous axis-0 split, and the head dim MAJOR inside the
+# flat row so tp-sharding splits the lane dim at a head boundary. Three
+# measured constraints force this (all real-chip, B=64, large-v3):
+#
+# * a monolithic ``[S, L, ...]`` buffer + whole-cache gather OOMs at B=64,
+#   and per-layer ``.at[ids, li].set`` chains copy the WHOLE table once per
+#   layer (195→850 ms going 8→64 slots at the same batch),
+# * per-layer buffer LISTS fix the copies but pay ~0.5 ms of fixed
+#   per-scatter cost × 256 write ops per fused step (~80 ms), and TPU 2-D
+#   (row, col) scatters additionally cost ~0.6 µs per *index pair*,
+# * chunk-aligned flat rows make every append ONE whole-row scatter per
+#   cache kind — contiguous ``H·8·hd`` windows, no index pairs — which
+#   measures at the dispatch floor (<5 ms for all four kinds together).
+#   Encoder positions only advance in whole chunks (``adv = 8·commit``),
+#   so chunk-row granularity is exact, not an approximation. Uncommitted
+#   chunks and pad rows are dropped by pointing their scatter row out of
+#   bounds (``mode="drop"``) instead of read-modify-writing old values.
+#
+# Per-column f32 scales stay exact; they are written by a dense
+# select over the (small) scale buffer — one fused elementwise op per
+# kind — not by scatter.
 
 
-def _kv_T(table) -> int:
-    head = table[0]
-    return (head[0] if isinstance(head, tuple) else head).shape[-1]
+def _kv_enc_t(cache, L: int, S: int) -> int:
+    """Columns (T) of a flat chunk-row cache."""
+    if isinstance(cache, tuple):
+        return cache[1].shape[-1]
+    return (cache.shape[0] // (L * S)) * CHUNK_POS
 
 
-def _kv_layer_rows(table, li: int, ids):
-    """Gather one layer's rows ``[B, H, hd|1, T]`` from the layer-list."""
-    elem = table[li]
-    if isinstance(elem, tuple):
-        return (elem[0][ids], elem[1][ids])
-    return elem[ids]
+def _hist_one(cache, L: int, li: int, H: int, hd: int, enc_t: int, ids):
+    """Gather ONE layer's history rows for batch rows ``ids``:
+    → ``(q8 [B,NCH,H,8,hd], scale [B,H,T])`` for int8 kinds, else
+    ``[B,NCH,H,8,hd]`` in the cache dtype. Row gathers of contiguous
+    flat rows measure at the dispatch floor; gathering per layer (instead
+    of one stacked gather for all layers) keeps temp lifetimes to one
+    layer — a stacked 2.7 GB gather of both K and V OOM'd at 64 slots."""
+    nch = enc_t // CHUNK_POS
+    b = ids.shape[0]
+    base = (ids * L + li) * nch  # [B]
+    rows = (base[:, None] + jnp.arange(nch, dtype=jnp.int32)).reshape(-1)
+    if isinstance(cache, tuple):
+        q8 = cache[0][rows].reshape(b, nch, H, CHUNK_POS, hd)
+        sc = cache[1][ids * L + li]  # [B,H,T]
+        return q8, sc
+    return cache[rows].reshape(b, nch, H, CHUNK_POS, hd)
 
 
-def _kv_layer_set(table, li: int, ids, rows):
-    """Functionally replace layer ``li``'s buffer with the rows scattered
-    in (donated → in-place on device). Duplicate ids write identical
-    values (the batcher's pad-by-duplication contract)."""
-    elem = table[li]
-    if isinstance(elem, tuple):
-        new = (elem[0].at[ids].set(rows[0]), elem[1].at[ids].set(rows[1]))
-    else:
-        new = elem.at[ids].set(rows)
-    return table[:li] + [new] + table[li + 1 :]
+def _scores_hist(qs, hist_li, op_scale, dtype):
+    """``qs [B,H,q,hd]`` (pre-scaled) · chunk-row history → f32 scores
+    ``[B,H,q,T]``. int8 operands feed the einsum directly; the per-column
+    scale multiplies the f32 scores afterwards."""
+    if isinstance(hist_li, tuple):
+        q8, sc = hist_li
+        raw = jnp.einsum(
+            "bhqd,bchkd->bhqck", qs, q8.astype(dtype) * op_scale,
+            preferred_element_type=jnp.float32,
+        )
+        b, h, q = raw.shape[:3]
+        return raw.reshape(b, h, q, -1) * sc[:, :, None, :]
+    raw = jnp.einsum(
+        "bhqd,bchkd->bhqck", qs, hist_li * op_scale,
+        preferred_element_type=jnp.float32,
+    )
+    b, h, q = raw.shape[:3]
+    return raw.reshape(b, h, q, -1)
 
 
-def _quant_like(elem, cols_f: jnp.ndarray):
+def _attend_hist(probs, hist_li, dtype):
+    """``probs [B,H,q,T]`` f32 · chunk-row history values → ``[B,H,q,hd]``
+    f32. The column scale folds into the probabilities so the int8 operand
+    stays on the einsum."""
+    if isinstance(hist_li, tuple):
+        q8, sc = hist_li
+        nch = q8.shape[1]
+        p = (probs * sc[:, :, None, :]).astype(dtype)
+        b, h, q = p.shape[:3]
+        p = p.reshape(b, h, q, nch, CHUNK_POS)
+        return jnp.einsum(
+            "bhqck,bchkd->bhqd", p, q8.astype(dtype), preferred_element_type=jnp.float32
+        )
+    nch = hist_li.shape[1]
+    b, h, q = probs.shape[:3]
+    p = probs.astype(dtype).reshape(b, h, q, nch, CHUNK_POS)
+    return jnp.einsum(
+        "bhqck,bchkd->bhqd", p, hist_li, preferred_element_type=jnp.float32
+    )
+
+
+def _cand_chunk_rows(cand, n_chunks: int):
+    """Per-column candidates ``[L,B,H,hd,c]`` → chunk rows
+    ``[L,B,n_chunks,H,8,hd]`` (the flat-row write layout)."""
+    L, b, H, hd, c = cand.shape
+    x = jnp.moveaxis(cand, -1, 2)  # [L,B,c,H,hd]
+    x = x.reshape(L, b, n_chunks, CHUNK_POS, H, hd)
+    return jnp.swapaxes(x, 3, 4)  # [L,B,n_chunks,H,8,hd]
+
+
+def _write_kind(cache, cands, ids, pos, commit, enc_t: int, n_chunks: int):
+    """Append every layer's candidate chunk K or V into a flat chunk-row
+    cache with ONE row scatter (+ one dense scale select for int8 kinds).
+
+    ``cands``: list over L of per-column candidates — ``(q8 [B,H,hd,c],
+    scale [B,H,1,c])`` tuples (int8 cache) or plain ``[B,H,hd,c]`` arrays.
+    ``commit [B]``: chunks to actually write per row (None = all);
+    uncommitted chunks and pad rows scatter out of bounds → dropped."""
+    nch = enc_t // CHUNK_POS
+    b = ids.shape[0]
+    quant = isinstance(cache, tuple)
+    L = len(cands)
+    cq = jnp.stack([c[0] if quant else c for c in cands])  # [L,B,H,hd,c]
+    rows_v = _cand_chunk_rows(cq, n_chunks)  # [L,B,nc,H,8,hd]
+    flat_v = rows_v.reshape(L * b * n_chunks, -1)
+
+    c0 = pos // CHUNK_POS
+    j = jnp.arange(n_chunks, dtype=jnp.int32)
+    phys = (c0[:, None] + j[None, :]) % nch  # [B,nc]
+    l = jnp.arange(L, dtype=jnp.int32)[:, None, None]
+    rows = (ids[None, :, None] * L + l) * nch + phys[None]  # [L,B,nc]
+    if commit is not None:
+        # out-of-bounds rows are DROPPED by the scatter — no RMW needed
+        n_rows = (cache[0] if quant else cache).shape[0]
+        rows = jnp.where(j[None, None, :] < commit[None, :, None], rows, n_rows)
+    flat = (cache[0] if quant else cache).at[rows.reshape(-1)].set(
+        flat_v, mode="drop"
+    )
+    if not quant:
+        return flat
+
+    # scales: dense select over the [S·L, H, T] f32 buffer (one fused op)
+    sc_buf = cache[1]
+    S = sc_buf.shape[0] // L
+    cs = jnp.stack([c[1][:, :, 0, :] for c in cands])  # [L,B,H,c]
+    inv = jnp.zeros((S,), jnp.int32).at[ids].set(
+        jnp.arange(b, dtype=jnp.int32), mode="drop"
+    )
+    own = jnp.zeros((S,), bool).at[ids].set(True, mode="drop")
+    posS = pos[inv]
+    t = jnp.arange(enc_t, dtype=jnp.int32)
+    rel = (t[None, :] - posS[:, None]) % enc_t  # [S,T]
+    c = cs.shape[-1]
+    lim = (
+        jnp.full((S,), c, jnp.int32)
+        if commit is None
+        else CHUNK_POS * commit[inv]
+    )
+    m = own[:, None] & (rel < lim[:, None])  # [S,T]
+    relc = jnp.minimum(rel, c - 1)
+    candS = jnp.moveaxis(cs, 0, 1)[inv]  # [S,L,H,c]
+    g = jnp.take_along_axis(candS, relc[:, None, None, :], axis=-1)  # [S,L,H,T]
+    new_sc = jnp.where(
+        m[:, None, None, :], g, sc_buf.reshape(S, L, *sc_buf.shape[1:])
+    ).reshape(sc_buf.shape)
+    return flat, new_sc
+
+
+def _quant_like(cache, cols_f: jnp.ndarray):
     """Candidate columns ``[B, H, hd, c]`` in the cache's representation:
-    (q8, scale) when the layer buffer is quantized, else cast to its dtype.
+    (q8, scale) when the cache is quantized, else cast to its dtype.
     Attention reads THESE (quantized) values so later reads of the stored
     cache see exactly what this call attended to."""
-    if isinstance(elem, tuple):
+    if isinstance(cache, tuple):
         return _quant_cols(cols_f)
-    return cols_f.astype(elem.dtype)
-
-
-def _col_write(arr: jnp.ndarray, ids, pos, vals: jnp.ndarray, keep) -> jnp.ndarray:
-    """Scatter ``vals [B, H', hd', c]`` into ``arr [S, H', hd', T]`` at
-    rows ``ids`` / column offsets ``pos[b]..pos[b]+c`` — writing ONLY the
-    new columns. This is the bandwidth contract of the fused step: a
-    read-modify-write of whole rows (dynamic_update_slice then row
-    scatter) copies ~84 MB per tensor per layer at B=64 and measured
-    650+ ms/call; column scatters write c columns (~1 MB). ``keep``
-    rewrites the old value where False (commit guard)."""
-    c = vals.shape[-1]
-    cols = (pos[:, None] + jnp.arange(c, dtype=pos.dtype)) % arr.shape[-1]
-    # advanced indexing (B,1)+(B,c) → result axes (B, c) with the middle
-    # slice dims appended: [B, c, H', hd']
-    old = arr[ids[:, None], :, :, cols]
-    new = jnp.moveaxis(vals, -1, 1)  # [B, c, H', hd']
-    if keep is not None:
-        new = jnp.where(keep[:, :, None, None], new, old)
-    return arr.at[ids[:, None], :, :, cols].set(new)
-
-
-def _kv_write_cols(table, li: int, ids, pos, vals, keep=None):
-    """Guarded column write of candidate K/V into layer ``li``'s buffer."""
-    elem = table[li]
-    if isinstance(elem, tuple):
-        new = (
-            _col_write(elem[0], ids, pos, vals[0], keep),
-            _col_write(elem[1], ids, pos, vals[1], keep),
-        )
-    else:
-        new = _col_write(elem, ids, pos, vals, keep)
-    return table[:li] + [new] + table[li + 1 :]
+    return cols_f.astype(cache.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -283,22 +342,24 @@ def _encode_core(
     ring: jnp.ndarray,
     slot_ids: jnp.ndarray,
     starts: jnp.ndarray,
-    ek,  # [S, Le, H, hd, T] table pytree (NOT gathered — see _kv_layer_rows)
+    ek,  # flat chunk-row cache pytrees (see the cache-representation note)
     ev,
-    xkr,  # [S, Ld, H, hd, T]
+    xkr,
     xvr,
     stream_ids: jnp.ndarray,  # [B] rows into the tables
     pos_rows: jnp.ndarray,  # [B]
     n_chunks: int,
+    enc_t: int,
     commit: Optional[jnp.ndarray] = None,  # [B] int32 chunks to commit (None = all)
 ):
     """Encode ``n_chunks`` consecutive chunks per row from the audio ring and
     append enc K/V + cross K/V into the tables at ``stream_ids``. With
     ``commit``, only each row's first ``commit[b]`` chunks are written (the
-    rest rewrite old cache values) and positions advance by ``8*commit[b]``
-    — rows may lag/lead each other inside one fused batched call.
+    rest are dropped by the scatter) and positions advance by
+    ``8*commit[b]`` — rows may lag/lead each other inside one fused batched
+    call.
 
-    The four caches (``ek/ev/xkr/xvr``) are array-or-(int8, scale) pytrees;
+    The four caches (``ek/ev/xkr/xvr``) are flat-or-(int8, scale) pytrees;
     attention reads the *quantized* values (dequant fused into the matmul),
     so later chunks see exactly what this chunk stored. Returns the updated
     tables + new positions."""
@@ -318,8 +379,9 @@ def _encode_core(
     p = pos_rows[:, None] + jnp.arange(n_pos, dtype=jnp.int32)
     x = x + e["pos"].astype(dtype)[jnp.minimum(p, e["pos"].shape[0] - 1)]
 
-    enc_t = _kv_T(ek)
-    hd_scale = (cfg.n_audio_state // cfg.n_audio_head) ** -0.25
+    He = cfg.n_audio_head
+    hde = cfg.n_audio_state // He
+    hd_scale = hde ** -0.25
     col = jnp.arange(enc_t, dtype=jnp.int32)
     # split attention = history (cached rows, read in place) + candidates
     # (this call's n_pos new positions). History is visible to every query;
@@ -337,23 +399,22 @@ def _encode_core(
         j[None, :] < qblk[:, None], 0.0, -jnp.inf
     ).astype(jnp.float32)[None, None, :, :]  # [1,1,n_pos,n_pos]
 
-    keep = None
-    if commit is not None:
-        keep = (j // CHUNK_POS)[None, :] < commit[:, None]  # [B, n_pos]
-
+    Le = cfg.n_audio_layer
+    cand_ks, cand_vs = [], []
     for li, layer in enumerate(e["layers"]):
         h = _layernorm(x, layer["ln1"])
-        q = _split_heads(_dense(h, layer["attn"]["q"]), cfg.n_audio_head)  # [B,H,c,hd]
-        k = _split_heads(_dense(h, layer["attn"]["k"]), cfg.n_audio_head)
-        v = _split_heads(_dense(h, layer["attn"]["v"]), cfg.n_audio_head)
-        ek_l = _kv_layer_rows(ek, li, stream_ids)
-        ev_l = _kv_layer_rows(ev, li, stream_ids)
-        kq = _quant_like(ek_l, k.swapaxes(-1, -2))
-        vq = _quant_like(ev_l, v.swapaxes(-1, -2))
-        ek = _kv_write_cols(ek, li, stream_ids, pos_rows, kq, keep)
-        ev = _kv_write_cols(ev, li, stream_ids, pos_rows, vq, keep)
+        q = _split_heads(_dense(h, layer["attn"]["q"]), He)  # [B,H,c,hd]
+        k = _split_heads(_dense(h, layer["attn"]["k"]), He)
+        v = _split_heads(_dense(h, layer["attn"]["v"]), He)
+        kq = _quant_like(ek, k.swapaxes(-1, -2))
+        vq = _quant_like(ev, v.swapaxes(-1, -2))
+        cand_ks.append(kq)
+        cand_vs.append(vq)
         qs = q * hd_scale
-        scores_h = _scores_vs_cache(qs, ek_l, hd_scale, dtype)  # [B,H,c,T]
+        # history rows: pre-write state, gathered per layer (short-lived)
+        ek_li = _hist_one(ek, Le, li, He, hde, enc_t, stream_ids)
+        ev_li = _hist_one(ev, Le, li, He, hde, enc_t, stream_ids)
+        scores_h = _scores_hist(qs, ek_li, hd_scale, dtype)
         scores_c = _scores_vs_cache(qs, kq, hd_scale, dtype)  # [B,H,c,n_pos]
         scores = jnp.concatenate(
             [scores_h + hist_mask, scores_c + cand_mask], axis=-1
@@ -361,21 +422,25 @@ def _encode_core(
         probs = jax.nn.softmax(scores, axis=-1)
         p_h, p_c = probs[..., :enc_t], probs[..., enc_t:]
         out = (
-            _attend_cache(p_h, ev_l, dtype) + _attend_cache(p_c, vq, dtype)
+            _attend_hist(p_h, ev_li, dtype)
+            + _attend_cache(p_c, vq, dtype)
         ).astype(dtype)
         x = x + _dense(_merge_heads(out), layer["attn"]["o"])
         x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
     enc_out = _layernorm(x, e["ln_post"])  # [B, c, d]
 
-    for li, layer in enumerate(params["dec"]["layers"]):
+    cand_xk, cand_xv = [], []
+    for layer in params["dec"]["layers"]:
         kx = _split_heads(_dense(enc_out, layer["xattn"]["k"]), cfg.n_text_head)
         vx = _split_heads(_dense(enc_out, layer["xattn"]["v"]), cfg.n_text_head)
-        xkr = _kv_write_cols(
-            xkr, li, stream_ids, pos_rows, _quant_like(xkr[li], kx.swapaxes(-1, -2)), keep
-        )
-        xvr = _kv_write_cols(
-            xvr, li, stream_ids, pos_rows, _quant_like(xvr[li], vx.swapaxes(-1, -2)), keep
-        )
+        cand_xk.append(_quant_like(xkr, kx.swapaxes(-1, -2)))
+        cand_xv.append(_quant_like(xvr, vx.swapaxes(-1, -2)))
+
+    # ONE row scatter (+ scale select) per cache kind
+    ek = _write_kind(ek, cand_ks, stream_ids, pos_rows, commit, enc_t, n_chunks)
+    ev = _write_kind(ev, cand_vs, stream_ids, pos_rows, commit, enc_t, n_chunks)
+    xkr = _write_kind(xkr, cand_xk, stream_ids, pos_rows, commit, enc_t, n_chunks)
+    xvr = _write_kind(xvr, cand_xv, stream_ids, pos_rows, commit, enc_t, n_chunks)
 
     adv = n_pos if commit is None else CHUNK_POS * commit
     return ek, ev, xkr, xvr, pos_rows + adv
@@ -395,21 +460,36 @@ def _decode_core(
     n_r: jnp.ndarray,
     active0: jnp.ndarray,  # [B] bool — rows allowed to step at all
     max_steps: int,
+    enc_t: int,
 ):
     """Greedy continuation scan. Per step a row feeds ``tokens[min(fed,
     n_tok-1)]`` (re-feeding the newest token when caught up refreshes its
     K/V and logits against new audio), then — once caught up — appends the
     argmax unless it is ``<|eot|>``, which is held back (the utterance may
-    continue). Rows stop on eot; the next tick retries with more audio."""
+    continue). Rows stop on eot; the next tick retries with more audio.
+
+    Cost structure (measured): the scan-invariant cross K/V rows are
+    gathered ONCE before the scan (they don't change during decode), and
+    the decoder self K/V rows are gathered into batch-local working copies
+    that the scan carries — per-step writes land on the small local buffer
+    (one scatter for all layers; inactive rows scatter out of bounds and
+    drop) and the big table is written back once after the scan."""
     d = params["dec"]
     dtype = params["enc"]["pos"].dtype
     eot = jnp.int32(cfg.token_eot)
-    dec_t = _kv_T(dk)
-    enc_t = _kv_T(xkr)
-    hd = cfg.n_text_state // cfg.n_text_head
+    Ld = cfg.n_text_layer
+    Ht = cfg.n_text_head
+    hd = cfg.n_text_state // Ht
+    dec_t = dk.shape[-1]
     scale = hd ** -0.25
     b = tok.shape[0]
     bi = jnp.arange(b)
+
+    # batch-local self K/V working rows, carried through the scan
+    l = jnp.arange(Ld, dtype=jnp.int32)[:, None]
+    dkv_rows = (stream_ids[None, :] * Ld + l).reshape(-1)  # [Ld*B]
+    dkl = dk[dkv_rows].reshape(Ld, b, Ht, hd, dec_t)
+    dvl = dv[dkv_rows].reshape(Ld, b, Ht, hd, dec_t)
 
     xcol = jnp.arange(enc_t, dtype=jnp.int32)
     # max(ep, 1) keeps the softmax finite for not-yet-encoded rows (they are
@@ -418,54 +498,71 @@ def _decode_core(
         xcol[None, :] < jnp.maximum(ep, 1)[:, None], 0.0, -jnp.inf
     ).astype(jnp.float32)[:, None, None, :]
     dcol = jnp.arange(dec_t, dtype=jnp.int32)
+    lb = jnp.arange(Ld * b)
 
     def step(carry, _):
-        dk, dv, tok, fed_r, n_r, done = carry
+        dkl, dvl, tok, fed_r, n_r, done = carry
         active = jnp.logical_and(~done, jnp.logical_and(n_r > 0, ep > 0))
         feed_idx = jnp.minimum(fed_r, n_r - 1)
         feed_idx = jnp.maximum(feed_idx, 0)
         cur = tok[bi, feed_idx]
         x = d["tok_emb"][cur][:, None, :] + d["pos_emb"][feed_idx][:, None, :]
         x = x.astype(dtype)
-        # split self-attention: history (cached rows, col < feed_idx) +
-        # the current token's fresh K/V — no row-level cache copies
+        # split self-attention: history (local rows, col < feed_idx) +
+        # the current token's fresh K/V — no cache copies, no reads-back
         smask = jnp.where(
             dcol[None, :] < feed_idx[:, None], 0.0, -jnp.inf
         ).astype(jnp.float32)[:, None, None, :]
+        kcols, vcols = [], []
         for li, layer in enumerate(d["layers"]):
             h = _layernorm(x, layer["ln1"])
-            q = _split_heads(_dense(h, layer["attn"]["q"]), cfg.n_text_head)  # [B,H,1,hd]
-            k1 = _split_heads(_dense(h, layer["attn"]["k"]), cfg.n_text_head)
-            v1 = _split_heads(_dense(h, layer["attn"]["v"]), cfg.n_text_head)
-            dk_rows = _kv_layer_rows(dk, li, stream_ids)
-            dv_rows = _kv_layer_rows(dv, li, stream_ids)
-            old_k = _read_col(dk_rows, feed_idx)
-            old_v = _read_col(dv_rows, feed_idx)
-            g = active[:, None, None, None]
-            kcol = jnp.where(g, k1.swapaxes(-1, -2), old_k)
-            vcol = jnp.where(g, v1.swapaxes(-1, -2), old_v)
-            dk = _kv_write_cols(dk, li, stream_ids, feed_idx, kcol)
-            dv = _kv_write_cols(dv, li, stream_ids, feed_idx, vcol)
+            q = _split_heads(_dense(h, layer["attn"]["q"]), Ht)  # [B,H,1,hd]
+            k1 = _split_heads(_dense(h, layer["attn"]["k"]), Ht)
+            v1 = _split_heads(_dense(h, layer["attn"]["v"]), Ht)
+            kcol = k1.swapaxes(-1, -2)  # [B,H,hd,1]
+            vcol = v1.swapaxes(-1, -2)
+            kcols.append(kcol)
+            vcols.append(vcol)
             qs = q * scale
-            scores_h = jnp.matmul(qs, dk_rows * scale, preferred_element_type=jnp.float32)
+            scores_h = jnp.matmul(qs, dkl[li] * scale, preferred_element_type=jnp.float32)
             scores_c = jnp.matmul(qs, kcol * scale, preferred_element_type=jnp.float32)
             scores = jnp.concatenate([scores_h + smask, scores_c], axis=-1)
             probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
             p_h, p_c = probs[..., :dec_t], probs[..., dec_t:]
             attn = (
-                jnp.einsum("bhqt,bhdt->bhqd", p_h, dv_rows, preferred_element_type=jnp.float32)
+                jnp.einsum("bhqt,bhdt->bhqd", p_h, dvl[li], preferred_element_type=jnp.float32)
                 + jnp.einsum("bhqt,bhdt->bhqd", p_c, vcol, preferred_element_type=jnp.float32)
             ).astype(dtype)
             x = x + _dense(_merge_heads(attn), layer["attn"]["o"])
             hx = _layernorm(x, layer["ln_x"])
-            qx = _split_heads(_dense(hx, layer["xattn"]["q"]), cfg.n_text_head)
-            xs = _scores_vs_cache(
-                qx * scale, _kv_layer_rows(xkr, li, stream_ids), scale, dtype
-            )
+            qx = _split_heads(_dense(hx, layer["xattn"]["q"]), Ht)
+            # cross K/V rows: per-layer gathers (cheap; stacked pre-scan
+            # gathers of both kinds held ~2.7 GB live and OOM'd at 64 slots)
+            xk_li = _hist_one(xkr, Ld, li, Ht, hd, enc_t, stream_ids)
+            xv_li = _hist_one(xvr, Ld, li, Ht, hd, enc_t, stream_ids)
+            xs = _scores_hist(qx * scale, xk_li, scale, dtype)
             xp = jax.nn.softmax(xs + xmask, axis=-1)
-            xa = _attend_cache(xp, _kv_layer_rows(xvr, li, stream_ids), dtype).astype(dtype)
+            xa = _attend_hist(xp, xv_li, dtype).astype(dtype)
             x = x + _dense(_merge_heads(xa), layer["xattn"]["o"])
             x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
+        # deferred self-K/V append: ONE scatter per kind for all layers;
+        # inactive rows point their column out of bounds → dropped
+        wcol = jnp.where(active, feed_idx, dec_t)
+        wcolL = jnp.tile(wcol, Ld)
+        kstk = jnp.stack(kcols).reshape(Ld * b, Ht, hd)
+        vstk = jnp.stack(vcols).reshape(Ld * b, Ht, hd)
+        dkl = (
+            dkl.reshape(Ld * b, Ht, hd, dec_t)
+            .at[lb, :, :, wcolL]
+            .set(kstk, mode="drop")
+            .reshape(Ld, b, Ht, hd, dec_t)
+        )
+        dvl = (
+            dvl.reshape(Ld * b, Ht, hd, dec_t)
+            .at[lb, :, :, wcolL]
+            .set(vstk, mode="drop")
+            .reshape(Ld, b, Ht, hd, dec_t)
+        )
         xfin = _layernorm(x, d["ln"])
         logits = jnp.matmul(
             xfin[:, 0], d["tok_emb"].T.astype(dtype), preferred_element_type=jnp.float32
@@ -481,12 +578,15 @@ def _decode_core(
         n_new = n_r + append.astype(jnp.int32)
         done = jnp.logical_or(done, jnp.logical_and(proposing, ~append))
         done = jnp.logical_or(done, ~active)
-        return (dk, dv, tok, fed_new, n_new, done), None
+        return (dkl, dvl, tok, fed_new, n_new, done), None
 
     done0 = ~active0
-    (dk, dv, tok, fed_r, n_r, _), _ = jax.lax.scan(
-        step, (dk, dv, tok, fed_r, n_r, done0), None, length=max_steps
+    (dkl, dvl, tok, fed_r, n_r, _), _ = jax.lax.scan(
+        step, (dkl, dvl, tok, fed_r, n_r, done0), None, length=max_steps
     )
+    # write the worked rows back to the big tables once
+    dk = dk.at[dkv_rows].set(dkl.reshape(Ld * b, Ht, hd, dec_t))
+    dv = dv.at[dkv_rows].set(dvl.reshape(Ld * b, Ht, hd, dec_t))
     return dk, dv, tok, fed_r, n_r
 
 
@@ -495,15 +595,15 @@ def _decode_core(
 # ---------------------------------------------------------------------------
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_chunks"),
+    static_argnames=("cfg", "n_chunks", "enc_t"),
     donate_argnums=(1, 2, 3, 4, 5),
 )
 def _stream_encode(
     params: Params,
-    enc_k: jnp.ndarray,  # [S, Le, H, hd, ENC_T]
-    enc_v: jnp.ndarray,
-    xk: jnp.ndarray,  # [S, Ld, H, hd, ENC_T]
-    xv: jnp.ndarray,
+    enc_k,  # flat chunk-row cache pytrees (cache-representation note)
+    enc_v,
+    xk,
+    xv,
     enc_pos: jnp.ndarray,  # [S] int32
     ring: jnp.ndarray,  # [slots, ring_samples] int16
     slot_ids: jnp.ndarray,  # [B] audio-ring slots
@@ -511,13 +611,14 @@ def _stream_encode(
     starts: jnp.ndarray,  # [B] absolute chunk start samples
     cfg: WhisperConfig,
     n_chunks: int = 1,
+    enc_t: int = 512,
 ):
     """Standalone batched chunk encode (the fused block step is the serving
     path; this remains for tools/tests and mixed pipelines)."""
     pos_rows = enc_pos[stream_ids]
     enc_k, enc_v, xk, xv, pos_new = _encode_core(
         params, cfg, ring, slot_ids, starts,
-        enc_k, enc_v, xk, xv, stream_ids, pos_rows, n_chunks,
+        enc_k, enc_v, xk, xv, stream_ids, pos_rows, n_chunks, enc_t,
     )
     enc_pos = enc_pos.at[stream_ids].set(pos_new)
     return enc_k, enc_v, xk, xv, enc_pos, pos_new
@@ -525,22 +626,23 @@ def _stream_encode(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_steps"),
+    static_argnames=("cfg", "max_steps", "enc_t"),
     donate_argnums=(1, 2, 3, 4, 5),
 )
 def _stream_decode(
     params: Params,
-    dec_k: jnp.ndarray,  # [S, Ld, H, hd, DEC_T]
+    dec_k: jnp.ndarray,  # [S·Ld, H, hd, DEC_T]
     dec_v: jnp.ndarray,
     tokens: jnp.ndarray,  # [S, DEC_T] int32
     fed: jnp.ndarray,  # [S] int32 — tokens fed through the decoder
     n_tok: jnp.ndarray,  # [S] int32 — tokens in the buffer (incl. prefix)
-    xk: jnp.ndarray,
-    xv: jnp.ndarray,
+    xk,
+    xv,
     enc_pos: jnp.ndarray,
     stream_ids: jnp.ndarray,  # [B]
     cfg: WhisperConfig,
     max_steps: int,
+    enc_t: int = 512,
 ):
     """Standalone batched decode continuation (see :func:`_decode_core`)."""
     b = stream_ids.shape[0]
@@ -548,7 +650,7 @@ def _stream_decode(
         params, cfg,
         dec_k, dec_v, xk, xv, stream_ids, enc_pos[stream_ids],
         tokens[stream_ids], fed[stream_ids], n_tok[stream_ids],
-        jnp.ones((b,), bool), max_steps,
+        jnp.ones((b,), bool), max_steps, enc_t,
     )
     tokens = tokens.at[stream_ids].set(tok)
     fed = fed.at[stream_ids].set(fed_r)
@@ -566,16 +668,16 @@ META_PREFIX = 4  # decoder prefix tokens appended after the scalars
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_steps", "n_chunks"),
+    static_argnames=("cfg", "max_steps", "n_chunks", "enc_t"),
     donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
 )
 def _stream_step(
     params: Params,
     vad_state,  # donated pytree [S_ring, ...]
-    enc_k: jnp.ndarray,
-    enc_v: jnp.ndarray,
-    xk: jnp.ndarray,
-    xv: jnp.ndarray,
+    enc_k,
+    enc_v,
+    xk,
+    xv,
     enc_pos: jnp.ndarray,
     dec_k: jnp.ndarray,
     dec_v: jnp.ndarray,
@@ -588,6 +690,7 @@ def _stream_step(
     cfg: WhisperConfig,
     max_steps: int,
     n_chunks: int = 2,
+    enc_t: int = 512,
 ):
     """Fused per-VAD-block streaming step: (optionally) open a new segment,
     score VAD frames, append them to the audio rings, encode up to
@@ -647,7 +750,8 @@ def _stream_step(
     pos_rows = enc_pos[stream_ids]
     enc_k, enc_v, xk, xv, pos_new = _encode_core(
         params, cfg, ring, slot_ids, cstart,
-        enc_k, enc_v, xk, xv, stream_ids, pos_rows, n_chunks, commit=n_req,
+        enc_k, enc_v, xk, xv, stream_ids, pos_rows, n_chunks, enc_t,
+        commit=n_req,
     )
 
     # 3) decode continuation against the updated cross context
@@ -655,7 +759,7 @@ def _stream_step(
         params, cfg,
         dec_k, dec_v, xk, xv, stream_ids, pos_new,
         tokens[stream_ids], fed[stream_ids], n_tok[stream_ids],
-        do_dec, max_steps,
+        do_dec, max_steps, enc_t,
     )
 
     enc_pos = enc_pos.at[stream_ids].set(pos_new)
@@ -713,33 +817,29 @@ class StreamTable:
             if kv_int8 is not None
             else os.environ.get("SK_STREAM_KV_INT8", "1") == "1"
         )
+        # enc_t must be whole chunks (flat chunk-row cache layout)
+        self.enc_t -= self.enc_t % CHUNK_POS
         s = self.max_slots
         he, hde = cfg.n_audio_head, cfg.n_audio_state // cfg.n_audio_head
         ht, hdt = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
+        nch = self.enc_t // CHUNK_POS
 
         def enc_cache(layers, h, hd):
-            # layer-LIST of per-layer buffers (see the cache-representation
-            # note above _kv_T for why a monolithic array is not viable)
+            # flat chunk-row buffer, s-major rows (see the
+            # cache-representation note above _kv_enc_t)
             if self.kv_int8:
-                return [
-                    (
-                        jnp.zeros((s, h, hd, self.enc_t), jnp.int8),
-                        jnp.zeros((s, h, 1, self.enc_t), jnp.float32),
-                    )
-                    for _ in range(layers)
-                ]
-            return [jnp.zeros((s, h, hd, self.enc_t), dtype) for _ in range(layers)]
+                return (
+                    jnp.zeros((s * layers * nch, h * CHUNK_POS * hd), jnp.int8),
+                    jnp.zeros((s * layers, h, self.enc_t), jnp.float32),
+                )
+            return jnp.zeros((s * layers * nch, h * CHUNK_POS * hd), dtype)
 
         self._enc_k = enc_cache(cfg.n_audio_layer, he, hde)
         self._enc_v = enc_cache(cfg.n_audio_layer, he, hde)
         self._xk = enc_cache(cfg.n_text_layer, ht, hdt)
         self._xv = enc_cache(cfg.n_text_layer, ht, hdt)
-        self._dec_k = [
-            jnp.zeros((s, ht, hdt, self.dec_t), dtype) for _ in range(cfg.n_text_layer)
-        ]
-        self._dec_v = [
-            jnp.zeros((s, ht, hdt, self.dec_t), dtype) for _ in range(cfg.n_text_layer)
-        ]
+        self._dec_k = jnp.zeros((s * cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
+        self._dec_v = jnp.zeros((s * cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
         self._tokens = jnp.zeros((s, self.dec_t), jnp.int32)
         self._fed = jnp.zeros((s,), jnp.int32)
         self._n_tok = jnp.zeros((s,), jnp.int32)
@@ -782,6 +882,7 @@ class StreamTable:
                 jnp.asarray(starts, jnp.int32),
                 self.cfg,
                 n_chunks,
+                self.enc_t,
             )
         return new_pos
 
@@ -799,6 +900,7 @@ class StreamTable:
                 jnp.asarray(stream_ids, jnp.int32),
                 self.cfg,
                 max_steps,
+                self.enc_t,
             )
         return tok_rows, n_rows
 
@@ -872,8 +974,46 @@ class StreamTable:
                     frames_b,
                     self.cfg,
                     max_steps,
+                    enc_t=self.enc_t,
                 )
         return probs, tok_rows, n_rows, pos_new
+
+    # -- canonical views (tests / tools) -------------------------------------
+    def cache_view(self, which: str):
+        """Materialize a cache kind in the canonical ``[S, L, H, hd, T]``
+        layout (int8 kinds → ``(q8, scale [S, L, H, 1, T])``) — the flat
+        chunk-row layout is a performance encoding, not an interface."""
+        cfg = self.cfg
+        if which in ("enc_k", "enc_v"):
+            cache = self._enc_k if which == "enc_k" else self._enc_v
+            L, H = cfg.n_audio_layer, cfg.n_audio_head
+            hd = cfg.n_audio_state // H
+        elif which in ("xk", "xv"):
+            cache = self._xk if which == "xk" else self._xv
+            L, H = cfg.n_text_layer, cfg.n_text_head
+            hd = cfg.n_text_state // H
+        else:
+            cache = self._dec_k if which == "dec_k" else self._dec_v
+            L, H = cfg.n_text_layer, cfg.n_text_head
+            hd = cfg.n_text_state // H
+            arr = np.asarray(cache).reshape(self.max_slots, L, H, hd, self.dec_t)
+            return arr
+        nch = self.enc_t // CHUNK_POS
+
+        def to_canon(flat):
+            a = np.asarray(flat).reshape(self.max_slots, L, nch, H, CHUNK_POS, hd)
+            # [S,L,nch,H,8,hd] → [S,L,H,hd,T]
+            return np.ascontiguousarray(
+                a.transpose(0, 1, 3, 5, 2, 4)
+            ).reshape(self.max_slots, L, H, hd, self.enc_t)
+
+        if isinstance(cache, tuple):
+            q8 = to_canon(cache[0])
+            sc = np.asarray(cache[1]).reshape(
+                self.max_slots, L, H, 1, self.enc_t
+            )
+            return q8, sc
+        return to_canon(cache)
 
 
 # process-wide tables keyed by model tag (mirrors _get_audio_ring)

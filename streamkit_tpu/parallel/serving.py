@@ -43,26 +43,28 @@ def _put(x, mesh: Mesh, spec: P):
 
 def shard_stream_table(mesh: Mesh, table) -> None:
     """Reshard a :class:`~streamkit_tpu.models.whisper.streaming.StreamTable`
-    in place: slots over dp, KV heads over tp. Caches are layer-LISTS of
-    ``[S, H, hd|1, T]`` buffers (streaming.py cache-representation note);
-    each buffer shards independently."""
-    kv = P("dp", "tp", None, None)  # [S, H, hd|1, T]
+    in place: slots over dp, KV heads over tp. Caches are flat chunk-row
+    buffers (streaming.py cache-representation note) with s-major rows, so
+    dp over axis 0 is a contiguous slot split; the flat lane dim is
+    head-major (``H·8·hd``), so tp over the lane dim splits at a head
+    boundary (requires ``heads % tp == 0``)."""
     vec = P("dp")
 
     def put_kv(cache):
-        def one(elem):
-            if isinstance(elem, tuple):  # int8 (q8, scale [S,H,1,T])
-                return tuple(_put(c, mesh, kv) for c in elem)
-            return _put(elem, mesh, kv)
-
-        return [one(elem) for elem in cache]
+        if isinstance(cache, tuple):  # int8: (flat [S·L·nch, H·8·hd], scale [S·L, H, T])
+            return (
+                _put(cache[0], mesh, P("dp", "tp")),
+                _put(cache[1], mesh, P("dp", "tp", None)),
+            )
+        return _put(cache, mesh, P("dp", "tp"))
 
     table._enc_k = put_kv(table._enc_k)
     table._enc_v = put_kv(table._enc_v)
     table._xk = put_kv(table._xk)
     table._xv = put_kv(table._xv)
-    table._dec_k = put_kv(table._dec_k)
-    table._dec_v = put_kv(table._dec_v)
+    # decoder self K/V: [S·Ld, H, hd, DEC_T]
+    table._dec_k = _put(table._dec_k, mesh, P("dp", "tp", None, None))
+    table._dec_v = _put(table._dec_v, mesh, P("dp", "tp", None, None))
     table._tokens = _put(table._tokens, mesh, P("dp", None))
     table._fed = _put(table._fed, mesh, vec)
     table._n_tok = _put(table._n_tok, mesh, vec)

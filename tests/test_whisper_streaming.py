@@ -38,17 +38,6 @@ CFG = WhisperConfig(
 )
 PREFIX = np.asarray([1, 2, 3, 4], np.int32)
 
-def stacked(cache):
-    """Layer-list cache → the [S, L, ...] layout tests assert against."""
-    if isinstance(cache[0], tuple):
-        return (
-            np.stack([np.asarray(l[0]) for l in cache], axis=1),
-            np.stack([np.asarray(l[1]) for l in cache], axis=1),
-        )
-    return np.stack([np.asarray(l) for l in cache], axis=1)
-
-
-
 @pytest.fixture(scope="module")
 def params():
     return init_params(CFG, jax.random.PRNGKey(7), jnp.float32)
@@ -88,7 +77,7 @@ def test_chunk_conv_matches_full_encoder(params):
     l0 = e["layers"][0]
     k_want = _split_heads(_dense(_layernorm(x, l0["ln1"]), l0["attn"]["k"]), CFG.n_audio_head)
     # cache is T-major [H, hd, T]
-    got = stacked(tbl._enc_k)[0, 0]
+    got = tbl.cache_view("enc_k")[0, 0]
     want = np.asarray(k_want[0])  # [H, T, hd]
     for p in range(2, n_chunks * 8):
         np.testing.assert_allclose(
@@ -107,10 +96,10 @@ def test_batched_rows_consistent_and_decode_matches(params):
     for k in range(3):
         tbl.encode_chunks(params, ring, [0, 0], [0, 1], [k * CHUNK_SAMPLES] * 2)
     np.testing.assert_allclose(
-        stacked(tbl._enc_k)[0], stacked(tbl._enc_k)[1], rtol=1e-6
+        tbl.cache_view("enc_k")[0], tbl.cache_view("enc_k")[1], rtol=1e-6
     )
     np.testing.assert_allclose(
-        stacked(tbl._xk)[0], stacked(tbl._xk)[1], rtol=1e-6
+        tbl.cache_view("xk")[0], tbl.cache_view("xk")[1], rtol=1e-6
     )
     tok0, n0 = tbl.decode_steps(params, [0], 8)
     tok1, n1 = tbl.decode_steps(params, [1], 8)
@@ -136,10 +125,10 @@ def test_multichunk_encode_matches_single(params):
     # tolerance is the documented mel dynamic-range floor (max-8), whose
     # chunk-local max is taken over 19 vs 35 frames (≤ ~2e-3 on activations)
     np.testing.assert_allclose(
-        stacked(tbl1._enc_k)[0], stacked(tbl2._enc_k)[0], atol=5e-3
+        tbl1.cache_view("enc_k")[0], tbl2.cache_view("enc_k")[0], atol=5e-3
     )
     np.testing.assert_allclose(
-        stacked(tbl1._xv)[0], stacked(tbl2._xv)[0], atol=5e-3
+        tbl1.cache_view("xv")[0], tbl2.cache_view("xv")[0], atol=5e-3
     )
 
 
@@ -248,10 +237,10 @@ def test_fused_step_matches_separate_calls(params):
         np.asarray(tbl_a._enc_pos), np.asarray(tbl_b._enc_pos)
     )
     np.testing.assert_allclose(
-        stacked(tbl_a._enc_k), stacked(tbl_b._enc_k), atol=5e-3
+        tbl_a.cache_view("enc_k"), tbl_b.cache_view("enc_k"), atol=5e-3
     )
     np.testing.assert_allclose(
-        stacked(tbl_a._xv), stacked(tbl_b._xv), atol=5e-3
+        tbl_a.cache_view("xv"), tbl_b.cache_view("xv"), atol=5e-3
     )
     # decode advanced identically (greedy argmax is stable at these margins)
     np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_b))
@@ -283,7 +272,7 @@ def test_fused_step_masked_rows_untouched(params):
         [1, 1], [True, True], np.stack([blocks[0]] * 2), max_steps=4,
     )
     snap = {
-        "ek": stacked(tbl._enc_k)[1].copy(),
+        "ek": tbl.cache_view("enc_k")[1].copy(),
         "pos": int(tbl._enc_pos[1]),
         "tok": np.asarray(tbl._tokens[1]).copy(),
         "n": int(tbl._n_tok[1]),
@@ -296,7 +285,7 @@ def test_fused_step_masked_rows_untouched(params):
         np.stack([blocks[1]] * 2), max_steps=4,
     )
     assert int(tbl._enc_pos[1]) == snap["pos"]
-    np.testing.assert_array_equal(stacked(tbl._enc_k)[1], snap["ek"])
+    np.testing.assert_array_equal(tbl.cache_view("enc_k")[1], snap["ek"])
     np.testing.assert_array_equal(np.asarray(tbl._tokens[1]), snap["tok"])
     assert int(tbl._n_tok[1]) == snap["n"] and int(tbl._fed[1]) == snap["fed"]
 
@@ -318,8 +307,8 @@ def test_int8_table_tracks_f32(params):
         for k in range(3):
             t.encode_chunks(params, ring, [0], [0], [k * CHUNK_SAMPLES])
     assert int(tbl_f._enc_pos[0]) == int(tbl_q._enc_pos[0]) == 24
-    ref = stacked(tbl_f._enc_k)[0]  # [L, H, hd, T]
-    got = _dequant_np(stacked(tbl_q._enc_k))[0]
+    ref = tbl_f.cache_view("enc_k")[0]  # [L, H, hd, T]
+    got = _dequant_np(tbl_q.cache_view("enc_k"))[0]
     # quant error bound: half a step = absmax/254 per column (+ drift from
     # attention reading quantized history in later chunks)
     step = np.abs(ref).max(axis=2, keepdims=True) / 127.0
@@ -338,9 +327,9 @@ def test_int8_batched_rows_bit_identical(params):
     tbl.reset(1, PREFIX)
     for k in range(3):
         tbl.encode_chunks(params, ring, [0, 0], [0, 1], [k * CHUNK_SAMPLES] * 2)
-    q8 = stacked(tbl._enc_k)[0]
+    q8 = tbl.cache_view("enc_k")[0]
     np.testing.assert_array_equal(q8[0], q8[1])
-    xv_q8 = stacked(tbl._xv)[0]
+    xv_q8 = tbl.cache_view("xv")[0]
     np.testing.assert_array_equal(xv_q8[0], xv_q8[1])
     tok0, n0 = tbl.decode_steps(params, [0], 8)
     tok1, n1 = tbl.decode_steps(params, [1], 8)
@@ -367,8 +356,8 @@ def test_int8_fused_step_runs(params):
         params, ring, [0, 1], [0, 1], [0] * 2, [0] * 2,
         [1, 1], [True, True], np.stack([blocks[0]] * 2), max_steps=4,
     )
-    snap_q8 = stacked(tbl._enc_k)[0][1].copy()
-    snap_s = stacked(tbl._enc_k)[1][1].copy()
+    snap_q8 = tbl.cache_view("enc_k")[0][1].copy()
+    snap_s = tbl.cache_view("enc_k")[1][1].copy()
     pos1 = int(tbl._enc_pos[1])
     tbl.step(
         params, ring, [0, 1], [0, 1], [block_n] * 2,
@@ -377,5 +366,5 @@ def test_int8_fused_step_runs(params):
     )
     assert int(tbl._enc_pos[0]) == pos1 + 8  # row 0 advanced
     assert int(tbl._enc_pos[1]) == pos1      # row 1 masked
-    np.testing.assert_array_equal(stacked(tbl._enc_k)[0][1], snap_q8)
-    np.testing.assert_array_equal(stacked(tbl._enc_k)[1][1], snap_s)
+    np.testing.assert_array_equal(tbl.cache_view("enc_k")[0][1], snap_q8)
+    np.testing.assert_array_equal(tbl.cache_view("enc_k")[1][1], snap_s)
