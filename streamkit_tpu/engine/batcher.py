@@ -58,6 +58,11 @@ class BatchKind:
     # sessions' partials land within one window -> one padded call instead
     # of N half-empty ones.
     gather_ms: float = 0.0
+    # pass the stacked batch to fn as HOST numpy arrays instead of device
+    # arrays: kinds that re-pack the batch on the host before dispatch
+    # (the dense STT engine scatters rows into slot order) would otherwise
+    # pay a device upload + fetch per call just to reorder
+    host_inputs: bool = False
 
 
 @dataclass
@@ -95,6 +100,7 @@ class DeviceBatcher:
         max_batch: int = 64,
         pad_to: Optional[int] = None,
         gather_ms: float = 0.0,
+        host_inputs: bool = False,
     ) -> None:
         """Idempotent: re-registering a kind keeps the first fn."""
         if name not in self._kinds:
@@ -104,7 +110,9 @@ class DeviceBatcher:
             # an OOM risk at large decode batches)
             if pad_to is not None:
                 max_batch = min(max_batch, pad_to)
-            self._kinds[name] = BatchKind(name, fn, max_batch, pad_to, gather_ms)
+            self._kinds[name] = BatchKind(
+                name, fn, max_batch, pad_to, gather_ms, host_inputs
+            )
 
     def is_registered(self, name: str) -> bool:
         return name in self._kinds
@@ -188,8 +196,9 @@ class DeviceBatcher:
         else:
             padded = 1 << (n - 1).bit_length() if n > 1 else 1
         rows = items + [items[-1]] * (padded - n)
+        to_dev = (lambda a: a) if kind.host_inputs else jnp.asarray
         stacked = tuple(
-            jnp.asarray(np.stack([it.inputs[j] for it in rows]))
+            to_dev(np.stack([it.inputs[j] for it in rows]))
             for j in range(len(items[0].inputs))
         )
         self.device_calls += 1

@@ -196,7 +196,15 @@ class SttServingEngine:
 
         self._ring = _get_audio_ring()
         model_tag = f"{self.model_path or self.model_size}:{lang_index}:{self.max_tokens}"
-        self._tbl = get_stream_table(model_tag, self._cfg, self.dtype)
+        # table width = engine capacity (capped by the HBM budget env): the
+        # identity-packed fused step is B = table width, so a small engine
+        # must not pay a 64-wide device call per block
+        self._tbl = get_stream_table(
+            model_tag, self._cfg, self.dtype,
+            max_slots=min(
+                self.max_sessions, int(os.environ.get("SK_STREAM_SLOTS", "64"))
+            ),
+        )
         if self.mesh is not None:
             from ..parallel.serving import shard_serving_state
 
@@ -205,13 +213,35 @@ class SttServingEngine:
             )
         self._sstep_kind = f"stream_step:{model_tag}:{self.vad_block}"
         params, cfg, ring, tbl = self._params, self._cfg, self._ring, self._tbl
+        # inert rows in the identity-packed batch park their ring writes on a
+        # dedicated trash slot (duplicate writes of garbage, never read)
+        self._trash_slot = ring.alloc()
+        if self._trash_slot is None:
+            raise RuntimeError("audio ring full (no trash slot)")
+        trash = self._trash_slot
+        n_slots = tbl.max_slots
 
         def batched_sstep(meta, frames):
-            # meta [B, 11]: packed per-row scalars + prefix (streaming.META_COLS)
-            return tbl.step(
-                params, ring, meta, None, None, None, None, None,
-                frames, self._stream_steps,
+            # meta [b, 11] HOST arrays (host_inputs kind): scatter rows into
+            # slot order so the fused step runs in IDENTITY mode — batch row
+            # p IS stream slot p, every cache read a strided slice, zero
+            # gathers (streaming.py cache-representation note). Gaps become
+            # inert rows: trash ring slot, n_req=0, do_dec=0, do_reset=0 —
+            # absent sessions' state is untouched (commit-guarded writes).
+            perm = meta[:, 1].astype(np.int64)
+            meta_s = np.zeros((n_slots, meta.shape[1]), np.int32)
+            meta_s[:, 0] = trash
+            meta_s[:, 1] = np.arange(n_slots)  # row p IS slot p (identity)
+            frames_s = np.zeros((n_slots,) + frames.shape[1:], frames.dtype)
+            meta_s[perm] = meta
+            frames_s[perm] = frames
+            out = tbl.step(
+                params, ring, meta_s, None, None, None, None, None,
+                frames_s, self._stream_steps,
             )
+            # ONE fetch, then map rows back to submission order on the host
+            probs, tok_rows, n_rows, pos_new = jax.device_get(out)
+            return probs[perm], tok_rows[perm], n_rows[perm], pos_new[perm]
 
         stream_pad = int(os.environ.get("SK_STREAM_PAD", str(min(64, self._tbl.max_slots))))
         self.batcher.register(
@@ -219,6 +249,7 @@ class SttServingEngine:
             batched_sstep,
             pad_to=stream_pad,
             gather_ms=float(os.environ.get("SK_STREAM_GATHER_MS", "30")),
+            host_inputs=True,
         )
 
         if self.final_mode == "exact":
@@ -275,6 +306,9 @@ class SttServingEngine:
             self.batcher.stop()
         if self.pool is not None:
             self.pool.close()
+        if getattr(self, "_trash_slot", None) is not None:
+            self._ring.free(self._trash_slot)
+            self._trash_slot = None
 
     # -- sessions ------------------------------------------------------------
     def open_session(self, on_event: Callable[[dict], None]) -> int:

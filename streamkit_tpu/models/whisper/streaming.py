@@ -52,12 +52,12 @@ the quality-sensitive cache). Quantization happens at append time, and
 attention *reads the quantized values* (XLA fuses the dequant into the
 matmul operand load, so HBM traffic per decode step is int8 — the
 bandwidth win is why this can also be slightly faster, not just smaller).
-Caches are **flat chunk-row buffers** — one per cache kind, rows =
-``(slot · L + layer) · n_chunks + chunk`` — so every append is ONE
-contiguous row scatter per kind instead of hundreds of per-layer column
-scatters (see the cache-representation note above :func:`_kv_enc_t` for
-the on-chip measurements that force this). Sessions that fail to get a
-slot fall back to the bucket re-decode partial path.
+Caches are **canonical matmul-native buffers** ``[S, L, H, hd, T]`` read
+by strided slice (identity mode) or row gather and written by ONE
+windowed scatter per kind (see the cache-representation note above
+:func:`_read_layer` for the on-chip measurements that force this).
+Sessions that fail to get a slot fall back to the bucket re-decode
+partial path.
 """
 
 from __future__ import annotations
@@ -95,10 +95,18 @@ _N_MEL_FRAMES = 19  # t0-2 .. t0+16
 def _chunk_mel(audio: jnp.ndarray, n_mels: int, n_frames: int = _N_MEL_FRAMES) -> jnp.ndarray:
     """``[B, gather]`` audio → ``[B, n_frames, n_mels]`` log-mel for the
     chunk's conv context (frames t0-2..t0+16·n; local frame j starts at
-    sample 40 + j*160). Dynamic-range floor uses the chunk-local max."""
-    starts = 40 + np.arange(n_frames) * HOP_LENGTH
-    idx = starts[:, None] + np.arange(N_FFT)[None, :]
-    frames = audio[:, idx]  # [B, n_frames, 400]
+    sample 40 + j*160). Dynamic-range floor uses the chunk-local max.
+
+    Frame extraction is a stack of STATIC slices (fused, free) — the
+    equivalent 2-D index gather (``audio[:, idx]``, n_frames·400 element
+    pairs × B rows) measured ~0.5 µs/pair on v5e, tens of ms per call."""
+    frames = jnp.stack(
+        [
+            jax.lax.slice_in_dim(audio, 40 + j * HOP_LENGTH, 40 + j * HOP_LENGTH + N_FFT, axis=1)
+            for j in range(n_frames)
+        ],
+        axis=1,
+    )  # [B, n_frames, 400]
     cos_b, sin_b = _dft_bases(N_FFT)
     re = jnp.matmul(frames, cos_b, preferred_element_type=jnp.float32)
     im = jnp.matmul(frames, sin_b, preferred_element_type=jnp.float32)
@@ -119,40 +127,53 @@ def _conv_valid(x, w, b, stride: int):
 
 
 # ---------------------------------------------------------------------------
-# int8 KV cache (tuple pytree (q8 [.., hd, T], scale [.., 1, T]) vs plain array)
+# int8 KV cache (tuple pytree (q8 [.., hd, T], scale [.., H, T]) vs array)
 # ---------------------------------------------------------------------------
 def _quant_cols(cols: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``[B, H, hd, c]`` float cols → (int8 cols, f32 per-column scales
-    ``[B, H, 1, c]``). Scale = absmax over head_dim / 127."""
+    ``[B, H, c]``). Scale = absmax over head_dim / 127."""
     f = cols.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(f), axis=2, keepdims=True)
+    absmax = jnp.max(jnp.abs(f), axis=2)
     scale = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(f / scale[:, :, None, :]), -127, 127).astype(jnp.int8)
     return q, scale
 
 
-def _scores_vs_cache(qs, rows, op_scale, dtype):
-    """``qs [B,H,c,hd]`` (pre-scaled) · cache rows → f32 scores ``[B,H,c,T]``.
+def _quant_like(cache, cols_f: jnp.ndarray):
+    """Candidate columns ``[B, H, hd, c]`` in the cache's representation:
+    (q8, scale [B,H,c]) when the cache is quantized, else cast to its dtype.
+    Attention reads THESE (quantized) values so later reads of the stored
+    cache see exactly what this call attended to."""
+    if isinstance(cache, tuple):
+        return _quant_cols(cols_f)
+    return cols_f.astype(cache.dtype)
+
+
+def _scores_rows(qs, rows, op_scale, dtype):
+    """``qs [B,H,q,hd]`` (pre-scaled) · K rows ``[B,H,hd,T]`` → f32 scores
+    ``[B,H,q,T]``.
 
     For quantized rows the per-column scale is applied AFTER the dot
     (scores[..,t] = (Σ_d q·k8) · s[t]): the int8 tensor feeds the matmul
-    operand directly. A generic dequant-then-matmul materializes an ~84 MB
-    bf16 buffer per tensor per layer (per decode step!) — measured as the
-    bulk of the fused step's decode time at B=64."""
+    operand directly (XLA fuses the dequant into the operand load), and the
+    ``[.., hd, T]`` layout means the dot needs NO transposes — a generic
+    dequant-then-matmul or a transposing einsum materializes an ~84 MB
+    buffer per tensor per layer (per decode step!), measured as the bulk
+    of the fused step's decode time at B=64."""
     if isinstance(rows, tuple):
         raw = jnp.matmul(
             qs, rows[0].astype(dtype) * op_scale, preferred_element_type=jnp.float32
         )
-        return raw * rows[1][:, :, 0, :][:, :, None, :]
+        return raw * rows[1][:, :, None, :]
     return jnp.matmul(qs, rows * op_scale, preferred_element_type=jnp.float32)
 
 
-def _attend_cache(probs, rows, dtype):
-    """``probs [B,H,c,T]`` f32 · cache values → ``[B,H,c,hd]`` f32. For
-    quantized rows the column scale folds into the probabilities
+def _attend_rows(probs, rows, dtype):
+    """``probs [B,H,q,T]`` f32 · V rows ``[B,H,hd,T]`` → ``[B,H,q,hd]`` f32.
+    For quantized rows the column scale folds into the probabilities
     (Σ_t p·v8·s = Σ_t (p·s)·v8), keeping the int8 operand on the einsum."""
     if isinstance(rows, tuple):
-        p = (probs * rows[1][:, :, 0, :][:, :, None, :]).astype(dtype)
+        p = (probs * rows[1][:, :, None, :]).astype(dtype)
         return jnp.einsum(
             "bhqt,bhdt->bhqd", p, rows[0].astype(dtype), preferred_element_type=jnp.float32
         )
@@ -161,176 +182,115 @@ def _attend_cache(probs, rows, dtype):
     )
 
 
-# Cache representation: ONE flat chunk-row buffer per cache kind,
+# Cache representation: canonical matmul-native buffers,
 #
-#     data  ``[(S · L · NCH), H·8·hd]``  (int8 or model dtype)
-#     scale ``[(S · L), H, T]`` f32       (int8 kinds only; per-column)
+#     data  ``[S, L, H, hd, T]``  (int8 or model dtype; time minor)
+#     scale ``[S, L, H, T]`` f32  (int8 kinds only; per-column)
 #
-# with s-major rows (``row = (s·L + l)·NCH + chunk``) so dp-sharding over
-# slots stays a contiguous axis-0 split, and the head dim MAJOR inside the
-# flat row so tp-sharding splits the lane dim at a head boundary. Three
-# measured constraints force this (all real-chip, B=64, large-v3):
+# slot-major so dp-sharding over slots is a contiguous axis-0 split and
+# tp-sharding splits the head axis (see parallel/serving.py). History READS
+# dominate — the fused step reads every cache once (encode) to 3+ times
+# (decode steps) per call but writes each chunk exactly once — so the
+# layout makes a layer's rows a direct matmul operand:
 #
-# * a monolithic ``[S, L, ...]`` buffer + whole-cache gather OOMs at B=64,
-#   and per-layer ``.at[ids, li].set`` chains copy the WHOLE table once per
-#   layer (195→850 ms going 8→64 slots at the same batch),
-# * per-layer buffer LISTS fix the copies but pay ~0.5 ms of fixed
-#   per-scatter cost × 256 write ops per fused step (~80 ms), and TPU 2-D
-#   (row, col) scatters additionally cost ~0.6 µs per *index pair*,
-# * chunk-aligned flat rows make every append ONE whole-row scatter per
-#   cache kind — contiguous ``H·8·hd`` windows, no index pairs — which
-#   measures at the dispatch floor (<5 ms for all four kinds together).
-#   Encoder positions only advance in whole chunks (``adv = 8·commit``),
-#   so chunk-row granularity is exact, not an approximation. Uncommitted
-#   chunks and pad rows are dropped by pointing their scatter row out of
-#   bounds (``mode="drop"``) instead of read-modify-writing old values.
+# * identity mode (serving: batch row b IS stream slot b, B = S): a layer's
+#   K/V is ``cache[:, li]`` — a strided static slice, zero gathers — and
+#   scores are ``q [B,H,q,hd] @ k [B,H,hd,T]`` with no transposes. Measured
+#   at the HBM floor (~2 ms per 1.34 GB kind sweep at B=64, large-v3, vs
+#   76 ms for round-3's flat chunk-row layout whose reads each paid an
+#   84 MB/layer transpose to feed the einsum).
+# * general mode (tests/tools, arbitrary ids): one row gather per layer
+#   through the flat ``[S·L, ...]`` view — per-layer so temp lifetimes stay
+#   one layer (a stacked all-layer gather of K and V held ~2.7 GB live and
+#   OOM'd at 64 slots).
 #
-# Per-column f32 scales stay exact; they are written by a dense
-# select over the (small) scale buffer — one fused elementwise op per
-# kind — not by scatter.
+# WRITES are ONE windowed ``lax.scatter`` per kind per call with a
+# ``[L, H, hd, 8]`` window per committed chunk — the window spans ALL
+# LAYERS (every layer writes the same (slot, col) chunk), so the scatter
+# carries only B·n_chunks (≤128) index pairs. Windowed-scatter cost is per
+# INDEX (~14 µs/window measured on v5e — a [H,hd,8] per-layer-window
+# formulation with L·B·nc = 4096 windows cost ~190 ms/call; element-indexed
+# scatters at ~0.6 µs per element pair are ruinous long before that). A
+# single scatter per buffer also keeps XLA's donation aliasing: the round-2
+# failure mode was CHAINED per-layer scatters, where XLA cannot prove
+# in-place aliasing mid-chain and copies the whole multi-GB table once per
+# layer (195→850 ms going 8→64 slots at the same batch). Encoder positions
+# only advance in whole chunks (``adv = 8·commit``), so chunk-window
+# granularity is exact. Uncommitted chunks and pad rows point their scatter
+# row out of bounds and are dropped (FILL_OR_DROP), not read-modify-written.
 
 
-def _kv_enc_t(cache, L: int, S: int) -> int:
-    """Columns (T) of a flat chunk-row cache."""
-    if isinstance(cache, tuple):
-        return cache[1].shape[-1]
-    return (cache.shape[0] // (L * S)) * CHUNK_POS
+def _read_layer(cache, L: int, li: int, ids):
+    """One layer's K or V rows as a direct matmul operand: ``[B, H, hd, T]``
+    (+ scale ``[B, H, T]`` for int8 kinds).
+
+    ``ids=None`` is identity mode — batch row b IS table slot b (B = S):
+    the layer is a strided static slice, no gather (see the
+    cache-representation note)."""
+    quant = isinstance(cache, tuple)
+    arr = cache[0] if quant else cache
+    if ids is None:
+        if quant:
+            return arr[:, li], cache[1][:, li]
+        return arr[:, li]
+    flat = arr.reshape(arr.shape[0] * L, *arr.shape[2:])
+    rows = flat[ids * L + li]
+    if quant:
+        sc = cache[1]
+        return rows, sc.reshape(sc.shape[0] * L, *sc.shape[2:])[ids * L + li]
+    return rows
 
 
-def _hist_one(cache, L: int, li: int, H: int, hd: int, enc_t: int, ids):
-    """Gather ONE layer's history rows for batch rows ``ids``:
-    → ``(q8 [B,NCH,H,8,hd], scale [B,H,T])`` for int8 kinds, else
-    ``[B,NCH,H,8,hd]`` in the cache dtype. Row gathers of contiguous
-    flat rows measure at the dispatch floor; gathering per layer (instead
-    of one stacked gather for all layers) keeps temp lifetimes to one
-    layer — a stacked 2.7 GB gather of both K and V OOM'd at 64 slots."""
-    nch = enc_t // CHUNK_POS
-    b = ids.shape[0]
-    base = (ids * L + li) * nch  # [B]
-    rows = (base[:, None] + jnp.arange(nch, dtype=jnp.int32)).reshape(-1)
-    if isinstance(cache, tuple):
-        q8 = cache[0][rows].reshape(b, nch, H, CHUNK_POS, hd)
-        sc = cache[1][ids * L + li]  # [B,H,T]
-        return q8, sc
-    return cache[rows].reshape(b, nch, H, CHUNK_POS, hd)
-
-
-def _scores_hist(qs, hist_li, op_scale, dtype):
-    """``qs [B,H,q,hd]`` (pre-scaled) · chunk-row history → f32 scores
-    ``[B,H,q,T]``. int8 operands feed the einsum directly; the per-column
-    scale multiplies the f32 scores afterwards."""
-    if isinstance(hist_li, tuple):
-        q8, sc = hist_li
-        raw = jnp.einsum(
-            "bhqd,bchkd->bhqck", qs, q8.astype(dtype) * op_scale,
-            preferred_element_type=jnp.float32,
-        )
-        b, h, q = raw.shape[:3]
-        return raw.reshape(b, h, q, -1) * sc[:, :, None, :]
-    raw = jnp.einsum(
-        "bhqd,bchkd->bhqck", qs, hist_li * op_scale,
-        preferred_element_type=jnp.float32,
-    )
-    b, h, q = raw.shape[:3]
-    return raw.reshape(b, h, q, -1)
-
-
-def _attend_hist(probs, hist_li, dtype):
-    """``probs [B,H,q,T]`` f32 · chunk-row history values → ``[B,H,q,hd]``
-    f32. The column scale folds into the probabilities so the int8 operand
-    stays on the einsum."""
-    if isinstance(hist_li, tuple):
-        q8, sc = hist_li
-        nch = q8.shape[1]
-        p = (probs * sc[:, :, None, :]).astype(dtype)
-        b, h, q = p.shape[:3]
-        p = p.reshape(b, h, q, nch, CHUNK_POS)
-        return jnp.einsum(
-            "bhqck,bchkd->bhqd", p, q8.astype(dtype), preferred_element_type=jnp.float32
-        )
-    nch = hist_li.shape[1]
-    b, h, q = probs.shape[:3]
-    p = probs.astype(dtype).reshape(b, h, q, nch, CHUNK_POS)
-    return jnp.einsum(
-        "bhqck,bchkd->bhqd", p, hist_li, preferred_element_type=jnp.float32
-    )
-
-
-def _cand_chunk_rows(cand, n_chunks: int):
-    """Per-column candidates ``[L,B,H,hd,c]`` → chunk rows
-    ``[L,B,n_chunks,H,8,hd]`` (the flat-row write layout)."""
-    L, b, H, hd, c = cand.shape
-    x = jnp.moveaxis(cand, -1, 2)  # [L,B,c,H,hd]
-    x = x.reshape(L, b, n_chunks, CHUNK_POS, H, hd)
-    return jnp.swapaxes(x, 3, 4)  # [L,B,n_chunks,H,8,hd]
-
-
-def _write_kind(cache, cands, ids, pos, commit, enc_t: int, n_chunks: int):
-    """Append every layer's candidate chunk K or V into a flat chunk-row
-    cache with ONE row scatter (+ one dense scale select for int8 kinds).
+def _write_chunks(cache, cands, ids, pos, commit, n_chunks: int):
+    """Append every layer's candidate chunk K or V into a canonical cache
+    with ONE windowed scatter (+ one for scales on int8 kinds), window
+    ``[L, H, hd, 8]`` per committed chunk — B·n_chunks index pairs total.
 
     ``cands``: list over L of per-column candidates — ``(q8 [B,H,hd,c],
-    scale [B,H,1,c])`` tuples (int8 cache) or plain ``[B,H,hd,c]`` arrays.
-    ``commit [B]``: chunks to actually write per row (None = all);
-    uncommitted chunks and pad rows scatter out of bounds → dropped."""
-    nch = enc_t // CHUNK_POS
-    b = ids.shape[0]
+    scale [B,H,c])`` tuples (int8 cache) or plain ``[B,H,hd,c]`` arrays,
+    ``c = 8·n_chunks`` columns with time minor. ``commit [B]``: chunks to
+    actually write per row (None = all); uncommitted chunks and pad rows
+    point their scatter row out of bounds → dropped (FILL_OR_DROP)."""
     quant = isinstance(cache, tuple)
-    L = len(cands)
+    arr = cache[0] if quant else cache
+    S, L, H, hd, T = arr.shape
+    b = ids.shape[0]
     cq = jnp.stack([c[0] if quant else c for c in cands])  # [L,B,H,hd,c]
-    rows_v = _cand_chunk_rows(cq, n_chunks)  # [L,B,nc,H,8,hd]
-    flat_v = rows_v.reshape(L * b * n_chunks, -1)
-
-    c0 = pos // CHUNK_POS
-    j = jnp.arange(n_chunks, dtype=jnp.int32)
-    phys = (c0[:, None] + j[None, :]) % nch  # [B,nc]
-    l = jnp.arange(L, dtype=jnp.int32)[:, None, None]
-    rows = (ids[None, :, None] * L + l) * nch + phys[None]  # [L,B,nc]
+    # chunk windows [B,nc,L,H,hd,8] (c = nc·8, time minor → pure reshape)
+    upd = jnp.transpose(
+        cq.reshape(L, b, H, hd, n_chunks, CHUNK_POS), (1, 4, 0, 2, 3, 5)
+    )
+    j = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+    rows = jnp.broadcast_to(ids[:, None], (b, n_chunks))
+    cols = (pos[:, None] + j * CHUNK_POS) % T
     if commit is not None:
-        # out-of-bounds rows are DROPPED by the scatter — no RMW needed
-        n_rows = (cache[0] if quant else cache).shape[0]
-        rows = jnp.where(j[None, None, :] < commit[None, :, None], rows, n_rows)
-    flat = (cache[0] if quant else cache).at[rows.reshape(-1)].set(
-        flat_v, mode="drop"
+        rows = jnp.where(j < commit[:, None], rows, S)
+    idx = jnp.stack([rows.reshape(-1), cols.reshape(-1)], axis=-1)
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3, 4),
+        inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 4),
+    )
+    new_arr = jax.lax.scatter(
+        arr, idx, upd.reshape(b * n_chunks, L, H, hd, CHUNK_POS), dn,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
     )
     if not quant:
-        return flat
-
-    # scales: dense select over the [S·L, H, T] f32 buffer (one fused op)
-    sc_buf = cache[1]
-    S = sc_buf.shape[0] // L
-    cs = jnp.stack([c[1][:, :, 0, :] for c in cands])  # [L,B,H,c]
-    inv = jnp.zeros((S,), jnp.int32).at[ids].set(
-        jnp.arange(b, dtype=jnp.int32), mode="drop"
+        return new_arr
+    cs = jnp.stack([c[1] for c in cands])  # [L,B,H,c]
+    supd = jnp.transpose(
+        cs.reshape(L, b, H, n_chunks, CHUNK_POS), (1, 3, 0, 2, 4)
+    )  # [B,nc,L,H,8]
+    sdn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 3),
     )
-    own = jnp.zeros((S,), bool).at[ids].set(True, mode="drop")
-    posS = pos[inv]
-    t = jnp.arange(enc_t, dtype=jnp.int32)
-    rel = (t[None, :] - posS[:, None]) % enc_t  # [S,T]
-    c = cs.shape[-1]
-    lim = (
-        jnp.full((S,), c, jnp.int32)
-        if commit is None
-        else CHUNK_POS * commit[inv]
+    new_sc = jax.lax.scatter(
+        cache[1], idx, supd.reshape(b * n_chunks, L, H, CHUNK_POS), sdn,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
     )
-    m = own[:, None] & (rel < lim[:, None])  # [S,T]
-    relc = jnp.minimum(rel, c - 1)
-    candS = jnp.moveaxis(cs, 0, 1)[inv]  # [S,L,H,c]
-    g = jnp.take_along_axis(candS, relc[:, None, None, :], axis=-1)  # [S,L,H,T]
-    new_sc = jnp.where(
-        m[:, None, None, :], g, sc_buf.reshape(S, L, *sc_buf.shape[1:])
-    ).reshape(sc_buf.shape)
-    return flat, new_sc
-
-
-def _quant_like(cache, cols_f: jnp.ndarray):
-    """Candidate columns ``[B, H, hd, c]`` in the cache's representation:
-    (q8, scale) when the cache is quantized, else cast to its dtype.
-    Attention reads THESE (quantized) values so later reads of the stored
-    cache see exactly what this call attended to."""
-    if isinstance(cache, tuple):
-        return _quant_cols(cols_f)
-    return cols_f.astype(cache.dtype)
+    return new_arr, new_sc
 
 
 # ---------------------------------------------------------------------------
@@ -351,6 +311,7 @@ def _encode_core(
     n_chunks: int,
     enc_t: int,
     commit: Optional[jnp.ndarray] = None,  # [B] int32 chunks to commit (None = all)
+    identity: bool = False,  # batch row b IS table slot b (B = S): sliced reads
 ):
     """Encode ``n_chunks`` consecutive chunks per row from the audio ring and
     append enc K/V + cross K/V into the tables at ``stream_ids``. With
@@ -359,17 +320,26 @@ def _encode_core(
     ``8*commit[b]`` — rows may lag/lead each other inside one fused batched
     call.
 
-    The four caches (``ek/ev/xkr/xvr``) are flat-or-(int8, scale) pytrees;
-    attention reads the *quantized* values (dequant fused into the matmul),
-    so later chunks see exactly what this chunk stored. Returns the updated
-    tables + new positions."""
+    The four caches (``ek/ev/xkr/xvr``) are canonical-or-(int8, scale)
+    pytrees (cache-representation note); attention reads the *quantized*
+    values (dequant fused into the matmul), so later chunks see exactly
+    what this chunk stored. Returns the updated tables + new positions."""
     dtype = params["enc"]["pos"].dtype
     ring_samples = ring.shape[1]
     n_pos = CHUNK_POS * n_chunks
     gather = LEFT_CTX + CHUNK_SAMPLES * n_chunks + RIGHT_CTX
-    g0 = starts - LEFT_CTX
-    idx = (g0[:, None] + jnp.arange(gather, dtype=jnp.int32)) % ring_samples
-    audio = ring[slot_ids[:, None], idx].astype(jnp.float32) / 32768.0
+    # windowed gather (B index pairs) over a wrap-padded ring copy — the
+    # element-indexed form (``ring[slot_ids[:,None], idx]``, B·gather pairs)
+    # measured ~150 ms at B=64 on v5e; the pad copy is ~0.2 ms of HBM
+    ringx = jnp.concatenate([ring, ring[:, :gather]], axis=1)
+    g0 = (starts - LEFT_CTX) % ring_samples
+    gidx = jnp.stack([slot_ids, g0], axis=-1)
+    gdn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
+    )
+    audio = jax.lax.gather(
+        ringx, gidx, gdn, slice_sizes=(1, gather)
+    ).astype(jnp.float32) / 32768.0
     mel = _chunk_mel(audio, cfg.n_mels, 16 * n_chunks + 3).astype(dtype)
 
     e = params["enc"]
@@ -400,6 +370,7 @@ def _encode_core(
     ).astype(jnp.float32)[None, None, :, :]  # [1,1,n_pos,n_pos]
 
     Le = cfg.n_audio_layer
+    hist_ids = None if identity else stream_ids
     cand_ks, cand_vs = [], []
     for li, layer in enumerate(e["layers"]):
         h = _layernorm(x, layer["ln1"])
@@ -411,19 +382,19 @@ def _encode_core(
         cand_ks.append(kq)
         cand_vs.append(vq)
         qs = q * hd_scale
-        # history rows: pre-write state, gathered per layer (short-lived)
-        ek_li = _hist_one(ek, Le, li, He, hde, enc_t, stream_ids)
-        ev_li = _hist_one(ev, Le, li, He, hde, enc_t, stream_ids)
-        scores_h = _scores_hist(qs, ek_li, hd_scale, dtype)
-        scores_c = _scores_vs_cache(qs, kq, hd_scale, dtype)  # [B,H,c,n_pos]
+        # history rows: pre-write state, sliced/gathered per layer
+        ek_li = _read_layer(ek, Le, li, hist_ids)
+        ev_li = _read_layer(ev, Le, li, hist_ids)
+        scores_h = _scores_rows(qs, ek_li, hd_scale, dtype)
+        scores_c = _scores_rows(qs, kq, hd_scale, dtype)  # [B,H,c,n_pos]
         scores = jnp.concatenate(
             [scores_h + hist_mask, scores_c + cand_mask], axis=-1
         )
         probs = jax.nn.softmax(scores, axis=-1)
         p_h, p_c = probs[..., :enc_t], probs[..., enc_t:]
         out = (
-            _attend_hist(p_h, ev_li, dtype)
-            + _attend_cache(p_c, vq, dtype)
+            _attend_rows(p_h, ev_li, dtype)
+            + _attend_rows(p_c, vq, dtype)
         ).astype(dtype)
         x = x + _dense(_merge_heads(out), layer["attn"]["o"])
         x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
@@ -436,11 +407,11 @@ def _encode_core(
         cand_xk.append(_quant_like(xkr, kx.swapaxes(-1, -2)))
         cand_xv.append(_quant_like(xvr, vx.swapaxes(-1, -2)))
 
-    # ONE row scatter (+ scale select) per cache kind
-    ek = _write_kind(ek, cand_ks, stream_ids, pos_rows, commit, enc_t, n_chunks)
-    ev = _write_kind(ev, cand_vs, stream_ids, pos_rows, commit, enc_t, n_chunks)
-    xkr = _write_kind(xkr, cand_xk, stream_ids, pos_rows, commit, enc_t, n_chunks)
-    xvr = _write_kind(xvr, cand_xv, stream_ids, pos_rows, commit, enc_t, n_chunks)
+    # ONE windowed scatter (+ scale scatter) per cache kind
+    ek = _write_chunks(ek, cand_ks, stream_ids, pos_rows, commit, n_chunks)
+    ev = _write_chunks(ev, cand_vs, stream_ids, pos_rows, commit, n_chunks)
+    xkr = _write_chunks(xkr, cand_xk, stream_ids, pos_rows, commit, n_chunks)
+    xvr = _write_chunks(xvr, cand_xv, stream_ids, pos_rows, commit, n_chunks)
 
     adv = n_pos if commit is None else CHUNK_POS * commit
     return ek, ev, xkr, xvr, pos_rows + adv
@@ -449,9 +420,9 @@ def _encode_core(
 def _decode_core(
     params: Params,
     cfg: WhisperConfig,
-    dk,  # [S, Ld, H, hd, DEC_T] table pytree (per-layer gathers, see above)
+    dk,  # [S, Ld, H, hd, DEC_T] tables (cache-representation note)
     dv,
-    xkr,  # [S, Ld, H, hd, ENC_T] tables
+    xkr,  # canonical [S, Ld, H, hd, ENC_T] cache pytrees
     xvr,
     stream_ids: jnp.ndarray,  # [B] rows into the tables
     ep: jnp.ndarray,  # [B] encoder positions (cross-attn horizon)
@@ -461,6 +432,7 @@ def _decode_core(
     active0: jnp.ndarray,  # [B] bool — rows allowed to step at all
     max_steps: int,
     enc_t: int,
+    identity: bool = False,  # batch row b IS table slot b (B = S)
 ):
     """Greedy continuation scan. Per step a row feeds ``tokens[min(fed,
     n_tok-1)]`` (re-feeding the newest token when caught up refreshes its
@@ -468,12 +440,14 @@ def _decode_core(
     argmax unless it is ``<|eot|>``, which is held back (the utterance may
     continue). Rows stop on eot; the next tick retries with more audio.
 
-    Cost structure (measured): the scan-invariant cross K/V rows are
-    gathered ONCE before the scan (they don't change during decode), and
-    the decoder self K/V rows are gathered into batch-local working copies
-    that the scan carries — per-step writes land on the small local buffer
-    (one scatter for all layers; inactive rows scatter out of bounds and
-    drop) and the big table is written back once after the scan."""
+    Cost structure (measured): cross K/V rows are read per layer per step
+    (scan-variant reads are unavoidable — each new token attends again),
+    so the read must be free of gathers/transposes: identity mode slices
+    the canonical cache directly into the score matmul. Decoder self K/V
+    rows ride the scan carry as b-major working copies (the table itself
+    in identity mode — no gather, no write-back); per-step appends are one
+    windowed scatter per kind (inactive rows point their column out of
+    bounds and drop)."""
     d = params["dec"]
     dtype = params["enc"]["pos"].dtype
     eot = jnp.int32(cfg.token_eot)
@@ -484,12 +458,15 @@ def _decode_core(
     scale = hd ** -0.25
     b = tok.shape[0]
     bi = jnp.arange(b)
+    hist_ids = None if identity else stream_ids
 
-    # batch-local self K/V working rows, carried through the scan
-    l = jnp.arange(Ld, dtype=jnp.int32)[:, None]
-    dkv_rows = (stream_ids[None, :] * Ld + l).reshape(-1)  # [Ld*B]
-    dkl = dk[dkv_rows].reshape(Ld, b, Ht, hd, dec_t)
-    dvl = dv[dkv_rows].reshape(Ld, b, Ht, hd, dec_t)
+    # self K/V working rows [B, Ld, H, hd, dec_t] (the table itself in
+    # identity mode — no gather, no write-back)
+    if identity:
+        dkl, dvl = dk, dv
+    else:
+        dkl = dk[stream_ids]
+        dvl = dv[stream_ids]
 
     xcol = jnp.arange(enc_t, dtype=jnp.int32)
     # max(ep, 1) keeps the softmax finite for not-yet-encoded rows (they are
@@ -498,7 +475,11 @@ def _decode_core(
         xcol[None, :] < jnp.maximum(ep, 1)[:, None], 0.0, -jnp.inf
     ).astype(jnp.float32)[:, None, None, :]
     dcol = jnp.arange(dec_t, dtype=jnp.int32)
-    lb = jnp.arange(Ld * b)
+    self_dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3, 4),
+        inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 4),
+    )
 
     def step(carry, _):
         dkl, dvl, tok, fed_r, n_r, done = carry
@@ -508,6 +489,8 @@ def _decode_core(
         cur = tok[bi, feed_idx]
         x = d["tok_emb"][cur][:, None, :] + d["pos_emb"][feed_idx][:, None, :]
         x = x.astype(dtype)
+        dk5 = dkl
+        dv5 = dvl
         # split self-attention: history (local rows, col < feed_idx) +
         # the current token's fresh K/V — no cache copies, no reads-back
         smask = jnp.where(
@@ -524,44 +507,40 @@ def _decode_core(
             kcols.append(kcol)
             vcols.append(vcol)
             qs = q * scale
-            scores_h = jnp.matmul(qs, dkl[li] * scale, preferred_element_type=jnp.float32)
+            scores_h = jnp.matmul(qs, dk5[:, li] * scale, preferred_element_type=jnp.float32)
             scores_c = jnp.matmul(qs, kcol * scale, preferred_element_type=jnp.float32)
             scores = jnp.concatenate([scores_h + smask, scores_c], axis=-1)
             probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
             p_h, p_c = probs[..., :dec_t], probs[..., dec_t:]
             attn = (
-                jnp.einsum("bhqt,bhdt->bhqd", p_h, dvl[li], preferred_element_type=jnp.float32)
+                jnp.einsum("bhqt,bhdt->bhqd", p_h, dv5[:, li], preferred_element_type=jnp.float32)
                 + jnp.einsum("bhqt,bhdt->bhqd", p_c, vcol, preferred_element_type=jnp.float32)
             ).astype(dtype)
             x = x + _dense(_merge_heads(attn), layer["attn"]["o"])
             hx = _layernorm(x, layer["ln_x"])
             qx = _split_heads(_dense(hx, layer["xattn"]["q"]), Ht)
-            # cross K/V rows: per-layer gathers (cheap; stacked pre-scan
-            # gathers of both kinds held ~2.7 GB live and OOM'd at 64 slots)
-            xk_li = _hist_one(xkr, Ld, li, Ht, hd, enc_t, stream_ids)
-            xv_li = _hist_one(xvr, Ld, li, Ht, hd, enc_t, stream_ids)
-            xs = _scores_hist(qx * scale, xk_li, scale, dtype)
+            # cross K/V: per-layer slice (identity) or row gather — per
+            # layer so temp lifetimes stay one layer (a stacked all-layer
+            # gather of both kinds held ~2.7 GB live and OOM'd at 64 slots)
+            xk_li = _read_layer(xkr, Ld, li, hist_ids)
+            xv_li = _read_layer(xvr, Ld, li, hist_ids)
+            xs = _scores_rows(qx * scale, xk_li, scale, dtype)
             xp = jax.nn.softmax(xs + xmask, axis=-1)
-            xa = _attend_hist(xp, xv_li, dtype).astype(dtype)
+            xa = _attend_rows(xp, xv_li, dtype).astype(dtype)
             x = x + _dense(_merge_heads(xa), layer["xattn"]["o"])
             x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
-        # deferred self-K/V append: ONE scatter per kind for all layers;
-        # inactive rows point their column out of bounds → dropped
+        # deferred self-K/V append: ONE windowed scatter per kind, window
+        # [Ld, H, hd, 1] spanning all layers (B index pairs); inactive rows
+        # point their column out of bounds → dropped
         wcol = jnp.where(active, feed_idx, dec_t)
-        wcolL = jnp.tile(wcol, Ld)
-        kstk = jnp.stack(kcols).reshape(Ld * b, Ht, hd)
-        vstk = jnp.stack(vcols).reshape(Ld * b, Ht, hd)
-        dkl = (
-            dkl.reshape(Ld * b, Ht, hd, dec_t)
-            .at[lb, :, :, wcolL]
-            .set(kstk, mode="drop")
-            .reshape(Ld, b, Ht, hd, dec_t)
+        idx = jnp.stack([bi.astype(jnp.int32), wcol], axis=-1)  # [B, 2]
+        kstk = jnp.stack(kcols, axis=1)  # [B, Ld, H, hd, 1]
+        vstk = jnp.stack(vcols, axis=1)
+        dkl = jax.lax.scatter(
+            dkl, idx, kstk, self_dn, mode=jax.lax.GatherScatterMode.FILL_OR_DROP
         )
-        dvl = (
-            dvl.reshape(Ld * b, Ht, hd, dec_t)
-            .at[lb, :, :, wcolL]
-            .set(vstk, mode="drop")
-            .reshape(Ld, b, Ht, hd, dec_t)
+        dvl = jax.lax.scatter(
+            dvl, idx, vstk, self_dn, mode=jax.lax.GatherScatterMode.FILL_OR_DROP
         )
         xfin = _layernorm(x, d["ln"])
         logits = jnp.matmul(
@@ -584,9 +563,12 @@ def _decode_core(
     (dkl, dvl, tok, fed_r, n_r, _), _ = jax.lax.scan(
         step, (dkl, dvl, tok, fed_r, n_r, done0), None, length=max_steps
     )
-    # write the worked rows back to the big tables once
-    dk = dk.at[dkv_rows].set(dkl.reshape(Ld * b, Ht, hd, dec_t))
-    dv = dv.at[dkv_rows].set(dvl.reshape(Ld * b, Ht, hd, dec_t))
+    if identity:
+        dk, dv = dkl, dvl
+    else:
+        # write the worked rows back to the big tables once
+        dk = dk.at[stream_ids].set(dkl)
+        dv = dv.at[stream_ids].set(dvl)
     return dk, dv, tok, fed_r, n_r
 
 
@@ -600,7 +582,7 @@ def _decode_core(
 )
 def _stream_encode(
     params: Params,
-    enc_k,  # flat chunk-row cache pytrees (cache-representation note)
+    enc_k,  # canonical cache pytrees (cache-representation note)
     enc_v,
     xk,
     xv,
@@ -631,7 +613,7 @@ def _stream_encode(
 )
 def _stream_decode(
     params: Params,
-    dec_k: jnp.ndarray,  # [S·Ld, H, hd, DEC_T]
+    dec_k: jnp.ndarray,  # [S, Ld, H, hd, DEC_T]
     dec_v: jnp.ndarray,
     tokens: jnp.ndarray,  # [S, DEC_T] int32
     fed: jnp.ndarray,  # [S] int32 — tokens fed through the decoder
@@ -668,7 +650,7 @@ META_PREFIX = 4  # decoder prefix tokens appended after the scalars
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_steps", "n_chunks", "enc_t"),
+    static_argnames=("cfg", "max_steps", "n_chunks", "enc_t", "identity"),
     donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
 )
 def _stream_step(
@@ -691,6 +673,7 @@ def _stream_step(
     max_steps: int,
     n_chunks: int = 2,
     enc_t: int = 512,
+    identity: bool = False,
 ):
     """Fused per-VAD-block streaming step: (optionally) open a new segment,
     score VAD frames, append them to the audio rings, encode up to
@@ -701,6 +684,12 @@ def _stream_step(
     standalone :func:`_stream_reset` call on the serving path: at high
     session counts every utterance start would otherwise cost its own
     unbatched device dispatch.
+
+    ``identity=True`` is the dense-serving contract: B = S and batch row b
+    IS stream slot b (the engine scatters submissions into slot order and
+    fills gaps with inert rows) — every cache read is then a strided slice
+    and every per-slot state update a dense select, zero gathers
+    (cache-representation note).
     """
     slot_ids = meta[:, 0]
     stream_ids = meta[:, 1]
@@ -714,24 +703,31 @@ def _stream_step(
     # to zero. Caches need no clearing — masks bound every read. Duplicate
     # pad rows write identical values.
     p_len = prefix_b.shape[1]
-    bi = jnp.arange(stream_ids.shape[0])
-    tok_rows0 = tokens[stream_ids]
-    tok_rows0 = jnp.where(
-        do_reset[:, None],
-        jax.lax.dynamic_update_slice_in_dim(
-            jnp.zeros_like(tok_rows0), prefix_b, 0, axis=1
-        ),
-        tok_rows0,
-    )
-    tokens = tokens.at[stream_ids].set(tok_rows0)
-    fed = fed.at[stream_ids].set(jnp.where(do_reset, 0, fed[stream_ids]))
-    n_tok = n_tok.at[stream_ids].set(
-        jnp.where(do_reset, p_len, n_tok[stream_ids])
-    )
-    enc_pos = enc_pos.at[stream_ids].set(
-        jnp.where(do_reset, 0, enc_pos[stream_ids])
-    )
-    del bi
+    if identity:
+        fresh = jax.lax.dynamic_update_slice_in_dim(
+            jnp.zeros_like(tokens), prefix_b, 0, axis=1
+        )
+        tokens = jnp.where(do_reset[:, None], fresh, tokens)
+        fed = jnp.where(do_reset, 0, fed)
+        n_tok = jnp.where(do_reset, p_len, n_tok)
+        enc_pos = jnp.where(do_reset, 0, enc_pos)
+    else:
+        tok_rows0 = tokens[stream_ids]
+        tok_rows0 = jnp.where(
+            do_reset[:, None],
+            jax.lax.dynamic_update_slice_in_dim(
+                jnp.zeros_like(tok_rows0), prefix_b, 0, axis=1
+            ),
+            tok_rows0,
+        )
+        tokens = tokens.at[stream_ids].set(tok_rows0)
+        fed = fed.at[stream_ids].set(jnp.where(do_reset, 0, fed[stream_ids]))
+        n_tok = n_tok.at[stream_ids].set(
+            jnp.where(do_reset, p_len, n_tok[stream_ids])
+        )
+        enc_pos = enc_pos.at[stream_ids].set(
+            jnp.where(do_reset, 0, enc_pos[stream_ids])
+        )
 
     # 1) VAD score + ring append (audio_ring._vad_append semantics; row-level
     # append per audio_ring.ring_append_rows — the element-indexed scatter
@@ -747,25 +743,30 @@ def _stream_step(
     ring = ring_append_rows(ring, slot_ids, wpos, wire)
 
     # 2) commit-guarded chunk encode against the freshly appended ring
-    pos_rows = enc_pos[stream_ids]
+    pos_rows = enc_pos if identity else enc_pos[stream_ids]
     enc_k, enc_v, xk, xv, pos_new = _encode_core(
         params, cfg, ring, slot_ids, cstart,
         enc_k, enc_v, xk, xv, stream_ids, pos_rows, n_chunks, enc_t,
-        commit=n_req,
+        commit=n_req, identity=identity,
     )
 
     # 3) decode continuation against the updated cross context
     dec_k, dec_v, tok, fed_r, n_r = _decode_core(
         params, cfg,
         dec_k, dec_v, xk, xv, stream_ids, pos_new,
-        tokens[stream_ids], fed[stream_ids], n_tok[stream_ids],
-        do_dec, max_steps, enc_t,
+        tokens if identity else tokens[stream_ids],
+        fed if identity else fed[stream_ids],
+        n_tok if identity else n_tok[stream_ids],
+        do_dec, max_steps, enc_t, identity=identity,
     )
 
-    enc_pos = enc_pos.at[stream_ids].set(pos_new)
-    tokens = tokens.at[stream_ids].set(tok)
-    fed = fed.at[stream_ids].set(fed_r)
-    n_tok = n_tok.at[stream_ids].set(n_r)
+    if identity:
+        enc_pos, tokens, fed, n_tok = pos_new, tok, fed_r, n_r
+    else:
+        enc_pos = enc_pos.at[stream_ids].set(pos_new)
+        tokens = tokens.at[stream_ids].set(tok)
+        fed = fed.at[stream_ids].set(fed_r)
+        n_tok = n_tok.at[stream_ids].set(n_r)
     return (
         vad_state, enc_k, enc_v, xk, xv, enc_pos,
         dec_k, dec_v, tokens, fed, n_tok, ring,
@@ -817,29 +818,28 @@ class StreamTable:
             if kv_int8 is not None
             else os.environ.get("SK_STREAM_KV_INT8", "1") == "1"
         )
-        # enc_t must be whole chunks (flat chunk-row cache layout)
+        # enc_t must be whole chunks (chunk-windowed cache writes)
         self.enc_t -= self.enc_t % CHUNK_POS
         s = self.max_slots
         he, hde = cfg.n_audio_head, cfg.n_audio_state // cfg.n_audio_head
         ht, hdt = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
-        nch = self.enc_t // CHUNK_POS
 
         def enc_cache(layers, h, hd):
-            # flat chunk-row buffer, s-major rows (see the
-            # cache-representation note above _kv_enc_t)
+            # canonical matmul-native buffer, slot-major (see the
+            # cache-representation note above _read_layer)
             if self.kv_int8:
                 return (
-                    jnp.zeros((s * layers * nch, h * CHUNK_POS * hd), jnp.int8),
-                    jnp.zeros((s * layers, h, self.enc_t), jnp.float32),
+                    jnp.zeros((s, layers, h, hd, self.enc_t), jnp.int8),
+                    jnp.zeros((s, layers, h, self.enc_t), jnp.float32),
                 )
-            return jnp.zeros((s * layers * nch, h * CHUNK_POS * hd), dtype)
+            return jnp.zeros((s, layers, h, hd, self.enc_t), dtype)
 
         self._enc_k = enc_cache(cfg.n_audio_layer, he, hde)
         self._enc_v = enc_cache(cfg.n_audio_layer, he, hde)
         self._xk = enc_cache(cfg.n_text_layer, ht, hdt)
         self._xv = enc_cache(cfg.n_text_layer, ht, hdt)
-        self._dec_k = jnp.zeros((s * cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
-        self._dec_v = jnp.zeros((s * cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
+        self._dec_k = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
+        self._dec_v = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
         self._tokens = jnp.zeros((s, self.dec_t), jnp.int32)
         self._fed = jnp.zeros((s,), jnp.int32)
         self._n_tok = jnp.zeros((s,), jnp.int32)
@@ -928,7 +928,12 @@ class StreamTable:
         Accepts either per-field arrays (built into the packed meta vector
         here) or, when ``slot_ids`` is 2-D, a pre-packed ``meta`` array of
         shape ``[B, META_COLS + META_PREFIX]`` (the serving path packs on the
-        host to cut per-call transfers)."""
+        host to cut per-call transfers).
+
+        When the meta batch is in slot order (B = max_slots and
+        ``meta[:, 1] == arange`` — the dense-serving engine's packing), the
+        step compiles in identity mode: zero cache gathers (see
+        :func:`_stream_step`)."""
         sl = np.asarray(slot_ids)
         if sl.ndim == 2:
             meta = sl.astype(np.int32)
@@ -956,6 +961,10 @@ class StreamTable:
                 ],
                 axis=1,
             )
+        identity = bool(
+            meta.shape[0] == self.max_slots
+            and np.array_equal(meta[:, 1], np.arange(self.max_slots))
+        )
         with audio_ring._step_lock:
             with self._step_lock:
                 (
@@ -975,14 +984,15 @@ class StreamTable:
                     self.cfg,
                     max_steps,
                     enc_t=self.enc_t,
+                    identity=identity,
                 )
         return probs, tok_rows, n_rows, pos_new
 
     # -- canonical views (tests / tools) -------------------------------------
     def cache_view(self, which: str):
         """Materialize a cache kind in the canonical ``[S, L, H, hd, T]``
-        layout (int8 kinds → ``(q8, scale [S, L, H, 1, T])``) — the flat
-        chunk-row layout is a performance encoding, not an interface."""
+        layout (int8 kinds → ``(q8, scale [S, L, H, 1, T])``). The stored
+        layout is already canonical modulo the flattened (S·L) row axis."""
         cfg = self.cfg
         if which in ("enc_k", "enc_v"):
             cache = self._enc_k if which == "enc_k" else self._enc_v
@@ -994,26 +1004,14 @@ class StreamTable:
             hd = cfg.n_text_state // H
         else:
             cache = self._dec_k if which == "dec_k" else self._dec_v
-            L, H = cfg.n_text_layer, cfg.n_text_head
-            hd = cfg.n_text_state // H
-            arr = np.asarray(cache).reshape(self.max_slots, L, H, hd, self.dec_t)
-            return arr
-        nch = self.enc_t // CHUNK_POS
-
-        def to_canon(flat):
-            a = np.asarray(flat).reshape(self.max_slots, L, nch, H, CHUNK_POS, hd)
-            # [S,L,nch,H,8,hd] → [S,L,H,hd,T]
-            return np.ascontiguousarray(
-                a.transpose(0, 1, 3, 5, 2, 4)
-            ).reshape(self.max_slots, L, H, hd, self.enc_t)
-
+            return np.asarray(cache)
         if isinstance(cache, tuple):
-            q8 = to_canon(cache[0])
+            q8 = np.asarray(cache[0])
             sc = np.asarray(cache[1]).reshape(
                 self.max_slots, L, H, 1, self.enc_t
             )
             return q8, sc
-        return to_canon(cache)
+        return np.asarray(cache)
 
 
 # process-wide tables keyed by model tag (mirrors _get_audio_ring)
@@ -1021,10 +1019,13 @@ _TABLES: Dict[str, StreamTable] = {}
 _TABLES_LOCK = threading.Lock()
 
 
-def get_stream_table(tag: str, cfg: WhisperConfig, dtype) -> StreamTable:
+def get_stream_table(tag: str, cfg: WhisperConfig, dtype, **kw) -> StreamTable:
+    """Process-wide table per model tag; ``kw`` (max_slots, enc_t, ...)
+    applies only at first creation (single-flight semantics — the first
+    creator sizes the table)."""
     with _TABLES_LOCK:
         tbl = _TABLES.get(tag)
         if tbl is None:
-            tbl = StreamTable(cfg, dtype)
+            tbl = StreamTable(cfg, dtype, **kw)
             _TABLES[tag] = tbl
         return tbl

@@ -43,28 +43,27 @@ def _put(x, mesh: Mesh, spec: P):
 
 def shard_stream_table(mesh: Mesh, table) -> None:
     """Reshard a :class:`~streamkit_tpu.models.whisper.streaming.StreamTable`
-    in place: slots over dp, KV heads over tp. Caches are flat chunk-row
-    buffers (streaming.py cache-representation note) with s-major rows, so
-    dp over axis 0 is a contiguous slot split; the flat lane dim is
-    head-major (``H·8·hd``), so tp over the lane dim splits at a head
-    boundary (requires ``heads % tp == 0``)."""
+    in place: slots over dp, KV heads over tp. Caches are canonical
+    ``[S, L, H, hd, T]`` buffers (streaming.py cache-representation note),
+    slot-major, so dp over axis 0 is a contiguous slot split and tp splits
+    the head axis directly (requires ``heads % tp == 0``)."""
     vec = P("dp")
 
     def put_kv(cache):
-        if isinstance(cache, tuple):  # int8: (flat [S·L·nch, H·8·hd], scale [S·L, H, T])
+        if isinstance(cache, tuple):  # int8: ([S,L,H,hd,T], scale [S,L,H,T])
             return (
-                _put(cache[0], mesh, P("dp", "tp")),
-                _put(cache[1], mesh, P("dp", "tp", None)),
+                _put(cache[0], mesh, P("dp", None, "tp", None, None)),
+                _put(cache[1], mesh, P("dp", None, "tp", None)),
             )
-        return _put(cache, mesh, P("dp", "tp"))
+        return _put(cache, mesh, P("dp", None, "tp", None, None))
 
     table._enc_k = put_kv(table._enc_k)
     table._enc_v = put_kv(table._enc_v)
     table._xk = put_kv(table._xk)
     table._xv = put_kv(table._xv)
-    # decoder self K/V: [S·Ld, H, hd, DEC_T]
-    table._dec_k = _put(table._dec_k, mesh, P("dp", "tp", None, None))
-    table._dec_v = _put(table._dec_v, mesh, P("dp", "tp", None, None))
+    # decoder self K/V: [S, Ld, H, hd, DEC_T]
+    table._dec_k = _put(table._dec_k, mesh, P("dp", None, "tp", None, None))
+    table._dec_v = _put(table._dec_v, mesh, P("dp", None, "tp", None, None))
     table._tokens = _put(table._tokens, mesh, P("dp", None))
     table._fed = _put(table._fed, mesh, vec)
     table._n_tok = _put(table._n_tok, mesh, vec)

@@ -40,3 +40,23 @@ def _assert_cpu_backend():
 @pytest.fixture
 def anyio_backend():
     return "asyncio"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_process_tables():
+    """Reset the process-wide serving state between test MODULES.
+
+    The stream tables and audio ring are deliberately process-wide in
+    production (one table per model, shared by every session). Across the
+    test suite that sharing leaks state: a module that sizes the table
+    small (engine capacity) or reshards it onto a mesh changes what a later
+    module's engine gets back from ``get_stream_table`` — the first creator
+    wins. Fresh tables per module keep each module's sizing/sharding local
+    and cap suite-wide HBM/RAM growth from leaked slots."""
+    yield
+    from streamkit_tpu.models.whisper import streaming
+    from streamkit_tpu.nodes.ml import whisper_node
+
+    with streaming._TABLES_LOCK:
+        streaming._TABLES.clear()
+    whisper_node._AUDIO_RING = None

@@ -251,6 +251,99 @@ def test_fused_step_matches_separate_calls(params):
         )
 
 
+def test_fused_step_identity_matches_general(params):
+    """The identity-packed fused step (B = max_slots, batch row p IS stream
+    slot p, inert gap rows on a trash ring slot — the dense-serving
+    engine's packing, which compiles the zero-gather path) evolves state
+    identically to a general scrambled-order batch of just the active
+    rows."""
+    from streamkit_tpu.engine.audio_ring import SessionAudioRing
+    from streamkit_tpu.models.whisper.streaming import META_PREFIX
+
+    rs = 1 << 14
+    S = 4
+    active = [0, 1, 3]  # slot 2 is an inert gap; ring slot 4 is trash
+    ring_a = SessionAudioRing(max_slots=S + 1, ring_samples=rs)
+    ring_b = SessionAudioRing(max_slots=S + 1, ring_samples=rs)
+    tbl_a = StreamTable(CFG, jnp.float32, max_slots=S, enc_t=64, dec_t=32, kv_int8=False)
+    tbl_b = StreamTable(CFG, jnp.float32, max_slots=S, enc_t=64, dec_t=32, kv_int8=False)
+    for r in (ring_a, ring_b):
+        for k in range(S + 1):
+            assert r.alloc() == k
+
+    blocks = _speechy_blocks(3, 8, seed=31)
+    block_n = blocks.shape[1] * blocks.shape[2]
+    written = 0
+    tip = 0
+    probs_a_all, probs_b_all = [], []
+    for bi, block in enumerate(blocks):
+        n_req = max(0, min((written + block_n - RIGHT_CTX - tip) // CHUNK_SAMPLES, 2))
+        do_dec = bi > 0
+        do_rst = bi == 0
+
+        def row(slot, nr, dd, rst):
+            return np.concatenate(
+                [np.asarray([slot, 0, written % rs, tip % rs, nr, dd, rst], np.int32), PREFIX]
+            )
+
+        # identity packing: S rows, row p is slot p, gap rows inert on trash
+        meta_a = np.zeros((S, 7 + META_PREFIX), np.int32)
+        frames_a = np.zeros((S,) + block.shape, np.float32)
+        for p in range(S):
+            if p in active:
+                meta_a[p] = row(p, n_req, int(do_dec), int(do_rst))
+                meta_a[p, 1] = p
+                frames_a[p] = block
+            else:
+                meta_a[p] = row(S, 0, 0, 0)  # trash ring slot, fully inert
+                meta_a[p, 1] = p
+        probs_a, tok_a, n_a, _ = tbl_a.step(
+            params, ring_a, meta_a, None, None, None, None, None,
+            frames_a, max_steps=4,
+        )
+        probs_a_all.append(np.asarray(probs_a)[active])
+
+        # general packing: just the active rows, scrambled order
+        order = [3, 0, 1]
+        probs_b, tok_b, n_b, _ = tbl_b.step(
+            params, ring_b, [s for s in order], [s for s in order],
+            [written % rs] * 3, [tip % rs] * 3,
+            [n_req] * 3, [do_dec] * 3,
+            np.stack([block] * 3), max_steps=4,
+            do_reset=[do_rst] * 3,
+            prefix_b=np.stack([PREFIX] * 3),
+        )
+        probs_b_all.append(np.asarray(probs_b)[[order.index(s) for s in active]])
+        written += block_n
+        tip += n_req * CHUNK_SAMPLES
+
+    np.testing.assert_allclose(
+        np.concatenate(probs_a_all), np.concatenate(probs_b_all), atol=1e-6
+    )
+    for s in active:
+        np.testing.assert_array_equal(
+            np.asarray(ring_a._ring)[s], np.asarray(ring_b._ring)[s]
+        )
+    np.testing.assert_array_equal(
+        np.asarray(tbl_a._enc_pos)[active], np.asarray(tbl_b._enc_pos)[active]
+    )
+    np.testing.assert_allclose(
+        tbl_a.cache_view("enc_k")[active], tbl_b.cache_view("enc_k")[active],
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        tbl_a.cache_view("xv")[active], tbl_b.cache_view("xv")[active], atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tbl_a._n_tok)[active], np.asarray(tbl_b._n_tok)[active]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tbl_a._tokens)[active], np.asarray(tbl_b._tokens)[active]
+    )
+    # the inert gap row and its state are untouched
+    assert int(tbl_a._enc_pos[2]) == 0 and int(tbl_a._n_tok[2]) == 0
+
+
 def test_fused_step_masked_rows_untouched(params):
     """Rows with n_req=0/do_dec=False inside a fused batched call keep their
     encoder caches and decode state bit-identical (the commit guard rewrites
