@@ -82,13 +82,15 @@ def main() -> None:
     for b in batches:
         audio = jnp.asarray(rng.randn(b, n_samples).astype(np.float32) * 0.1)
         try:
+            # NOTE: block_until_ready does NOT synchronize under the axon
+            # tunnel (PERF_NOTES calibration note) — force a 1-element fetch
             out = stt_window(params, audio)  # compile
-            out.block_until_ready()
+            np.asarray(out[:1, :1])
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 out = stt_window(params, audio)
-                out.block_until_ready()
+                np.asarray(out[:1, :1])
                 times.append(time.perf_counter() - t0)
             t_window = min(times)
         except Exception as e:  # OOM at large batch: stop scaling

@@ -228,13 +228,16 @@ class SttServingEngine:
             # gathers (streaming.py cache-representation note). Gaps become
             # inert rows: trash ring slot, n_req=0, do_dec=0, do_reset=0 —
             # absent sessions' state is untouched (commit-guarded writes).
+            from .audio_ring import pcm_to_wire
+
             perm = meta[:, 1].astype(np.int64)
             meta_s = np.zeros((n_slots, meta.shape[1]), np.int32)
             meta_s[:, 0] = trash
             meta_s[:, 1] = np.arange(n_slots)  # row p IS slot p (identity)
-            frames_s = np.zeros((n_slots,) + frames.shape[1:], frames.dtype)
+            # int16 wire: half the per-call host→device bytes
+            frames_s = np.zeros((n_slots,) + frames.shape[1:], np.int16)
             meta_s[perm] = meta
-            frames_s[perm] = frames
+            frames_s[perm] = pcm_to_wire(frames)
             out = tbl.step(
                 params, ring, meta_s, None, None, None, None, None,
                 frames_s, self._stream_steps,

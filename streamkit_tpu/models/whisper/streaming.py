@@ -73,7 +73,7 @@ import numpy as np
 
 from .config import WhisperConfig
 from .model import Params, _dense, _layernorm, _merge_heads, _mlp, _split_heads
-from ...ops.mel import HOP_LENGTH, N_FFT, _dft_bases, _mel_mat
+from ...ops.mel import HOP_LENGTH, N_FFT, _dft_bases, _mel_mat, frame_signal
 from ...ops.vad import vad_frame_probs
 
 __all__ = ["StreamTable", "CHUNK_SAMPLES", "CHUNK_POS", "RIGHT_CTX"]
@@ -97,16 +97,11 @@ def _chunk_mel(audio: jnp.ndarray, n_mels: int, n_frames: int = _N_MEL_FRAMES) -
     chunk's conv context (frames t0-2..t0+16·n; local frame j starts at
     sample 40 + j*160). Dynamic-range floor uses the chunk-local max.
 
-    Frame extraction is a stack of STATIC slices (fused, free) — the
-    equivalent 2-D index gather (``audio[:, idx]``, n_frames·400 element
-    pairs × B rows) measured ~0.5 µs/pair on v5e, tens of ms per call."""
-    frames = jnp.stack(
-        [
-            jax.lax.slice_in_dim(audio, 40 + j * HOP_LENGTH, 40 + j * HOP_LENGTH + N_FFT, axis=1)
-            for j in range(n_frames)
-        ],
-        axis=1,
-    )  # [B, n_frames, 400]
+    Frame extraction is reshape+static-slice only (:func:`...ops.mel.
+    frame_signal`) — the equivalent 2-D index gather (``audio[:, idx]``,
+    n_frames·400 element pairs × B rows) measured ~0.5 µs/pair on v5e,
+    tens of ms per call."""
+    frames = frame_signal(audio, n_frames, offset=40)  # [B, n_frames, 400]
     cos_b, sin_b = _dft_bases(N_FFT)
     re = jnp.matmul(frames, cos_b, preferred_element_type=jnp.float32)
     im = jnp.matmul(frames, sin_b, preferred_element_type=jnp.float32)
@@ -668,7 +663,7 @@ def _stream_step(
     n_tok: jnp.ndarray,
     ring: jnp.ndarray,  # NOT donated: decode snapshots may hold the old ref
     meta: jnp.ndarray,  # [B, META_COLS + META_PREFIX] int32 (layout above)
-    frames_b: jnp.ndarray,  # [B, n_frames, VAD_FRAME] f32
+    frames_b: jnp.ndarray,  # [B, n_frames, VAD_FRAME] int16 wire (pcm_to_wire)
     cfg: WhisperConfig,
     max_steps: int,
     n_chunks: int = 2,
@@ -731,16 +726,20 @@ def _stream_step(
 
     # 1) VAD score + ring append (audio_ring._vad_append semantics; row-level
     # append per audio_ring.ring_append_rows — the element-indexed scatter
-    # measured 65 ms at B=64)
+    # measured 65 ms at B=64). Frames arrive as int16 wire: half the
+    # host→device bytes, and VAD scores exactly what the ring stores.
     from ...engine.audio_ring import ring_append_rows
 
     rows = jax.tree.map(lambda s: s[slot_ids], vad_state)
-    probs, new_rows = vad_frame_probs(rows, frames_b)
+    if frames_b.dtype == jnp.int16:
+        wire3 = frames_b
+    else:  # f32 callers: same wire semantics, quantized on device
+        wire3 = jnp.clip(frames_b * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
+    frames_f = wire3.astype(jnp.float32) / 32768.0
+    probs, new_rows = vad_frame_probs(rows, frames_f)
     vad_state = jax.tree.map(lambda s, r: s.at[slot_ids].set(r), vad_state, new_rows)
     b = frames_b.shape[0]
-    flat = frames_b.reshape(b, -1)
-    wire = jnp.clip(flat * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
-    ring = ring_append_rows(ring, slot_ids, wpos, wire)
+    ring = ring_append_rows(ring, slot_ids, wpos, wire3.reshape(b, -1))
 
     # 2) commit-guarded chunk encode against the freshly appended ring
     pos_rows = enc_pos if identity else enc_pos[stream_ids]
@@ -965,6 +964,10 @@ class StreamTable:
             meta.shape[0] == self.max_slots
             and np.array_equal(meta[:, 1], np.arange(self.max_slots))
         )
+        if isinstance(frames_b, np.ndarray):  # device arrays convert in-jit
+            from ...engine.audio_ring import pcm_to_wire
+
+            frames_b = pcm_to_wire(frames_b)
         with audio_ring._step_lock:
             with self._step_lock:
                 (

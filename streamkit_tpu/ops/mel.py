@@ -84,6 +84,26 @@ def _mel_mat(n_mels: int) -> np.ndarray:
     return mel_filterbank(n_mels).T  # [n_freq, n_mels]
 
 
+def frame_signal(x: jax.Array, n_frames: int, offset: int = 0) -> jax.Array:
+    """``[..., samples]`` → overlapping ``[..., n_frames, N_FFT]`` frames
+    (hop ``HOP_LENGTH``, frame j starting at ``offset + j·160``) using only
+    reshapes and static slices: a 400-sample window spans 3 consecutive
+    160-sample rows, so frames = concat of 3 shifted row views, trimmed.
+    The equivalent 2-D index gather (``x[..., idx]``) costs ~0.5 µs per
+    element PAIR on v5e — seconds per call at 30 s decode windows."""
+    rows = n_frames + 2
+    need = offset + rows * HOP_LENGTH
+    pad = need - x.shape[-1]
+    if pad > 0:  # tail rows only feed the sliced-off overhang
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    y = x[..., offset : offset + rows * HOP_LENGTH]
+    y = y.reshape(*x.shape[:-1], rows, HOP_LENGTH)
+    w = jnp.concatenate(
+        [y[..., :-2, :], y[..., 1:-1, :], y[..., 2:, :]], axis=-1
+    )  # [..., n_frames, 480]
+    return w[..., :N_FFT]
+
+
 @functools.partial(jax.jit, static_argnames=("n_mels",))
 def log_mel_spectrogram(audio: jax.Array, n_mels: int = 80) -> jax.Array:
     """``[..., samples] f32 @16kHz → [..., n_frames, n_mels]`` log-mel.
@@ -96,9 +116,7 @@ def log_mel_spectrogram(audio: jax.Array, n_mels: int = 80) -> jax.Array:
     x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
     n = x.shape[-1]
     n_frames = 1 + (n - N_FFT) // HOP_LENGTH
-    starts = jnp.arange(n_frames) * HOP_LENGTH
-    idx = starts[:, None] + jnp.arange(N_FFT)[None, :]  # [n_frames, n_fft]
-    frames = x[..., idx]  # [..., n_frames, n_fft]
+    frames = frame_signal(x, n_frames)  # [..., n_frames, n_fft]
     cos_b, sin_b = _dft_bases(N_FFT)
     re = jnp.matmul(frames, cos_b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     im = jnp.matmul(frames, sin_b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)

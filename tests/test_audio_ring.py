@@ -27,14 +27,17 @@ def test_vad_append_matches_direct_and_stores_audio():
     rng = np.random.RandomState(0)
     blocks0, blocks1 = _blocks(rng, 3, 4), _blocks(rng, 3, 4)
 
-    # direct per-session scoring for comparison
+    # direct per-session scoring for comparison — on the int16 wire, which
+    # is what vad_append scores (VAD sees exactly the audio the ring stores)
+    from streamkit_tpu.engine.audio_ring import pcm_to_wire
+
     st0, st1 = vad_init_state(), vad_init_state()
     want0, want1 = [], []
     for b in blocks0:
-        p, st0 = vad_frame_probs(st0, jnp.asarray(b))
+        p, st0 = vad_frame_probs(st0, jnp.asarray(pcm_to_wire(b).astype(np.float32) / 32768.0))
         want0.append(np.asarray(p))
     for b in blocks1:
-        p, st1 = vad_frame_probs(st1, jnp.asarray(b))
+        p, st1 = vad_frame_probs(st1, jnp.asarray(pcm_to_wire(b).astype(np.float32) / 32768.0))
         want1.append(np.asarray(p))
 
     pos0 = pos1 = 0
