@@ -113,6 +113,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    # SK_BENCH_PLATFORM=cpu forces the CPU backend for smoke runs: env-var
+    # overrides (JAX_PLATFORMS/JAX_PLATFORM_NAME) are pinned to axon by the
+    # environment's sitecustomize, and a dead tunnel then hangs forever —
+    # only a post-import config update wins (tests/conftest.py note).
+    if os.environ.get("SK_BENCH_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["SK_BENCH_PLATFORM"])
     # Two numbers (VERDICT r1 "make the headline bench end-to-end"):
     #   * engine  — sessions sustained through the dynamic data path
     #               (packets → VAD rings → continuous batcher → decode);

@@ -199,11 +199,20 @@ class SttServingEngine:
         # table width = engine capacity (capped by the HBM budget env): the
         # identity-packed fused step is B = table width, so a small engine
         # must not pay a 64-wide device call per block
+        # dec_t sized to the token budget (prefix + max_tokens + headroom,
+        # 64-aligned): decoder self-KV is read fully per decode step, so a
+        # 128-deep default pays 2x the HBM for a 32-token budget
+        p_len = len(self._prefix)
+        dec_t = min(
+            int(os.environ.get("SK_STREAM_DEC_T", "128")),
+            max(64, -(-(p_len + self.max_tokens + 8) // 64) * 64),
+        )
         self._tbl = get_stream_table(
             model_tag, self._cfg, self.dtype,
             max_slots=min(
                 self.max_sessions, int(os.environ.get("SK_STREAM_SLOTS", "64"))
             ),
+            dec_t=dec_t,
         )
         if self.mesh is not None:
             from ..parallel.serving import shard_serving_state
