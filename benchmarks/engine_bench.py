@@ -34,6 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _speech(seconds: float, seed: int, sr: int = 16000) -> np.ndarray:
+    """Session audio: real OpenSpeech slices when ``SK_ENG_AUDIO=real`` (and
+    the fixture + libopus are present), else formant-synth utterances."""
+    if os.environ.get("SK_ENG_AUDIO", "synth") == "real":
+        from streamkit_tpu.utils.realspeech import real_speech_16k
+
+        audio = real_speech_16k(seconds, seed=seed)
+        if audio is not None:
+            return audio
     from streamkit_tpu.utils.speechsynth import synth_speech_with_plan
 
     audio, _ = synth_speech_with_plan(seconds, sr, seed=seed)
@@ -308,6 +316,7 @@ async def amain() -> dict:
             "audio_s_per_session": seconds,
             "final_transcripts": finals,
             "ingress": ingress,
+            "audio": os.environ.get("SK_ENG_AUDIO", "synth"),
             "batcher": batcher.stats(),
         },
     }

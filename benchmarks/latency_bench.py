@@ -39,7 +39,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) i
 
 
 def synth_speech(seconds: float, seed: int, sr: int = 16000) -> np.ndarray:
-    """Speech-like test signal: formant-synth utterances with pauses."""
+    """Session audio: real OpenSpeech slices when ``SK_LAT_AUDIO=real`` (and
+    the fixture + libopus are present), else formant-synth utterances."""
+    if os.environ.get("SK_LAT_AUDIO", "synth") == "real":
+        from streamkit_tpu.utils.realspeech import real_speech_16k
+
+        audio = real_speech_16k(seconds, seed=seed)
+        if audio is not None:
+            return audio
     from streamkit_tpu.utils.speechsynth import synth_speech_with_plan
 
     audio, _ = synth_speech_with_plan(seconds, sr, seed=seed)
