@@ -114,6 +114,7 @@ async def monitor(request: web.Request) -> web.Response:
 def add_ui_routes(app: web.Application, prefix: str) -> None:
     app.router.add_get(prefix + "/", index)
     app.router.add_get(prefix + "/ui", index)
+    app.router.add_get(prefix + "/ui/", index)
     app.router.add_get(prefix + "/monitor", monitor)
     if prefix:
         app.router.add_get(prefix, index)
