@@ -58,6 +58,7 @@ from ..models.whisper import (
     init_params,
     load_pretrained,
 )
+from ..models.whisper.config import language_index
 from ..models.whisper.streaming import CHUNK_SAMPLES, RIGHT_CTX, get_stream_table
 from ..ops import VAD_FRAME
 from .batcher import DeviceBatcher
@@ -66,7 +67,6 @@ from .ingest import IngestPool
 __all__ = ["SttServingEngine"]
 
 _SR = 16_000
-_LANG_INDEX = {"en": 0, "zh": 1, "de": 2, "es": 3, "ru": 4, "ko": 5, "fr": 6, "ja": 7, "pt": 8}
 
 
 @dataclass
@@ -180,7 +180,7 @@ class SttServingEngine:
         else:
             self._cfg, self._params, self._detok = await loop.run_in_executor(None, build)
 
-        lang_index = _LANG_INDEX.get(self.language, 0)
+        lang_index = language_index(self.language)
         self._prefix = np.asarray(
             [
                 self._cfg.token_sot,

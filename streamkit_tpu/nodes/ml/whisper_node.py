@@ -55,13 +55,11 @@ from ...models.whisper import (
     load_pretrained,
     transcribe_window,
 )
+from ...models.whisper.config import language_index
 from ...ops import VAD_FRAME, vad_frame_probs, vad_init_state
 from .vad_node import SpeechSegmenter
 
 _SR = 16_000
-
-# whisper language token order (subset; index into the language token block)
-_LANG_INDEX = {"en": 0, "zh": 1, "de": 2, "es": 3, "ru": 4, "ko": 5, "fr": 6, "ja": 7, "pt": 8}
 
 
 class WhisperNode(ProcessorNode):
@@ -177,7 +175,7 @@ class WhisperNode(ProcessorNode):
         vad_slot = None
         seg = SpeechSegmenter(self.vad_threshold, self.min_silence_ms, self.max_segment_secs)
         buf = np.zeros(0, dtype=np.float32)
-        lang_index = _LANG_INDEX.get(self.language, 0)
+        lang_index = language_index(self.language)
         loop = asyncio.get_running_loop()
         last_partial = 0.0
         partial_task = None

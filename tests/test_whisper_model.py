@@ -218,3 +218,21 @@ def test_greedy_decode_int8_flag():
     tq, lq = greedy_decode(params, cfg, mel, max_tokens=12, cross_kv_int8=True)
     np.testing.assert_array_equal(te, tq)
     np.testing.assert_array_equal(le, lq)
+
+
+def test_language_index_full_table():
+    """The language-token table covers Whisper's full 99-language block in
+    tokenizer order (reference forwards any code to whisper.cpp,
+    plugins/native/whisper/src/lib.rs:249-253); unknown codes fall back to
+    English."""
+    from streamkit_tpu.models.whisper.config import WHISPER_LANGUAGES, language_index
+
+    assert len(WHISPER_LANGUAGES) == 99
+    assert len(set(WHISPER_LANGUAGES)) == 99
+    # anchors from the original 9-language map (token order is fixed)
+    for code, idx in [("en", 0), ("zh", 1), ("de", 2), ("es", 3), ("ru", 4),
+                      ("ko", 5), ("fr", 6), ("ja", 7), ("pt", 8), ("tr", 9)]:
+        assert language_index(code) == idx, code
+    assert language_index("xx") == 0
+    assert language_index("") == 0
+    assert language_index("SU") == language_index("su")
