@@ -50,21 +50,27 @@ def pcm_to_wire(frames: np.ndarray) -> np.ndarray:
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
-def _vad_append(vad_state, ring, slot_ids, starts, wire_b, ring_samples):
+def _vad_append(vad_state, ring, slot_ids, starts, frames_b, ring_samples):
     """Score VAD frames AND append them to the rings in one device call.
 
-    ``wire_b [B, n_frames, VAD_FRAME] int16``, ``starts [B] int32`` absolute
-    sample positions (mod applied here). Returns (new_vad_state, new_ring,
-    probs [B, n_frames]).
+    ``frames_b [B, n_frames, VAD_FRAME]`` int16 wire (or f32 PCM, quantized
+    here — device-array callers must not round-trip through the host),
+    ``starts [B] int32`` absolute sample positions (mod applied here).
+    Returns (new_vad_state, new_ring, probs [B, n_frames]). VAD scores the
+    dequantized wire — exactly the audio the ring stores.
     """
     rows = jax.tree.map(lambda s: s[slot_ids], vad_state)
-    frames_f = wire_b.astype(jnp.float32) / 32768.0
+    if frames_b.dtype == jnp.int16:
+        wire3 = frames_b
+    else:
+        wire3 = jnp.clip(frames_b * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
+    frames_f = wire3.astype(jnp.float32) / 32768.0
     probs, new_rows = vad_frame_probs(rows, frames_f)
     new_state = jax.tree.map(
         lambda s, r: s.at[slot_ids].set(r), vad_state, new_rows
     )
-    b = wire_b.shape[0]
-    ring = ring_append_rows(ring, slot_ids, starts, wire_b.reshape(b, -1))
+    b = wire3.shape[0]
+    ring = ring_append_rows(ring, slot_ids, starts, wire3.reshape(b, -1))
     return new_state, ring, probs
 
 
@@ -162,16 +168,20 @@ class SessionAudioRing:
 
         ``slot_ids [B]``, ``starts [B]`` absolute sample positions,
         ``frames_b [B, n_frames, VAD_FRAME]`` f32 PCM or int16 wire →
-        probs ``[B, n_frames]``. f32 is quantized to the int16 wire on the
-        host (:func:`pcm_to_wire`) — VAD scores the stored audio.
+        probs ``[B, n_frames]``. Host numpy f32 is quantized to the int16
+        wire before upload (:func:`pcm_to_wire` — half the bytes); device
+        arrays convert inside the jit (a host round trip per call would
+        cost the full tunnel RTT).
         """
+        if isinstance(frames_b, np.ndarray):
+            frames_b = pcm_to_wire(frames_b)
         with self._step_lock:
             self._vad_state, self._ring, probs = _vad_append(
                 self._vad_state,
                 self._ring,
                 jnp.asarray(slot_ids, jnp.int32),
                 jnp.asarray(starts, jnp.int32),
-                jnp.asarray(pcm_to_wire(np.asarray(frames_b))),
+                jnp.asarray(frames_b),
                 self.ring_samples,
             )
         return probs

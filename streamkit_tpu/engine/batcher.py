@@ -191,7 +191,11 @@ class DeviceBatcher:
         # Repeated rows are safe for slot-table kinds: duplicates gather the
         # same state and scatter identical values.
         n = len(items)
-        if kind.pad_to is not None and n <= kind.pad_to:
+        if kind.host_inputs:
+            # host-repack kinds shape their own device batch — padding here
+            # would only stack duplicate rows the fn immediately collapses
+            padded = n
+        elif kind.pad_to is not None and n <= kind.pad_to:
             padded = kind.pad_to
         else:
             padded = 1 << (n - 1).bit_length() if n > 1 else 1

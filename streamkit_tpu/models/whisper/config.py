@@ -59,13 +59,15 @@ class WhisperConfig:
 # Whisper's language-token order (the multilingual tokenizer's language
 # block, <|en|> first — openai/whisper tokenizer layout; the reference
 # accepts any of these codes via whisper.cpp's set_language,
-# plugins/native/whisper/src/lib.rs:249-253,625).
+# plugins/native/whisper/src/lib.rs:249-253,625). "yue" (Cantonese) is the
+# 100th entry, present only in large-v3's 51866-token vocab; token_language
+# indexes past the 99-language block correctly for that vocab.
 WHISPER_LANGUAGES = (
     "en zh de es ru ko fr ja pt tr pl ca nl ar sv it id hi fi vi he uk el ms "
     "cs ro da hu ta no th ur hr bg lt la mi ml cy sk te fa lv bn sr az sl kn "
     "et mk br eu is hy ne mn bs kk sq sw gl mr pa si km sn yo so af oc ka be "
     "tg sd gu am yi lo uz fo ht ps tk nn mt sa lb my bo tl mg as tt haw ln "
-    "ha ba jw su"
+    "ha ba jw su yue"
 ).split()
 _LANG_INDEX = {code: i for i, code in enumerate(WHISPER_LANGUAGES)}
 

@@ -323,18 +323,24 @@ def _encode_core(
     ring_samples = ring.shape[1]
     n_pos = CHUNK_POS * n_chunks
     gather = LEFT_CTX + CHUNK_SAMPLES * n_chunks + RIGHT_CTX
-    # windowed gather (B index pairs) over a wrap-padded ring copy — the
-    # element-indexed form (``ring[slot_ids[:,None], idx]``, B·gather pairs)
-    # measured ~150 ms at B=64 on v5e; the pad copy is ~0.2 ms of HBM
-    ringx = jnp.concatenate([ring, ring[:, :gather]], axis=1)
     g0 = (starts - LEFT_CTX) % ring_samples
-    gidx = jnp.stack([slot_ids, g0], axis=-1)
-    gdn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
-    )
-    audio = jax.lax.gather(
-        ringx, gidx, gdn, slice_sizes=(1, gather)
-    ).astype(jnp.float32) / 32768.0
+    if gather > ring_samples:
+        # tiny test rings only: the window laps the ring, which a single
+        # padded copy can't express — element-indexed mod gather
+        idx = (g0[:, None] + jnp.arange(gather, dtype=jnp.int32)) % ring_samples
+        audio = ring[slot_ids[:, None], idx].astype(jnp.float32) / 32768.0
+    else:
+        # windowed gather (B index pairs) over a wrap-padded ring copy — the
+        # element-indexed form (``ring[slot_ids[:,None], idx]``, B·gather
+        # pairs) measured ~150 ms at B=64 on v5e; the pad copy is ~0.2 ms
+        ringx = jnp.concatenate([ring, ring[:, :gather]], axis=1)
+        gidx = jnp.stack([slot_ids, g0], axis=-1)
+        gdn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
+        )
+        audio = jax.lax.gather(
+            ringx, gidx, gdn, slice_sizes=(1, gather)
+        ).astype(jnp.float32) / 32768.0
     mel = _chunk_mel(audio, cfg.n_mels, 16 * n_chunks + 3).astype(dtype)
 
     e = params["enc"]
@@ -1025,10 +1031,24 @@ _TABLES_LOCK = threading.Lock()
 def get_stream_table(tag: str, cfg: WhisperConfig, dtype, **kw) -> StreamTable:
     """Process-wide table per model tag; ``kw`` (max_slots, enc_t, ...)
     applies only at first creation (single-flight semantics — the first
-    creator sizes the table)."""
+    creator sizes the table; a second table per model would double the
+    multi-GB KV residency). A later caller whose sizing request conflicts
+    gets the existing table and a logged warning: too-small capacity
+    surfaces as clean ``try_alloc``/``open_session`` failures and the
+    bucket-path fallback, not silent corruption."""
     with _TABLES_LOCK:
         tbl = _TABLES.get(tag)
         if tbl is None:
             tbl = StreamTable(cfg, dtype, **kw)
             _TABLES[tag] = tbl
+        else:
+            got = {"max_slots": tbl.max_slots, "enc_t": tbl.enc_t, "dec_t": tbl.dec_t}
+            diff = {k: v for k, v in kw.items() if v is not None and got.get(k) != v}
+            if diff:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "stream table %s already sized %s; ignoring request %s "
+                    "(first creator wins)", tag, got, diff,
+                )
         return tbl

@@ -16,7 +16,12 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["real_speech_16k", "real_speech_available", "DEFAULT_SAMPLE"]
+__all__ = [
+    "real_speech_16k",
+    "real_speech_available",
+    "load_opus_16k",
+    "DEFAULT_SAMPLE",
+]
 
 DEFAULT_SAMPLE = os.environ.get(
     "SK_REAL_SPEECH", "/root/reference/samples/audio/system/speech_10m.opus"
@@ -38,11 +43,12 @@ def real_speech_available(path: str = None) -> bool:
         return False
 
 
-def _load(path: str) -> Optional[np.ndarray]:
-    if path in _CACHE:
-        return _CACHE[path]
+def load_opus_16k(path: str, secs: Optional[float] = None) -> Optional[np.ndarray]:
+    """Decode an Ogg/Opus file to 16 kHz mono f32 (3:1 box decimation from
+    libopus's 48 kHz output), optionally capped at ``secs``. Returns ``None``
+    when the file or libopus is unavailable. The single shared decode path
+    for benches, VAD training, and quality tests."""
     if not real_speech_available(path):
-        _CACHE[path] = None
         return None
     from ..nodes.codecs.opus import OpusDecoder
     from ..nodes.containers.ogg import OggPageReader
@@ -51,13 +57,22 @@ def _load(path: str) -> Optional[np.ndarray]:
     with open(path, "rb") as f:
         packets = [p for p, _ in reader.feed(f.read())]
     dec = OpusDecoder(48000, 2)
-    pcm = []
+    pcm, total = [], 0
+    cap48 = int(secs * 48000) if secs else None
     for pkt in packets[2:]:  # skip OpusHead/OpusTags
         frame = dec.decode(pkt)
         pcm.append(frame.mean(axis=1) if frame.ndim == 2 else frame)
+        total += len(pcm[-1])
+        if cap48 is not None and total >= cap48:
+            break
     a48 = np.concatenate(pcm)
     n = len(a48) // 3 * 3
-    _CACHE[path] = a48[:n].reshape(-1, 3).mean(axis=1).astype(np.float32)
+    return a48[:n].reshape(-1, 3).mean(axis=1).astype(np.float32)
+
+
+def _load(path: str) -> Optional[np.ndarray]:
+    if path not in _CACHE:
+        _CACHE[path] = load_opus_16k(path)
     return _CACHE[path]
 
 

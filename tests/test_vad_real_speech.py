@@ -39,30 +39,10 @@ needs_fixture = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def speech16k():
     """Decode the first ~60 s of the real-speech sample to 16 kHz mono."""
-    from streamkit_tpu.nodes.codecs.opus import OpusDecoder
-    from streamkit_tpu.nodes.containers.ogg import OggPageReader
+    from streamkit_tpu.utils.realspeech import load_opus_16k
 
-    reader = OggPageReader()
-    packets = []
-    with open(_SAMPLE, "rb") as f:
-        data = f.read()
-    for pkt, _gran in reader.feed(data):
-        packets.append(pkt)
-    assert packets and packets[0][:8] == b"OpusHead"
-    dec = OpusDecoder(sample_rate=48000, channels=2)
-    pcm = []
-    total = 0
-    for pkt in packets[2:]:  # skip OpusHead/OpusTags
-        frame = dec.decode(pkt)  # [n, ch] f32 @48k
-        pcm.append(frame.mean(axis=1) if frame.ndim == 2 else frame)
-        total += len(pcm[-1])
-        if total >= 60 * 48000:
-            break
-    audio48 = np.concatenate(pcm)
-    # 48k → 16k: exact 3:1 decimation with a simple low-pass (box over 3)
-    n = len(audio48) // 3 * 3
-    audio16 = audio48[:n].reshape(-1, 3).mean(axis=1).astype(np.float32)
-    assert len(audio16) > 30 * 16000, "sample shorter than expected"
+    audio16 = load_opus_16k(_SAMPLE, secs=60)
+    assert audio16 is not None and len(audio16) > 30 * 16000
     return audio16
 
 

@@ -227,8 +227,9 @@ def test_language_index_full_table():
     English."""
     from streamkit_tpu.models.whisper.config import WHISPER_LANGUAGES, language_index
 
-    assert len(WHISPER_LANGUAGES) == 99
-    assert len(set(WHISPER_LANGUAGES)) == 99
+    assert len(WHISPER_LANGUAGES) == 100  # 99 + large-v3's yue
+    assert len(set(WHISPER_LANGUAGES)) == 100
+    assert language_index("yue") == 99
     # anchors from the original 9-language map (token order is fixed)
     for code, idx in [("en", 0), ("zh", 1), ("de", 2), ("es", 3), ("ru", 4),
                       ("ko", 5), ("fr", 6), ("ja", 7), ("pt", 8), ("tr", 9)]:

@@ -28,22 +28,12 @@ SAMPLE = os.environ.get(
 
 
 def load_16k(path: str, secs: float = 110.0) -> np.ndarray:
-    from streamkit_tpu.nodes.codecs.opus import OpusDecoder
-    from streamkit_tpu.nodes.containers.ogg import OggPageReader
+    from streamkit_tpu.utils.realspeech import load_opus_16k
 
-    reader = OggPageReader()
-    packets = [p for p, _ in reader.feed(open(path, "rb").read())]
-    dec = OpusDecoder(48000, 2)
-    pcm, total = [], 0
-    for pkt in packets[2:]:
-        f = dec.decode(pkt)
-        pcm.append(f.mean(axis=1) if f.ndim == 2 else f)
-        total += len(pcm[-1])
-        if total >= secs * 48000:
-            break
-    a48 = np.concatenate(pcm)
-    n = len(a48) // 3 * 3
-    return a48[:n].reshape(-1, 3).mean(axis=1).astype(np.float32)
+    audio = load_opus_16k(path, secs=secs)
+    if audio is None:
+        raise FileNotFoundError(f"fixture or libopus unavailable: {path}")
+    return audio
 
 
 def main() -> None:

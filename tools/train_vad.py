@@ -74,20 +74,12 @@ def _load_real():
     if _REAL is not None:
         return _REAL
     try:
-        from streamkit_tpu.nodes.codecs.opus import OpusDecoder
-        from streamkit_tpu.nodes.containers.ogg import OggPageReader
         from streamkit_tpu.ops.vad import _spectral_frame_probs, _spectral_init_state
+        from streamkit_tpu.utils.realspeech import load_opus_16k
 
-        reader = OggPageReader()
-        packets = [p for p, _ in reader.feed(open(_REAL_SAMPLE, "rb").read())]
-        dec = OpusDecoder(48000, 2)
-        pcm = []
-        for pkt in packets[2:]:
-            f = dec.decode(pkt)
-            pcm.append(f.mean(axis=1) if f.ndim == 2 else f)
-        a48 = np.concatenate(pcm)
-        n = len(a48) // 3 * 3
-        a16 = a48[:n].reshape(-1, 3).mean(axis=1).astype(np.float32)
+        a16 = load_opus_16k(_REAL_SAMPLE)
+        if a16 is None:
+            raise FileNotFoundError(_REAL_SAMPLE)
         nf = len(a16) // FRAME
         frames = a16[: nf * FRAME].reshape(nf, FRAME)
         st = _spectral_init_state()
@@ -116,11 +108,9 @@ def _augment(rng, audio):
     if rng.integers(0, 2):  # one-pole tilt (dark or bright)
         a = float(rng.uniform(-0.6, 0.6))
         out = np.empty_like(audio)
-        prev = 0.0
         # y[t] = x[t] + a*x[t-1] — cheap spectral tilt
         out[0] = audio[0]
         out[1:] = audio[1:] + a * audio[:-1]
-        del prev
         audio = out
     return np.clip(audio, -1.0, 1.0)
 
