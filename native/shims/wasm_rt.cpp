@@ -8,14 +8,18 @@
 // image, so this is a from-scratch interpreter with the same guardrails:
 //   * hard linear-memory cap (64 MiB)
 //   * per-call fuel budget (instruction count) instead of wall-clock timeout
-//   * no host imports: plugins are pure compute over their linear memory
+//   * function imports only, dispatched to a registered host callback
+//     (the component-model loader lowers host/WASI functions onto it;
+//     classic pure-compute plugins import nothing)
 //
-// Exposed C API (consumed by streamkit_tpu/plugins/wasm.py over ctypes):
+// Exposed C API (consumed by streamkit_tpu/plugins/{wasm,component}.py):
 //   skwasm_load(bytes, len, err, errlen)        -> instance* | NULL
 //   skwasm_free(inst)
 //   skwasm_call(inst, name, args, nargs, results, nresults, fuel, err, errlen)
 //   skwasm_memory(inst, &size)                  -> uint8_t*
+//   skwasm_memory_grow(inst, min_bytes, err, errlen)
 //   skwasm_has_export(inst, name)               -> 0/1
+//   skwasm_import_count/name/arity, skwasm_set_host(cb)  -> host imports
 
 #include <cstdint>
 #include <cstring>
@@ -53,16 +57,35 @@ struct Global {
     uint64_t value;
 };
 
+// Host-function import. The component-model loader (plugins/component.py)
+// binds these to canonical-ABI lowered host functions (host.log,
+// host.send-output, canon resource.new/rep/drop, WASI stubs); the classic
+// pure-compute plugin path (plugins/wasm.py) loads modules with no imports
+// and never registers a callback. Values cross as raw 64-bit bit patterns
+// (f32/f64 as their bit representations), matching the interpreter stack.
+typedef int (*skwasm_host_cb_t)(void* user, uint32_t import_idx,
+                                const int64_t* args, uint32_t nargs,
+                                int64_t* results, uint32_t nresults,
+                                char* err, size_t errlen);
+
+struct HostImport {
+    std::string module, name;
+    uint32_t type_idx = 0;
+};
+
 struct Module {
     std::vector<uint8_t> bytes;
     std::vector<FuncType> types;
-    std::vector<Func> funcs;
+    std::vector<HostImport> imports;  // function index space: imports first
+    std::vector<Func> funcs;          // local functions (index - imports.size())
     std::vector<Global> globals;
     std::vector<uint32_t> table;  // funcref table
     std::unordered_map<std::string, uint32_t> func_exports;
     std::vector<uint8_t> memory;
     size_t mem_max = MEM_CAP;
     bool has_memory = false;
+    skwasm_host_cb_t host_cb = nullptr;
+    void* host_user = nullptr;
 };
 
 // ---------------------------------------------------------------------- leb
@@ -199,9 +222,19 @@ Module* load_module(const uint8_t* data, size_t len) {
                 }
                 break;
             }
-            case 2: {  // imports — none supported (pure-compute sandbox)
+            case 2: {  // imports — function imports only, host-dispatched
                 uint32_t n = r.u32();
-                if (n > 0) throw Trap("imports not supported in this runtime");
+                for (uint32_t i = 0; i < n; i++) {
+                    HostImport imp;
+                    imp.module = r.name();
+                    imp.name = r.name();
+                    uint8_t kind = r.u8();
+                    if (kind != 0x00)
+                        throw Trap("only function imports supported (module '" +
+                                   imp.module + "' field '" + imp.name + "')");
+                    imp.type_idx = r.u32();
+                    m->imports.push_back(std::move(imp));
+                }
                 break;
             }
             case 3: {  // functions
@@ -443,14 +476,31 @@ void find_block_ends(const uint8_t* p, const uint8_t* fend, const uint8_t** out_
 }
 
 void Interp::call_function(uint32_t fidx) {
-    if (fidx >= m->funcs.size()) throw Trap("bad function index");
+    size_t n_imp = m->imports.size();
+    if (fidx >= n_imp + m->funcs.size()) throw Trap("bad function index");
     if (depth >= MAX_CALL_DEPTH) throw Trap("call stack exhausted");
     depth++;
     struct DepthGuard {
         uint32_t& d;
         ~DepthGuard() { d--; }
     } guard{depth};
-    const Func& f = m->funcs[fidx];
+    if (fidx < n_imp) {  // host import: dispatch through the registered cb
+        const HostImport& imp = m->imports[fidx];
+        if (!m->host_cb)
+            throw Trap("no host binding for import " + imp.module + "." + imp.name);
+        const FuncType& ft = m->types.at(imp.type_idx);
+        burn(64);  // a host call is not free
+        std::vector<int64_t> args(ft.params.size());
+        for (size_t i = ft.params.size(); i-- > 0;) args[i] = int64_t(pop());
+        std::vector<int64_t> results(ft.results.size(), 0);
+        char err[256] = {0};
+        int rc = m->host_cb(m->host_user, fidx, args.data(), uint32_t(args.size()),
+                            results.data(), uint32_t(results.size()), err, sizeof err);
+        if (rc != 0) throw Trap(err[0] ? err : "host import failed");
+        for (auto v : results) push(uint64_t(v));
+        return;
+    }
+    const Func& f = m->funcs[fidx - n_imp];
     const FuncType& ft = m->types.at(f.type_idx);
     std::vector<uint64_t> locals(ft.params.size() + f.local_types.size(), 0);
     for (size_t i = ft.params.size(); i-- > 0;) locals[i] = pop();
@@ -849,6 +899,36 @@ void* skwasm_load(const uint8_t* bytes, size_t len, char* err, size_t errlen) {
 }
 
 void skwasm_free(void* inst) { delete static_cast<Module*>(inst); }
+
+// -------- host imports (component-model loader binds these from Python) ----
+
+int skwasm_import_count(void* inst) {
+    return int(static_cast<Module*>(inst)->imports.size());
+}
+
+int skwasm_import_name(void* inst, int i, char* module, size_t mlen,
+                       char* name, size_t nlen) {
+    auto* m = static_cast<Module*>(inst);
+    if (i < 0 || size_t(i) >= m->imports.size()) return -1;
+    if (module && mlen) snprintf(module, mlen, "%s", m->imports[i].module.c_str());
+    if (name && nlen) snprintf(name, nlen, "%s", m->imports[i].name.c_str());
+    return 0;
+}
+
+int skwasm_import_arity(void* inst, int i, int* nparams, int* nresults) {
+    auto* m = static_cast<Module*>(inst);
+    if (i < 0 || size_t(i) >= m->imports.size()) return -1;
+    const FuncType& ft = m->types.at(m->imports[i].type_idx);
+    if (nparams) *nparams = int(ft.params.size());
+    if (nresults) *nresults = int(ft.results.size());
+    return 0;
+}
+
+void skwasm_set_host(void* inst, skwasm_host_cb_t cb, void* user) {
+    auto* m = static_cast<Module*>(inst);
+    m->host_cb = cb;
+    m->host_user = user;
+}
 
 int skwasm_has_export(void* inst, const char* name) {
     auto* m = static_cast<Module*>(inst);

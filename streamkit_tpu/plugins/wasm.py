@@ -247,8 +247,18 @@ class WasmNodeWrapper(ProcessorNode):
         ctx.emit_state(NodeState.stopped(StopReason.INPUT_CLOSED))
 
 
-def load_wasm_plugin(registry: NodeRegistry, path: str) -> LoadedWasmPlugin:
-    """Load + register a wasm plugin as ``plugin::wasm::<name>``."""
+def load_wasm_plugin(registry: NodeRegistry, path: str):
+    """Load + register a wasm plugin as ``plugin::wasm::<name>``.
+
+    Layer-1 binaries (components — the reference's plugin format,
+    ``wit/plugin.wit``) route to the component host; layer-0 core modules
+    use the classic pure-compute ABI above."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if len(head) >= 8 and head[6:8] == b"\x01\x00":
+        from .component import load_component_plugin
+
+        return load_component_plugin(registry, path)
     plugin = LoadedWasmPlugin(path)
 
     def factory(params):

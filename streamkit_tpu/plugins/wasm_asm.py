@@ -96,6 +96,7 @@ def memarg(align: int = 2, offset: int = 0) -> bytes:
 class WasmModuleBuilder:
     def __init__(self) -> None:
         self._types: List[Tuple[tuple, tuple]] = []
+        self._imports: List[Tuple[str, str, int]] = []  # (module, field, type idx)
         self._funcs: List[int] = []  # type index per function
         self._bodies: List[bytes] = []
         self._locals: List[List[int]] = []
@@ -103,6 +104,16 @@ class WasmModuleBuilder:
         self._exports: List[Tuple[str, int, int]] = []  # (name, kind, index)
         self._mem_min_pages = 1
         self._data: List[Tuple[int, bytes]] = []
+
+    def add_import_func(self, module: str, field: str, params: Sequence[int],
+                        results: Sequence[int]) -> int:
+        """Declare a function import (must precede all add_func calls —
+        imports occupy the front of the function index space). Returns the
+        function index usable in CALL."""
+        if self._funcs:
+            raise ValueError("declare imports before local functions")
+        self._imports.append((module, field, self._type_idx(params, results)))
+        return len(self._imports) - 1
 
     def _type_idx(self, params: Sequence[int], results: Sequence[int]) -> int:
         key = (tuple(params), tuple(results))
@@ -119,11 +130,12 @@ class WasmModuleBuilder:
         body: bytes,
         locals_: Optional[Sequence[int]] = None,
     ) -> int:
-        """Add a function; ``body`` must end with END. Returns func index."""
+        """Add a function; ``body`` must end with END. Returns func index
+        (offset past any imports — the shared function index space)."""
         self._funcs.append(self._type_idx(params, results))
         self._locals.append(list(locals_ or []))
         self._bodies.append(body)
-        return len(self._funcs) - 1
+        return len(self._imports) + len(self._funcs) - 1
 
     def add_global(self, vtype: int, mutable: bool, init_expr: bytes) -> int:
         """``init_expr`` must end with END, e.g. f32c(1.0)+bytes([END])."""
@@ -154,6 +166,13 @@ class WasmModuleBuilder:
             p += b"\x60" + leb(len(params)) + bytes(params)
             p += leb(len(results)) + bytes(results)
         out += self._section(1, p)
+        # imports
+        if self._imports:
+            p = leb(len(self._imports))
+            for module, field, tidx in self._imports:
+                mb, fb = module.encode(), field.encode()
+                p += leb(len(mb)) + mb + leb(len(fb)) + fb + b"\x00" + leb(tidx)
+            out += self._section(2, p)
         # functions
         p = leb(len(self._funcs)) + b"".join(leb(t) for t in self._funcs)
         out += self._section(3, p)
