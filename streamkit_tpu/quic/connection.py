@@ -539,6 +539,11 @@ class QuicConnection:
             self._queue_close(error_code, reason, app=True)
 
     def _queue_close(self, error_code: int, reason: str, app: bool = False) -> None:
+        if self.close_sent is None:
+            # surface the close locally too — callers awaiting the handshake
+            # (or pumping events) must fail fast with the real reason, not
+            # time out silently (e.g. fingerprint-pinning rejection)
+            self.events.append(CloseEvent(error_code, reason))
         self.close_sent = (error_code, reason, app)
 
     # -- datagram building ------------------------------------------------------
