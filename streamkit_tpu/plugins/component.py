@@ -499,6 +499,16 @@ def parse_component(data: bytes) -> ParsedComponent:
         raise ComponentError(f"unsupported component binary version 0x{version:02x}")
     pc = ParsedComponent()
     r = _Reader(data, 8)
+    try:
+        _parse_sections(pc, r, data)
+    except (IndexError, KeyError, OverflowError, MemoryError) as e:
+        # hostile-input boundary: the upload endpoint feeds attacker bytes,
+        # so any malformed index/count must surface as a parse error
+        raise ComponentError(f"malformed component binary: {type(e).__name__}") from e
+    return pc
+
+
+def _parse_sections(pc: ParsedComponent, r: _Reader, data: bytes) -> None:
     while not r.eof():
         sid = r.u8()
         size = r.u32()
@@ -671,7 +681,6 @@ def parse_component(data: bytes) -> ParsedComponent:
         else:
             raise ComponentError(f"unknown component section id {sid}")
         r.i = sec_end
-    return pc
 
 
 def _read_canonopts(r: _Reader) -> Dict[str, Any]:

@@ -340,3 +340,27 @@ def test_upload_component_plugin_via_api(tmp_path):
         await client.close()
 
     asyncio.run(main())
+
+
+def test_component_parser_fuzz_never_crashes():
+    """Byte-flip fuzz over the valid component: the parser must either
+    parse or raise ComponentError/UnicodeDecodeError — never crash or
+    hang (the upload endpoint feeds it attacker bytes)."""
+    import random
+
+    comp = bytearray(build_gain_component())
+    rng = random.Random(0)
+    for trial in range(300):
+        mutated = bytearray(comp)
+        for _ in range(rng.randint(1, 8)):
+            mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        try:
+            parse_component(bytes(mutated))
+        except (ComponentError, UnicodeDecodeError):
+            pass
+    # truncations at every section boundary region
+    for cut in range(8, len(comp), 97):
+        try:
+            parse_component(bytes(comp[:cut]))
+        except (ComponentError, UnicodeDecodeError):
+            pass
