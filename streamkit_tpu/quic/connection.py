@@ -247,6 +247,14 @@ class QuicConnection:
         self.bytes_in_flight = 0
         self.cwnd = 48 * 1024
         self.cwnd_cap = 512 * 1024
+        # RFC 9002-lite loss recovery: RTT-estimated PTO + packet-threshold
+        # loss + once-per-epoch cwnd reduction. The round-2 fixed 250 ms PTO
+        # that halved cwnd on every fire produced a death spiral under relay
+        # load (one >250 ms hiccup -> retransmit storm -> more delay);
+        # measured bimodal session stalls in moq_wt_bench (PERF_NOTES r3).
+        self.srtt: Optional[float] = None
+        self.rttvar = 0.0
+        self._recovery_start = -1.0  # sent_time threshold of current loss epoch
 
         if not is_server:
             tls.client_start()
@@ -491,13 +499,54 @@ class QuicConnection:
             for _ in range(3):
                 _, off = decode_varint(payload, off)
         if ranges:
+            now = self._now()
             for pn in list(space.sent):
                 if any(lo <= pn <= hi for lo, hi in ranges):
                     sp = space.sent.pop(pn)
                     self.bytes_in_flight = max(0, self.bytes_in_flight - sp.size)
                     self.cwnd = min(self.cwnd_cap, self.cwnd + sp.size)  # slow start
+                    if pn == largest:  # RTT sample from the largest acked
+                        self._sample_rtt(now - sp.sent_time)
+            # packet-threshold loss (RFC 9002 §6.1.1): anything 3+ packets
+            # older than the largest acked and still unacked is lost now —
+            # requeue without waiting for the PTO timer
+            thresh = largest - 3
+            for pn in [p for p in space.sent if p <= thresh]:
+                self._declare_lost(space, space.sent.pop(pn))
         self._pto_count = 0
         return off
+
+    def _sample_rtt(self, latest: float) -> None:
+        if latest < 0:
+            return
+        if self.srtt is None:
+            self.srtt = latest
+            self.rttvar = latest / 2
+        else:  # RFC 6298 EWMA
+            self.rttvar = 0.75 * self.rttvar + 0.25 * abs(self.srtt - latest)
+            self.srtt = 0.875 * self.srtt + 0.125 * latest
+
+    def _pto_interval(self) -> float:
+        if self.srtt is None:
+            base = PTO_SECS
+        else:
+            base = max(0.05, self.srtt + 4 * self.rttvar + 0.025)
+        return min(MAX_PTO_SECS, base * (2**self._pto_count))
+
+    def _declare_lost(self, space: "_PnSpace", sp: "_SentPacket") -> None:
+        """Requeue a lost packet's retransmittable data; reduce cwnd at most
+        once per loss epoch (RFC 9002 §7.3.1 recovery period)."""
+        self.bytes_in_flight = max(0, self.bytes_in_flight - sp.size)
+        for coff, data in sp.crypto:
+            space.crypto_to_send.append((coff, data))
+        for sid, soff, data, fin in sp.stream:
+            if sid in self._send_streams or fin:
+                self._stream_rtx.append((sid, soff, data, fin))
+        if sp.handshake_done:
+            self._hd_sent = False
+        if sp.sent_time > self._recovery_start:
+            self.cwnd = max(16 * 1024, self.cwnd // 2)
+            self._recovery_start = self._now()
 
     def _drop_epoch(self, epoch: int) -> None:
         self.recv_keys.pop(epoch, None)
@@ -568,6 +617,8 @@ class QuicConnection:
         for epoch in (EPOCH_INITIAL, EPOCH_HANDSHAKE, EPOCH_APP):
             if epoch not in self.send_keys:
                 continue
+            if not self._epoch_has_pending(epoch):
+                continue
             while True:
                 pkt = self._build_epoch_payload(epoch)
                 if pkt is None:
@@ -603,6 +654,37 @@ class QuicConnection:
             fr += encode_varint(largest - smallest)
             prev_smallest = smallest
         return bytes(fr)
+
+    def _epoch_has_pending(self, epoch: int) -> bool:
+        """Cheap emptiness check so ``datagrams_to_send`` skips the frame
+        builder for idle epochs — the builder ran ~3.5x per packet actually
+        built under MoQ load, with the misses costing ~10% of relay CPU
+        (PERF_NOTES r3). Must stay conservative: returning True for an idle
+        epoch only wastes a builder call; returning False for a pending one
+        would stall the connection."""
+        space = self.spaces[epoch]
+        if space.ack_pending or space.crypto_to_send:
+            return True
+        if epoch != EPOCH_APP:
+            return False
+        if (
+            self._datagrams_out
+            or self._stream_rtx
+            or self._reset_queue
+            or self._max_data_to_send is not None
+            or self._max_stream_data_to_send
+            or getattr(self, "_path_response", None) is not None
+        ):
+            return True
+        if self.is_server and self.handshake_confirmed and not getattr(self, "_hd_sent", False):
+            return True
+        if self.handshake_complete and self.bytes_in_flight < self.cwnd:
+            for s in self._send_streams.values():
+                if s.fin and not s.fin_sent:
+                    return True
+                if len(s.buffer) - (s.next_offset - s.base_offset) > 0:
+                    return True
+        return False
 
     def _build_epoch_payload(self, epoch: int) -> Optional[bytes]:
         """One packet's worth of frames for this epoch, or None if nothing."""
@@ -772,27 +854,23 @@ class QuicConnection:
     # ----------------------------------------------------------------- timers
 
     def handle_timer(self) -> None:
-        """Call periodically (~50 ms): PTO retransmission."""
+        """Call periodically (~50 ms): PTO retransmission.
+
+        PTO is RTT-based (``_pto_interval``) and does NOT collapse cwnd —
+        per RFC 9002 a PTO expiry is a probe, not a loss signal; cwnd
+        reduction happens in ``_declare_lost`` (packet-threshold, at most
+        once per recovery period). The old fixed-250 ms halve-on-every-fire
+        behavior death-spiraled under relay load."""
         now = self._now()
-        pto = min(MAX_PTO_SECS, PTO_SECS * (2**self._pto_count))
+        pto = self._pto_interval()
         fired = False
         for epoch, space in self.spaces.items():
             for pn, sp in list(space.sent.items()):
                 if now - sp.sent_time > pto:
-                    del space.sent[pn]
-                    self.bytes_in_flight = max(0, self.bytes_in_flight - sp.size)
+                    self._declare_lost(space, space.sent.pop(pn))
                     fired = True
-                    # requeue retransmittable data
-                    for coff, data in sp.crypto:
-                        space.crypto_to_send.append((coff, data))
-                    for sid, soff, data, fin in sp.stream:
-                        if sid in self._send_streams or fin:
-                            self._stream_rtx.append((sid, soff, data, fin))
-                    if sp.handshake_done:
-                        self._hd_sent = False
         if fired:
             self._pto_count = min(self._pto_count + 1, 6)
-            self.cwnd = max(16 * 1024, self.cwnd // 2)  # multiplicative decrease
 
     @property
     def timeout_pending(self) -> bool:
