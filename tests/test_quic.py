@@ -251,3 +251,138 @@ def test_malformed_frame_closes_connection_not_raises():
     assert datagrams
     conn.receive_datagram(datagrams[0])  # must not raise
     assert conn.close_sent is not None or conn.closed or True
+
+
+# ------------------------------------------------- loss-recovery mechanics
+
+
+def _mem_pair(now):
+    """Two QuicConnections wired in memory with an injectable clock —
+    deterministic harness for the RFC 9002-lite recovery mechanics."""
+    import os as _os
+
+    from streamkit_tpu.quic.connection import QuicConnection
+    from streamkit_tpu.quic.tls import TlsSession, TransportParams
+
+    cert, key = generate_self_signed()
+    fp = hashlib.sha256(cert).digest()
+    odcid = _os.urandom(8)
+    scid_c = _os.urandom(8)
+    scid_s = _os.urandom(8)
+    ctls = TlsSession(
+        False,
+        TransportParams(initial_scid=scid_c),
+        alpn="h3",
+        pinned_fingerprints=[fp],
+        server_name="localhost",
+    )
+    client = QuicConnection(False, ctls, odcid, scid=scid_c, now=now)
+    stls = TlsSession(
+        True,
+        TransportParams(initial_scid=scid_s, original_dcid=odcid),
+        alpn="h3",
+        cert_der=cert,
+        private_key=key,
+    )
+    server = QuicConnection(True, stls, odcid, scid=scid_s, now=now)
+    return client, server
+
+
+def _pump(a, b, drop_from_a=None, rounds=12):
+    """Exchange datagrams until quiescent. ``drop_from_a``: indices of a's
+    datagrams (counted across the whole pump) to drop."""
+    dropped = 0
+    sent_idx = 0
+    for _ in range(rounds):
+        moved = False
+        for d in a.datagrams_to_send():
+            if drop_from_a and sent_idx in drop_from_a:
+                dropped += 1
+            else:
+                b.receive_datagram(d)
+            sent_idx += 1
+            moved = True
+        for d in b.datagrams_to_send():
+            a.receive_datagram(d)
+            moved = True
+        if not moved:
+            break
+    return dropped
+
+
+def test_rtt_estimation_from_acks():
+    clock = [0.0]
+    client, server = _mem_pair(lambda: clock[0])
+    _pump(client, server)
+    assert client.handshake_complete and server.handshake_complete
+    # steady 30 ms flight+ack delay: srtt must converge toward it
+    sid = client.open_uni_stream()
+    for _ in range(12):
+        client.send_stream_data(sid, b"x" * 100)
+        outs = client.datagrams_to_send()
+        clock[0] += 0.030
+        for d in outs:
+            server.receive_datagram(d)
+        for d in server.datagrams_to_send():
+            client.receive_datagram(d)
+    assert client.srtt is not None and 0.015 <= client.srtt <= 0.05
+    # PTO follows the measured rtt, not the fixed 250 ms legacy constant
+    assert client._pto_interval() < 0.25
+
+
+def test_packet_threshold_loss_requeues_without_timer():
+    """Drop one data packet; 3+ later-acked packets must declare it lost
+    and retransmit on ACK arrival alone (no PTO timer calls)."""
+    clock = [0.0]
+    client, server = _mem_pair(lambda: clock[0])
+    _pump(client, server)
+    sid = client.open_uni_stream()
+    got = bytearray()
+
+    def drain_server():
+        for ev in server.events:
+            if hasattr(ev, "stream_id") and ev.stream_id == sid:
+                got.extend(ev.data)
+        server.events.clear()
+
+    # packet 1: dropped
+    client.send_stream_data(sid, b"A" * 800)
+    lost = client.datagrams_to_send()
+    assert len(lost) == 1
+    # packets 2..5 delivered; server acks them
+    for i in range(4):
+        client.send_stream_data(sid, bytes([66 + i]) * 800)
+        for d in client.datagrams_to_send():
+            server.receive_datagram(d)
+        drain_server()
+        for d in server.datagrams_to_send():
+            client.receive_datagram(d)
+    # the ACKs alone must have requeued the lost chunk (never call handle_timer)
+    for d in client.datagrams_to_send():
+        server.receive_datagram(d)
+    drain_server()
+    assert bytes(got[:800]).count(b"A"[0]) == 0 or b"A" * 800 in bytes(got)
+    assert b"A" * 800 in bytes(got), "lost chunk not retransmitted via packet-threshold"
+
+
+def test_pto_fires_as_probe_without_cwnd_collapse():
+    """Repeated PTO expiries inside one recovery period must reduce cwnd at
+    most once (the legacy halve-on-every-fire caused death spirals)."""
+    clock = [0.0]
+    client, server = _mem_pair(lambda: clock[0])
+    _pump(client, server)
+    cwnd0 = client.cwnd
+    sid = client.open_uni_stream()
+    for _ in range(4):
+        client.send_stream_data(sid, b"z" * 500)
+        client.datagrams_to_send()  # sent but never delivered
+    clock[0] += 10.0  # all in flight expire
+    client.handle_timer()
+    assert client.cwnd >= max(16 * 1024, cwnd0 // 2)
+    cwnd_after_first = client.cwnd
+    # more expiries in the SAME recovery period: no further reduction
+    client.send_stream_data(sid, b"z" * 500)
+    client.datagrams_to_send()
+    clock[0] += 0.0001
+    client.handle_timer()
+    assert client.cwnd == cwnd_after_first
