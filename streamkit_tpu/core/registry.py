@@ -20,6 +20,64 @@ from typing import Any, Callable, Dict, List, Optional
 from .errors import ConfigurationError
 from .node import NodeFactory, ProcessorNode
 
+
+def derive_param_schema(node_cls: type) -> Optional[dict]:
+    """Best-effort JSON schema from a node class's ``parse_config_*`` call.
+
+    The reference publishes a ``param_schema`` per node (node metadata,
+    consumed by the UI inspector and docs); our nodes declare their params
+    as the defaults dict passed to :func:`helpers.parse_config_optional` /
+    ``parse_config_required`` — this introspects that dict from the
+    ``__init__`` source and maps defaults to JSON-schema property types.
+    Returns None when no declaration is found (e.g. native/wasm wrappers,
+    whose schema comes from the plugin itself)."""
+    import inspect
+    import re
+
+    try:
+        src = inspect.getsource(node_cls.__init__)
+    except (OSError, TypeError):
+        return None
+    src = re.sub(r"#[^\n]*", "", src)
+    required: List[str] = []
+    m = re.search(r"parse_config_required\(\s*params,\s*(\[.*?\])\s*,\s*(\{.*?\})\s*,?\s*\)", src, re.S)
+    if m:
+        try:
+            required = eval(m.group(1), {"__builtins__": {}}, {})  # noqa: S307
+            defaults = eval(m.group(2), {"__builtins__": {}}, {})  # noqa: S307
+        except Exception:
+            return None
+    else:
+        m = re.search(r"parse_config_optional\(\s*params,\s*(\{.*?\})\s*,?\s*\)", src, re.S)
+        if not m:
+            return None
+        try:
+            defaults = eval(m.group(1), {"__builtins__": {}}, {})  # noqa: S307
+        except Exception:
+            return None
+    props: Dict[str, dict] = {}
+    for name, default in defaults.items():
+        prop: dict = {}
+        if isinstance(default, bool):
+            prop["type"] = "boolean"
+        elif isinstance(default, int):
+            prop["type"] = "integer"
+        elif isinstance(default, float):
+            prop["type"] = "number"
+        elif isinstance(default, str):
+            prop["type"] = "string"
+        elif isinstance(default, (list, tuple)):
+            prop["type"] = "array"
+        elif isinstance(default, dict):
+            prop["type"] = "object"
+        if default is not None and name not in required:
+            prop["default"] = list(default) if isinstance(default, tuple) else default
+        props[name] = prop
+    schema: dict = {"type": "object", "properties": props, "additionalProperties": False}
+    if required:
+        schema["required"] = sorted(required)
+    return schema
+
 __all__ = ["NodeRegistry", "NodeDefinition", "RegisteredNode"]
 
 
@@ -133,13 +191,16 @@ class NodeRegistry:
                 probe = entry.factory(None)
             except Exception:
                 continue  # kinds that can't instantiate param-free are skipped
+            schema = entry.param_schema
+            if schema is None:
+                schema = derive_param_schema(type(probe))
             defs.append(
                 NodeDefinition(
                     kind=kind,
                     description=entry.description,
                     input_pins=[p.to_json() for p in probe.input_pins()],
                     output_pins=[p.to_json() for p in probe.output_pins()],
-                    param_schema=entry.param_schema,
+                    param_schema=schema,
                     supports_dynamic_pins=probe.supports_dynamic_pins(),
                 )
             )
