@@ -207,6 +207,7 @@ class TtsNode(ProcessorNode):
         splitter = SentenceSplitter()
         loop = asyncio.get_running_loop()
         seq = 0
+        synth_batched = None  # set by backends that support cross-session batching
 
         if loaded[0] == "kokoro":
             from ...models.kokoro import SAMPLE_RATE as KOKORO_SR, kokoro_synthesize
@@ -229,10 +230,13 @@ class TtsNode(ProcessorNode):
             _, mcfg, mparams, tok = loaded
             fmt = AudioFormat(mcfg.sampling_rate, 1)
 
-            def synth_sync(sentence: str) -> np.ndarray:
-                ids = tok.encode(sentence) if tok else np.frombuffer(
+            def _encode(sentence: str) -> np.ndarray:
+                return tok.encode(sentence) if tok else np.frombuffer(
                     sentence.encode(), np.uint8
                 ).astype(np.int32) % mcfg.vocab_size
+
+            def synth_sync(sentence: str) -> np.ndarray:
+                ids = _encode(sentence)
                 # pow-2 frame buckets bound the number of jit shapes; if the
                 # predicted length saturates a bucket, grow and resynthesize
                 n_frames = 1 << max(6, int(len(ids) * 4 - 1).bit_length())
@@ -247,6 +251,50 @@ class TtsNode(ProcessorNode):
                         return np.asarray(wave[0][:n], np.float32)
                     n_frames *= 2
                 return np.asarray(wave[0], np.float32)
+
+            # cross-session batching: sentences from ALL tts nodes sharing
+            # this model coalesce into one padded+masked synthesize call per
+            # token bucket (4 frames/token budget, same saturation-growth
+            # contract as the direct path). TPU-native win the per-stream
+            # reference cannot express (kokoro_node.rs synthesizes serially).
+            if ctx.batcher is not None:
+                tag = f"{self.model_path or 'randinit'}:{self.speed}"
+
+                def make_fn(tb: int):
+                    frames = 4 * tb
+
+                    def fn(ids_b: np.ndarray, mask_b: np.ndarray):
+                        wave, n_valid = vits_synthesize(
+                            mparams, mcfg, jnp.asarray(ids_b),
+                            mask=jnp.asarray(mask_b, jnp.float32),
+                            max_frames=frames,
+                            speaking_rate=self.speed,
+                        )
+                        return np.asarray(wave), np.asarray(n_valid)
+
+                    return fn
+
+                async def _synth_batched(sentence: str) -> np.ndarray:
+                    ids = _encode(sentence)
+                    # coarse buckets (min 64 tokens): typical sentences share
+                    # one shape, so concurrent sessions actually coalesce
+                    tb = 1 << max(6, (max(1, len(ids)) - 1).bit_length())
+                    wave = np.zeros(0, np.float32)
+                    for _ in range(4):
+                        kind = f"tts_vits:{tag}:{tb}"
+                        ctx.batcher.register(kind, make_fn(tb), max_batch=16)
+                        padded = np.zeros(tb, np.int32)
+                        padded[: len(ids)] = ids[:tb]
+                        mask = np.zeros(tb, np.float32)
+                        mask[: len(ids)] = 1.0
+                        wave, n_valid = await ctx.batcher.submit(kind, padded, mask)
+                        n = int(n_valid)
+                        if n < 4 * tb * mcfg.hop:
+                            return np.asarray(wave[:n], np.float32)
+                        tb *= 2
+                    return np.asarray(wave, np.float32)
+
+                synth_batched = _synth_batched
         else:
             _, acfg, aparams, vcfg, vparams = loaded
             fmt = AudioFormat(self.sample_rate, 1)
@@ -267,7 +315,10 @@ class TtsNode(ProcessorNode):
 
         async def emit_sentence(sentence: str) -> None:
             nonlocal seq
-            wav = await loop.run_in_executor(None, synth_sync, sentence)
+            if synth_batched is not None:
+                wav = await synth_batched(sentence)
+            else:
+                wav = await loop.run_in_executor(None, synth_sync, sentence)
             if wav.shape[0] == 0:
                 return
             telemetry.emit("tts.sentence", {"text": sentence[:120], "samples": int(wav.shape[0])})
