@@ -33,6 +33,8 @@ __all__ = [
     "marian_encode",
     "marian_decode_logits",
     "marian_greedy_translate",
+    "marian_greedy_cached",
+    "marian_decode_step",
     "marian_config_from_hf",
     "marian_params_from_hf",
 ]
@@ -184,6 +186,87 @@ def marian_decode_logits(params, cfg: MarianConfig, dec_tokens, enc_states, enc_
         x = _ln(x + h, layer["ln2"])
     logits = jnp.matmul(x, params["emb"].T.astype(x.dtype), preferred_element_type=jnp.float32)
     return logits + params["logits_bias"]
+
+
+def _marian_init_cache(params, cfg: MarianConfig, enc_states, max_t: int):
+    """Per-decoder-layer (self_k, self_v, cross_k, cross_v): cross K/V are
+    computed ONCE from the encoder states; self K/V are preallocated
+    [b, max_t, d] buffers written incrementally (whisper decode.py layout)."""
+    b = enc_states.shape[0]
+    cache = []
+    for layer in params["dec_layers"]:
+        ck = _dense(enc_states, layer["xattn"]["k"])
+        cv = _dense(enc_states, layer["xattn"]["v"])
+        sk = jnp.zeros((b, max_t, cfg.d_model), enc_states.dtype)
+        cache.append((sk, jnp.zeros_like(sk), ck, cv))
+    return cache
+
+
+def marian_decode_step(params, cfg: MarianConfig, tok, step, cache, enc_bias):
+    """One cached decoder step: ``tok [b]`` at position ``step`` →
+    (logits [b, vocab], cache). Jit/while_loop-safe (static shapes)."""
+    scale = math.sqrt(cfg.d_model) if cfg.scale_embedding else 1.0
+    emb = params["emb"]
+    pos = jax.lax.dynamic_index_in_dim(params["pos"], step, 0, keepdims=False)
+    x = (emb[tok] * jnp.asarray(scale, emb.dtype) + pos.astype(emb.dtype))[:, None, :]
+    max_t = cache[0][0].shape[1]
+    self_mask = jnp.where(
+        jnp.arange(max_t)[None, None, None, :] <= step, 0.0, -jnp.inf
+    ).astype(jnp.float32)
+    new_cache = []
+    for layer, (sk, sv, ck, cv) in zip(params["dec_layers"], cache):
+        k = _dense(x, layer["attn"]["k"])
+        v = _dense(x, layer["attn"]["v"])
+        sk = jax.lax.dynamic_update_slice_in_dim(sk, k, step, axis=1)
+        sv = jax.lax.dynamic_update_slice_in_dim(sv, v, step, axis=1)
+        a = _attn(_dense(x, layer["attn"]["q"]), sk, sv, cfg.heads, self_mask)
+        x = _ln(x + _dense(a, layer["attn"]["o"]), layer["ln1"])
+        a = _attn(_dense(x, layer["xattn"]["q"]), ck, cv, cfg.heads, enc_bias)
+        x = _ln(x + _dense(a, layer["xattn"]["o"]), layer["ln_x"])
+        h = _dense(jax.nn.silu(_dense(x, layer["fc1"])), layer["fc2"])
+        x = _ln(x + h, layer["ln2"])
+        new_cache.append((sk, sv, ck, cv))
+    logits = jnp.matmul(
+        x[:, 0], params["emb"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    ) + params["logits_bias"]
+    return logits, new_cache
+
+
+def marian_greedy_cached(
+    params, cfg: MarianConfig, src_tokens: jnp.ndarray, max_tokens: int = 64
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TPU-native greedy decode: encode once, then a ``lax.while_loop`` of
+    cached single-token steps (O(T) vs the eager helper's O(T²) re-decode;
+    jit the whole call per shape bucket — the serving node does). Returns
+    (tokens [b, max_tokens] — predictions only, pad-filled after eos —
+    and lengths [b] including the eos)."""
+    enc_states, enc_bias = marian_encode(params, cfg, src_tokens)
+    b = src_tokens.shape[0]
+    cache = _marian_init_cache(params, cfg, enc_states, max_tokens + 1)
+    pad = jnp.int32(cfg.pad_token_id)
+    eos = jnp.int32(cfg.eos_token_id)
+    tok0 = jnp.full((b,), cfg.decoder_start_token_id, jnp.int32)
+    tokens0 = jnp.full((b, max_tokens), pad, jnp.int32)
+    done0 = jnp.zeros((b,), bool)
+
+    def cond(carry):
+        i, _, _, _, done = carry
+        return jnp.logical_and(i < max_tokens, ~jnp.all(done))
+
+    def body(carry):
+        i, tok, tokens, cache, done = carry
+        logits, cache = marian_decode_step(params, cfg, tok, i, cache, enc_bias)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, pad, nxt)
+        tokens = jax.lax.dynamic_update_slice_in_dim(tokens, nxt[:, None], i, axis=1)
+        done = jnp.logical_or(done, nxt == eos)
+        return i + 1, nxt, tokens, cache, done
+
+    _, _, tokens, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tok0, tokens0, cache, done0)
+    )
+    lengths = jnp.sum((tokens != pad).astype(jnp.int32), axis=1)
+    return tokens, lengths
 
 
 def marian_greedy_translate(

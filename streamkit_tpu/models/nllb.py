@@ -33,6 +33,8 @@ __all__ = [
     "nllb_config_from_hf",
     "nllb_params_from_hf",
     "nllb_greedy_translate",
+    "nllb_greedy_cached",
+    "nllb_decode_step",
 ]
 
 
@@ -172,6 +174,105 @@ def nllb_decode_logits(params, cfg: NllbConfig, dec_tokens, enc_states, enc_bias
         x = x + _dense(jax.nn.relu(_dense(h, layer["fc1"])), layer["fc2"])
     x = _ln(x, params["dec_ln"])
     return jnp.matmul(x, params["emb"].T.astype(x.dtype), preferred_element_type=jnp.float32)
+
+
+def _nllb_init_cache(params, cfg: NllbConfig, enc_states, max_t: int):
+    """Per-decoder-layer (self_k, self_v, cross_k, cross_v) — cross K/V
+    once from encoder states, self K/V incremental buffers (marian/whisper
+    cache layout)."""
+    b = enc_states.shape[0]
+    cache = []
+    for layer in params["dec_layers"]:
+        ck = _dense(enc_states, layer["xattn"]["k"])
+        cv = _dense(enc_states, layer["xattn"]["v"])
+        sk = jnp.zeros((b, max_t, cfg.d_model), enc_states.dtype)
+        cache.append((sk, jnp.zeros_like(sk), ck, cv))
+    return cache
+
+
+def nllb_decode_step(params, cfg: NllbConfig, tok, step, cache, enc_bias):
+    """One cached decoder step at sequence position ``step`` (0-based).
+
+    M2M100 position ids are cumsum-over-non-pad + pad_id; incremental
+    greedy rows never feed pad before finishing, so position = pad_id +
+    step + 1 (rows diverge only after eos, where outputs are discarded)."""
+    scale = math.sqrt(cfg.d_model)
+    emb = params["emb"]
+    pos_id = cfg.pad_token_id + step + 1
+    pos = jax.lax.dynamic_index_in_dim(params["pos"], pos_id, 0, keepdims=False)
+    x = (emb[tok] * jnp.asarray(scale, emb.dtype) + pos.astype(emb.dtype))[:, None, :]
+    max_t = cache[0][0].shape[1]
+    self_mask = jnp.where(
+        jnp.arange(max_t)[None, None, None, :] <= step, 0.0, -jnp.inf
+    ).astype(jnp.float32)
+    new_cache = []
+    for layer, (sk, sv, ck, cv) in zip(params["dec_layers"], cache):
+        h = _ln(x, layer["ln1"])
+        k = _dense(h, layer["attn"]["k"])
+        v = _dense(h, layer["attn"]["v"])
+        sk = jax.lax.dynamic_update_slice_in_dim(sk, k, step, axis=1)
+        sv = jax.lax.dynamic_update_slice_in_dim(sv, v, step, axis=1)
+        a = _attn(_dense(h, layer["attn"]["q"]), sk, sv, cfg.heads, self_mask)
+        x = x + _dense(a, layer["attn"]["o"])
+        h = _ln(x, layer["ln_x"])
+        a = _attn(_dense(h, layer["xattn"]["q"]), ck, cv, cfg.heads, enc_bias)
+        x = x + _dense(a, layer["xattn"]["o"])
+        h = _ln(x, layer["ln2"])
+        x = x + _dense(jax.nn.relu(_dense(h, layer["fc1"])), layer["fc2"])
+        new_cache.append((sk, sv, ck, cv))
+    x = _ln(x, params["dec_ln"])
+    logits = jnp.matmul(
+        x[:, 0], params["emb"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    return logits, new_cache
+
+
+def nllb_greedy_cached(
+    params,
+    cfg: NllbConfig,
+    src_tokens: jnp.ndarray,
+    target_lang_token,
+    max_tokens: int = 128,
+):
+    """TPU-native greedy decode (encode once + cached ``lax.while_loop``
+    steps; O(T) vs the eager helper's O(T²)). The NLLB forced prefix
+    ``[decoder_start, target_lang]`` is fed first; returns
+    (tokens [b, max_tokens] predictions only, lengths [b] incl. eos)."""
+    enc_states, enc_bias = nllb_encode(params, cfg, src_tokens)
+    b = src_tokens.shape[0]
+    cache = _nllb_init_cache(params, cfg, enc_states, max_tokens + 2)
+    pad = jnp.int32(cfg.pad_token_id)
+    eos = jnp.int32(cfg.eos_token_id)
+
+    # feed the 2-token prefix
+    start = jnp.full((b,), cfg.decoder_start_token_id, jnp.int32)
+    lang = jnp.broadcast_to(jnp.asarray(target_lang_token, jnp.int32), (b,))
+    _, cache = nllb_decode_step(params, cfg, start, jnp.int32(0), cache, enc_bias)
+    logits, cache = nllb_decode_step(params, cfg, lang, jnp.int32(1), cache, enc_bias)
+
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    tokens0 = jnp.full((b, max_tokens), pad, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(first)
+    done0 = first == eos
+
+    def cond(carry):
+        i, _, _, _, done = carry
+        return jnp.logical_and(i < max_tokens, ~jnp.all(done))
+
+    def body(carry):
+        i, tok, tokens, cache, done = carry
+        logits, cache = nllb_decode_step(params, cfg, tok, i + 1, cache, enc_bias)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, pad, nxt)
+        tokens = jax.lax.dynamic_update_slice_in_dim(tokens, nxt[:, None], i, axis=1)
+        done = jnp.logical_or(done, nxt == eos)
+        return i + 1, nxt, tokens, cache, done
+
+    _, _, tokens, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), first, tokens0, cache, done0)
+    )
+    lengths = jnp.sum((tokens != pad).astype(jnp.int32), axis=1)
+    return tokens, lengths
 
 
 def nllb_greedy_translate(

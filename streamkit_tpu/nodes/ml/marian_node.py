@@ -36,6 +36,7 @@ from ...core.state import NodeState, StopReason
 from ...models.marian import (
     MarianConfig,
     marian_config_from_hf,
+    marian_greedy_cached,
     marian_greedy_translate,
     marian_init_params,
     marian_params_from_hf,
@@ -170,12 +171,54 @@ class MarianTranslateNode(ProcessorNode):
         ctx.emit_state(NodeState.running())
         loop = asyncio.get_running_loop()
 
+        # TPU-native decode (see translate_node.py): jitted cached greedy,
+        # pow-2 src buckets; engine batcher coalesces texts across sessions
+        import functools
+
+        import jax
+
+        max_tok = self.max_tokens
+        pad_id = cfg.pad_token_id
+
+        @functools.lru_cache(maxsize=8)
+        def _jit_for_bucket(tb: int):
+            del tb
+
+            @jax.jit
+            def fn(src_b):
+                return marian_greedy_cached(params, cfg, src_b, max_tokens=max_tok)
+
+            return fn
+
+        def _bucketed(ids):
+            n = min(len(ids), cfg.max_positions)
+            tb = 1 << max(4, (max(1, n) - 1).bit_length())
+            padded = np.full(tb, pad_id, np.int32)
+            padded[:n] = ids[:n]
+            return tb, padded
+
+        def _strip(toks: np.ndarray, n: int) -> str:
+            return tok.decode_ids(
+                [i for i in toks[:n] if i not in (cfg.eos_token_id, pad_id)]
+            )
+
         def translate_sync(text: str) -> str:
             ids = tok.encode(text)
-            out = marian_greedy_translate(
-                params, cfg, jnp.asarray([ids], jnp.int32), self.max_tokens
-            )
-            return tok.decode_ids(out[0].tolist())
+            tb, padded = _bucketed(ids)
+            toks, lens = _jit_for_bucket(tb)(jnp.asarray(padded[None]))
+            return _strip(np.asarray(toks[0]), int(lens[0]))
+
+        def _batch_fn(src_b: np.ndarray):
+            toks, lens = _jit_for_bucket(src_b.shape[1])(jnp.asarray(src_b))
+            return np.asarray(toks), np.asarray(lens)
+
+        async def translate_batched(text: str) -> str:
+            ids = tok.encode(text)
+            tb, padded = _bucketed(ids)
+            kind = f"marian:{id(params)}:{max_tok}:{tb}"
+            ctx.batcher.register(kind, _batch_fn, max_batch=16)
+            toks, n = await ctx.batcher.submit(kind, padded)
+            return _strip(np.asarray(toks), int(n))
 
         try:
             while True:
@@ -189,7 +232,10 @@ class MarianTranslateNode(ProcessorNode):
                 if not text:
                     stats.packet_discarded()
                     continue
-                translated = await loop.run_in_executor(None, translate_sync, text)
+                if ctx.batcher is not None:
+                    translated = await translate_batched(text)
+                else:
+                    translated = await loop.run_in_executor(None, translate_sync, text)
                 telemetry.emit(
                     "translate.result", {"source": text[:120], "target": translated[:120]}
                 )

@@ -35,6 +35,7 @@ from ...core import (
 from ...core.state import NodeState, StopReason
 from ...models.nllb import (
     NllbConfig,
+    nllb_greedy_cached,
     nllb_greedy_translate,
     nllb_init_params,
     nllb_params_from_hf,
@@ -149,14 +150,65 @@ class TranslateNode(ProcessorNode):
         loop = asyncio.get_running_loop()
         target_token = tok.lang_token(self.target_lang)
 
+        # TPU-native decode: jitted encode + cached lax.while_loop greedy
+        # (models/nllb.py nllb_greedy_cached — O(T), one compile per src
+        # bucket) instead of the eager O(T²) re-decode. Source texts pad to
+        # pow-2 token buckets; with an engine batcher, texts from ALL
+        # translation sessions sharing the model coalesce per bucket —
+        # per-row target-lang tokens ride the batch, so sessions with
+        # different target languages still share device calls.
+        import functools
+
+        import jax
+
+        max_tok = self.max_tokens
+        pad_id = cfg.pad_token_id
+
+        @functools.lru_cache(maxsize=8)
+        def _jit_for_bucket(tb: int):
+            del tb  # shape specialization comes from the traced args
+
+            @jax.jit
+            def fn(src_b, tgt_b):
+                return nllb_greedy_cached(params, cfg, src_b, tgt_b, max_tokens=max_tok)
+
+            return fn
+
+        def _bucketed(ids: List[int]):
+            n = min(len(ids), cfg.max_positions)
+            tb = 1 << max(4, (max(1, n) - 1).bit_length())
+            padded = np.full(tb, pad_id, np.int32)
+            padded[:n] = ids[:n]
+            return tb, padded
+
+        def _strip(toks: np.ndarray, n: int) -> str:
+            return tok.decode_ids(
+                [i for i in toks[:n] if i not in (cfg.eos_token_id, pad_id)]
+            )
+
         def translate_sync(text: str) -> str:
             ids = tok.encode(text)
-            src = np.asarray([ids], np.int32)
-            out = nllb_greedy_translate(params, cfg, src, target_token, self.max_tokens)
-            # strip [eos, lang] prefix and trailing eos/pad
-            return tok.decode_ids(
-                [i for i in out[0, 2:] if i not in (cfg.eos_token_id, cfg.pad_token_id)]
+            tb, padded = _bucketed(ids)
+            toks, lens = _jit_for_bucket(tb)(
+                jnp.asarray(padded[None]), jnp.asarray([target_token], jnp.int32)
             )
+            return _strip(np.asarray(toks[0]), int(lens[0]))
+
+        def _batch_fn(src_b: np.ndarray, tgt_b: np.ndarray):
+            toks, lens = _jit_for_bucket(src_b.shape[1])(
+                jnp.asarray(src_b), jnp.asarray(tgt_b, jnp.int32)
+            )
+            return np.asarray(toks), np.asarray(lens)
+
+        async def translate_batched(text: str) -> str:
+            ids = tok.encode(text)
+            tb, padded = _bucketed(ids)
+            kind = f"nllb:{id(params)}:{max_tok}:{tb}"
+            ctx.batcher.register(kind, _batch_fn, max_batch=16)
+            toks, n = await ctx.batcher.submit(
+                kind, padded, np.asarray(target_token, np.int32)
+            )
+            return _strip(np.asarray(toks), int(n))
 
         try:
             while True:
@@ -170,7 +222,10 @@ class TranslateNode(ProcessorNode):
                 if not text:
                     stats.packet_discarded()
                     continue
-                translated = await loop.run_in_executor(None, translate_sync, text)
+                if ctx.batcher is not None:
+                    translated = await translate_batched(text)
+                else:
+                    translated = await loop.run_in_executor(None, translate_sync, text)
                 telemetry.emit(
                     "translate.result",
                     {"source": text[:120], "target": translated[:120], "lang": self.target_lang},
