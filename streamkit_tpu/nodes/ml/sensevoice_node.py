@@ -157,6 +157,13 @@ class SenseVoiceNode(ProcessorNode):
                 jnp.asarray([1 if self.use_itn else 0], jnp.int32),
             )
 
+        def _ids_to_text(ids) -> str:
+            if pieces is not None:
+                return "".join(
+                    pieces[i] for i in ids if 0 <= i < len(pieces)
+                ).replace("▁", " ").strip()
+            return " ".join(str(i) for i in ids)  # mechanics mode: raw ids
+
         def transcribe_sync(samples: np.ndarray) -> str:
             # log_mel_spectrogram already emits [1, T, n_mels]
             mel = log_mel_spectrogram(jnp.asarray(samples[None, :]), cfg.n_mels)
@@ -166,11 +173,63 @@ class SenseVoiceNode(ProcessorNode):
             ids = ctc_greedy_decode(
                 logits[:, 2:, :], np.ones((1, t_lfr), bool), cfg.blank_id
             )[0]
-            if pieces is not None:
-                return "".join(
-                    pieces[i] for i in ids if 0 <= i < len(pieces)
-                ).replace("▁", " ").strip()
-            return " ".join(str(i) for i in ids)  # mechanics mode: raw ids
+            return _ids_to_text(ids)
+
+        # cross-session batching: segments from every sensevoice session
+        # sharing the model coalesce per pow-2 sample bucket into ONE CTC
+        # forward (valid-length masks per row) — the reference runs each
+        # segment serially per node. Same pattern as whisper/tts/translate.
+        jforward = jax.jit(
+            lambda mel, mask, langs, itns: sensevoice_logits(
+                params, cfg, mel, mask, langs, itns
+            )
+        )
+
+        def _batch_fn(samples_b: np.ndarray, n_valid_b: np.ndarray):
+            n_rows = samples_b.shape[0]
+            width = 1 << max(0, (n_rows - 1).bit_length())  # pow-2 compile widths
+            if width > n_rows:  # duplicate-last padding; rows are independent
+                samples_b = np.concatenate(
+                    [samples_b, np.repeat(samples_b[-1:], width - n_rows, 0)], 0
+                )
+                n_valid_b = np.concatenate(
+                    [n_valid_b, np.repeat(n_valid_b[-1:], width - n_rows, 0)], 0
+                )
+            mel = log_mel_spectrogram(jnp.asarray(samples_b), cfg.n_mels)
+            t_lfr = (mel.shape[1] + cfg.lfr_n - 1) // cfg.lfr_n
+            # valid lfr frames per row from valid samples (mel hop = 160)
+            valid_lfr = np.minimum(
+                t_lfr, (n_valid_b // 160 + cfg.lfr_n - 1) // cfg.lfr_n
+            ).astype(np.int32)
+            mask = (np.arange(t_lfr)[None, :] < valid_lfr[:, None]).astype(np.float32)
+            logits = np.asarray(
+                jforward(
+                    mel, jnp.asarray(mask),
+                    jnp.full((width,), lang_id, jnp.int32),
+                    jnp.full((width,), 1 if self.use_itn else 0, jnp.int32),
+                )
+            )[:n_rows]
+            # logits drop the 2 prefix frames (lang+itn); align the mask
+            id_rows = ctc_greedy_decode(
+                logits[:, 2:, :], mask[:n_rows, 2:].astype(bool), cfg.blank_id
+            )
+            width = max(1, max(len(r) for r in id_rows))
+            out = np.full((len(id_rows), width), -1, np.int32)
+            lens = np.zeros(len(id_rows), np.int32)
+            for b, r in enumerate(id_rows):
+                out[b, : len(r)] = r
+                lens[b] = len(r)
+            return out, lens
+
+        async def transcribe_batched(samples: np.ndarray) -> str:
+            n = samples.shape[0]
+            bucket = 1 << max(14, (n - 1).bit_length())  # >=1s @16k
+            padded = np.zeros(bucket, np.float32)
+            padded[:n] = samples
+            kind = f"sensevoice:{id(params)}:{bucket}"
+            ctx.batcher.register(kind, _batch_fn, max_batch=16, host_inputs=True)
+            ids, ln = await ctx.batcher.submit(kind, padded, np.asarray(n, np.int32))
+            return _ids_to_text([int(i) for i in ids[: int(ln)]])
 
         seg = SpeechSegmenter(self.vad_threshold, self.min_silence_ms, self.max_segment_secs)
         state = vad_init_state()
@@ -180,7 +239,10 @@ class SenseVoiceNode(ProcessorNode):
         async def emit_segment(samples: np.ndarray, start_f: int, end_f: int) -> None:
             if samples.shape[0] < VAD_FRAME:
                 return
-            text = await loop.run_in_executor(None, transcribe_sync, samples)
+            if ctx.batcher is not None:
+                text = await transcribe_batched(samples)
+            else:
+                text = await loop.run_in_executor(None, transcribe_sync, samples)
             t0 = start_f * VAD_FRAME * 1000 // _SR
             t1 = end_f * VAD_FRAME * 1000 // _SR
             data = TranscriptionData(

@@ -231,3 +231,76 @@ def test_sensevoice_node_transcribes_segments():
     assert trs, "no transcription segments emitted"
     assert all(t.language == "en" for t in trs)
     assert all(t.segments[0].end_time_ms > t.segments[0].start_time_ms for t in trs)
+
+
+def test_sensevoice_nodes_coalesce_through_batcher():
+    """Concurrent sensevoice sessions share CTC device calls through the
+    engine batcher (cross-session batching, nodes/ml/sensevoice_node.py)."""
+    from streamkit_tpu.core import (
+        AudioFormat,
+        AudioFrame,
+        Channel,
+        NodeContext,
+        OutputSender,
+        Packet,
+        ResourceManager,
+    )
+    from streamkit_tpu.engine.batcher import DeviceBatcher
+    from streamkit_tpu.nodes.ml.sensevoice_node import SenseVoiceNode
+    from streamkit_tpu.utils.speechsynth import synth_speech_with_plan
+
+    audio, _ = synth_speech_with_plan(
+        3.0, 16000, seed=77, pause_range=(0.8, 0.9), utt_range=(1.0, 1.2)
+    )
+    n_nodes = 3
+
+    async def main():
+        batcher = DeviceBatcher(tick_ms=20.0)
+        batcher.start()
+        resources = ResourceManager()
+        texts = [[] for _ in range(n_nodes)]
+
+        async def one(i: int):
+            node = SenseVoiceNode({"language": "en", "min_silence_duration_ms": 400})
+            in_ch = Channel(512)
+            out_ch = Channel(64)
+            ctx = NodeContext(
+                node_name=f"sv{i}",
+                inputs={"in": in_ch},
+                output=OutputSender(f"sv{i}", direct={"out": out_ch}),
+                batcher=batcher,
+                resources=resources,
+            )
+            task = asyncio.ensure_future(node.run(ctx))
+            fmt = AudioFormat(16000, 1)
+            frame = 320
+            for k in range(len(audio) // frame):
+                await in_ch.send(
+                    Packet.new_audio(AudioFrame(audio[k * frame : (k + 1) * frame], fmt))
+                )
+                if k % 25 == 0:
+                    await asyncio.sleep(0)  # interleave sessions
+            in_ch.close()
+            await task
+            out_ch.close()
+            while True:
+                pkt = await out_ch.recv_optional()
+                if pkt is None:
+                    return
+                if pkt.transcription is not None:
+                    texts[i].append(pkt.transcription.text)
+
+        await asyncio.gather(*(one(i) for i in range(n_nodes)))
+        stats = batcher.stats()
+        batcher.stop()
+        return texts, stats
+
+    texts, stats = asyncio.run(main())
+    assert all(t for t in texts), texts
+    # identical audio -> identical transcripts across sessions
+    assert len({tuple(t) for t in texts}) == 1
+    kinds = [k for k in stats["kinds"] if k.startswith("sensevoice:")]
+    assert kinds, stats
+    calls = sum(stats["kinds"][k]["calls"] for k in kinds)
+    items = sum(stats["kinds"][k]["items"] for k in kinds)
+    assert calls < items, stats
