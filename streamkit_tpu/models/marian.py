@@ -189,17 +189,9 @@ def marian_decode_logits(params, cfg: MarianConfig, dec_tokens, enc_states, enc_
 
 
 def _marian_init_cache(params, cfg: MarianConfig, enc_states, max_t: int):
-    """Per-decoder-layer (self_k, self_v, cross_k, cross_v): cross K/V are
-    computed ONCE from the encoder states; self K/V are preallocated
-    [b, max_t, d] buffers written incrementally (whisper decode.py layout)."""
-    b = enc_states.shape[0]
-    cache = []
-    for layer in params["dec_layers"]:
-        ck = _dense(enc_states, layer["xattn"]["k"])
-        cv = _dense(enc_states, layer["xattn"]["v"])
-        sk = jnp.zeros((b, max_t, cfg.d_model), enc_states.dtype)
-        cache.append((sk, jnp.zeros_like(sk), ck, cv))
-    return cache
+    from .seq2seq import init_decoder_cache
+
+    return init_decoder_cache(params["dec_layers"], enc_states, cfg.d_model, max_t, _dense)
 
 
 def marian_decode_step(params, cfg: MarianConfig, tok, step, cache, enc_bias):

@@ -177,17 +177,9 @@ def nllb_decode_logits(params, cfg: NllbConfig, dec_tokens, enc_states, enc_bias
 
 
 def _nllb_init_cache(params, cfg: NllbConfig, enc_states, max_t: int):
-    """Per-decoder-layer (self_k, self_v, cross_k, cross_v) — cross K/V
-    once from encoder states, self K/V incremental buffers (marian/whisper
-    cache layout)."""
-    b = enc_states.shape[0]
-    cache = []
-    for layer in params["dec_layers"]:
-        ck = _dense(enc_states, layer["xattn"]["k"])
-        cv = _dense(enc_states, layer["xattn"]["v"])
-        sk = jnp.zeros((b, max_t, cfg.d_model), enc_states.dtype)
-        cache.append((sk, jnp.zeros_like(sk), ck, cv))
-    return cache
+    from .seq2seq import init_decoder_cache
+
+    return init_decoder_cache(params["dec_layers"], enc_states, cfg.d_model, max_t, _dense)
 
 
 def nllb_decode_step(params, cfg: NllbConfig, tok, step, cache, enc_bias):

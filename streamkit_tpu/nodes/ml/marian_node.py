@@ -171,31 +171,19 @@ class MarianTranslateNode(ProcessorNode):
         ctx.emit_state(NodeState.running())
         loop = asyncio.get_running_loop()
 
-        # TPU-native decode (see translate_node.py): jitted cached greedy,
-        # pow-2 src buckets; engine batcher coalesces texts across sessions
-        import functools
-
-        import jax
+        # TPU-native decode: jitted cached greedy on pow-2 source buckets;
+        # engine batcher coalesces texts across sessions (shared
+        # scaffolding: nodes/ml/_text_batching.py)
+        from ._text_batching import BucketedGreedy
 
         max_tok = self.max_tokens
         pad_id = cfg.pad_token_id
-
-        @functools.lru_cache(maxsize=8)
-        def _jit_for_bucket(tb: int):
-            del tb
-
-            @jax.jit
-            def fn(src_b):
-                return marian_greedy_cached(params, cfg, src_b, max_tokens=max_tok)
-
-            return fn
-
-        def _bucketed(ids):
-            n = min(len(ids), cfg.max_positions)
-            tb = 1 << max(4, (max(1, n) - 1).bit_length())
-            padded = np.full(tb, pad_id, np.int32)
-            padded[:n] = ids[:n]
-            return tb, padded
+        bg = BucketedGreedy(
+            f"marian:{id(params)}:{max_tok}",
+            cfg.max_positions,
+            pad_id,
+            lambda src_b: marian_greedy_cached(params, cfg, src_b, max_tokens=max_tok),
+        )
 
         def _strip(toks: np.ndarray, n: int) -> str:
             return tok.decode_ids(
@@ -203,22 +191,10 @@ class MarianTranslateNode(ProcessorNode):
             )
 
         def translate_sync(text: str) -> str:
-            ids = tok.encode(text)
-            tb, padded = _bucketed(ids)
-            toks, lens = _jit_for_bucket(tb)(jnp.asarray(padded[None]))
-            return _strip(np.asarray(toks[0]), int(lens[0]))
-
-        def _batch_fn(src_b: np.ndarray):
-            toks, lens = _jit_for_bucket(src_b.shape[1])(jnp.asarray(src_b))
-            return np.asarray(toks), np.asarray(lens)
+            return _strip(*bg.run_single(tok.encode(text)))
 
         async def translate_batched(text: str) -> str:
-            ids = tok.encode(text)
-            tb, padded = _bucketed(ids)
-            kind = f"marian:{id(params)}:{max_tok}:{tb}"
-            ctx.batcher.register(kind, _batch_fn, max_batch=16)
-            toks, n = await ctx.batcher.submit(kind, padded)
-            return _strip(np.asarray(toks), int(n))
+            return _strip(*(await bg.run_batched(ctx.batcher, tok.encode(text))))
 
         try:
             while True:

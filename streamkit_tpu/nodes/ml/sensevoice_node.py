@@ -209,9 +209,10 @@ class SenseVoiceNode(ProcessorNode):
                     jnp.full((width,), 1 if self.use_itn else 0, jnp.int32),
                 )
             )[:n_rows]
-            # logits drop the 2 prefix frames (lang+itn); align the mask
+            # mask covers LFR frames only; logits[:, 2:] drops the lang/itn
+            # prefix and is already 1:1 with it
             id_rows = ctc_greedy_decode(
-                logits[:, 2:, :], mask[:n_rows, 2:].astype(bool), cfg.blank_id
+                logits[:, 2:, :], mask[:n_rows].astype(bool), cfg.blank_id
             )
             width = max(1, max(len(r) for r in id_rows))
             out = np.full((len(id_rows), width), -1, np.int32)

@@ -150,36 +150,25 @@ class TranslateNode(ProcessorNode):
         loop = asyncio.get_running_loop()
         target_token = tok.lang_token(self.target_lang)
 
-        # TPU-native decode: jitted encode + cached lax.while_loop greedy
-        # (models/nllb.py nllb_greedy_cached — O(T), one compile per src
-        # bucket) instead of the eager O(T²) re-decode. Source texts pad to
-        # pow-2 token buckets; with an engine batcher, texts from ALL
-        # translation sessions sharing the model coalesce per bucket —
-        # per-row target-lang tokens ride the batch, so sessions with
-        # different target languages still share device calls.
-        import functools
-
-        import jax
+        # TPU-native decode: jitted cached lax.while_loop greedy (O(T)) on
+        # pow-2 source buckets; with an engine batcher, texts from ALL
+        # sessions sharing the model coalesce per bucket — per-row
+        # target-language tokens ride the batch, so sessions translating
+        # into different languages share device calls. Shared scaffolding:
+        # nodes/ml/_text_batching.py.
+        from ._text_batching import BucketedGreedy
 
         max_tok = self.max_tokens
         pad_id = cfg.pad_token_id
-
-        @functools.lru_cache(maxsize=8)
-        def _jit_for_bucket(tb: int):
-            del tb  # shape specialization comes from the traced args
-
-            @jax.jit
-            def fn(src_b, tgt_b):
-                return nllb_greedy_cached(params, cfg, src_b, tgt_b, max_tokens=max_tok)
-
-            return fn
-
-        def _bucketed(ids: List[int]):
-            n = min(len(ids), cfg.max_positions)
-            tb = 1 << max(4, (max(1, n) - 1).bit_length())
-            padded = np.full(tb, pad_id, np.int32)
-            padded[:n] = ids[:n]
-            return tb, padded
+        bg = BucketedGreedy(
+            f"nllb:{id(params)}:{max_tok}",
+            cfg.max_positions,
+            pad_id,
+            lambda src_b, tgt_b: nllb_greedy_cached(
+                params, cfg, src_b, tgt_b, max_tokens=max_tok
+            ),
+        )
+        tgt = np.asarray(target_token, np.int32)
 
         def _strip(toks: np.ndarray, n: int) -> str:
             return tok.decode_ids(
@@ -187,28 +176,10 @@ class TranslateNode(ProcessorNode):
             )
 
         def translate_sync(text: str) -> str:
-            ids = tok.encode(text)
-            tb, padded = _bucketed(ids)
-            toks, lens = _jit_for_bucket(tb)(
-                jnp.asarray(padded[None]), jnp.asarray([target_token], jnp.int32)
-            )
-            return _strip(np.asarray(toks[0]), int(lens[0]))
-
-        def _batch_fn(src_b: np.ndarray, tgt_b: np.ndarray):
-            toks, lens = _jit_for_bucket(src_b.shape[1])(
-                jnp.asarray(src_b), jnp.asarray(tgt_b, jnp.int32)
-            )
-            return np.asarray(toks), np.asarray(lens)
+            return _strip(*bg.run_single(tok.encode(text), tgt))
 
         async def translate_batched(text: str) -> str:
-            ids = tok.encode(text)
-            tb, padded = _bucketed(ids)
-            kind = f"nllb:{id(params)}:{max_tok}:{tb}"
-            ctx.batcher.register(kind, _batch_fn, max_batch=16)
-            toks, n = await ctx.batcher.submit(
-                kind, padded, np.asarray(target_token, np.int32)
-            )
-            return _strip(np.asarray(toks), int(n))
+            return _strip(*(await bg.run_batched(ctx.batcher, tok.encode(text), tgt)))
 
         try:
             while True:

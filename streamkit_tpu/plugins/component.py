@@ -1899,15 +1899,35 @@ class ComponentNodeWrapper(_ProcessorNode):
         )
         funcs = self.plugin.funcs
         params_json = json.dumps(self.params) if self.params else None
+        # `self` for methods is the canonical BORROW lowering: the handle
+        # index (wit-bindgen guests unwrap it via [resource-rep]) — passing
+        # the rep directly would break real cargo-component plugins
         handle = inst.call_lifted(funcs["[constructor]node-instance"], params_json)
-        ni = self.plugin.parsed_resource()
         stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
         ctx.emit_state(NodeState.running())
         loop = asyncio.get_running_loop()
         in_names = [p.name for p in self.input_pins()]
+
+        # merged receive across ALL declared input pins (multi-input
+        # components would otherwise deadlock their undrained channels)
+        merged: "asyncio.Queue" = asyncio.Queue()
+        live = len(in_names)
+
+        async def pump(pin: str) -> None:
+            nonlocal live
+            while True:
+                pkt = await ctx.recv_with_cancellation(pin)
+                if pkt is None:
+                    live -= 1
+                    if live == 0:
+                        await merged.put((None, None))
+                    return
+                await merged.put((pin, pkt))
+
+        pumps = [asyncio.ensure_future(pump(p)) for p in in_names]
         try:
             while True:
-                pkt = await ctx.recv_with_cancellation(in_names[0])
+                pin, pkt = await merged.get()
                 if pkt is None:
                     break
                 stats.packet_received()
@@ -1915,10 +1935,9 @@ class ComponentNodeWrapper(_ProcessorNode):
                 if msg is not None and getattr(msg, "op", "") == "update_params":
                     self.params.update(msg.params or {})
                     if "[method]node-instance.update-params" in funcs:
-                        rep = inst.handles[ni][handle]
                         res = inst.call_lifted(
                             funcs["[method]node-instance.update-params"],
-                            rep,
+                            handle,
                             json.dumps(self.params),
                         )
                         if res and res[0] == "error":
@@ -1927,28 +1946,26 @@ class ComponentNodeWrapper(_ProcessorNode):
                 if wit is None:
                     await ctx.output.send("out", pkt)
                     continue
-                rep = inst.handles[ni][handle]
                 res = await loop.run_in_executor(
                     None,
                     inst.call_lifted,
                     funcs["[method]node-instance.process"],
-                    rep,
-                    in_names[0],
+                    handle,
+                    pin,
                     wit,
                 )
                 if res and res[0] == "error":
                     log.warning("process error: %s", res[1])
                 while outbox:
-                    pin, out_wit = outbox.pop(0)
-                    await ctx.output.send(pin, _wit_to_packet(out_wit))
+                    out_pin, out_wit = outbox.pop(0)
+                    await ctx.output.send(out_pin, _wit_to_packet(out_wit))
                     stats.packet_sent()
         finally:
+            for t in pumps:
+                t.cancel()
             try:
                 if "[method]node-instance.cleanup" in funcs:
-                    inst.call_lifted(
-                        funcs["[method]node-instance.cleanup"],
-                        inst.handles[ni][handle],
-                    )
+                    inst.call_lifted(funcs["[method]node-instance.cleanup"], handle)
             except Exception:
                 pass
         stats.flush()

@@ -363,6 +363,7 @@ def build_gain_component(pin_out: str = "out") -> bytes:
     send_params = [I32] * (2 + packet_flat + 1)  # string + packet + retptr
     imp_send = m.add_import_func(HOST_IFACE, "send-output", send_params, [])
     imp_rnew = m.add_import_func(EXPORT_SHIM, "[resource-new]node-instance", [I32], [I32])
+    imp_rrep = m.add_import_func(EXPORT_SHIM, "[resource-rep]node-instance", [I32], [I32])
 
     HEAP_BASE = 0x1_0000  # static data lives below 64 KiB
     HEAP_CAP = 40 * (1 << 20)
@@ -508,6 +509,10 @@ def build_gain_component(pin_out: str = "out") -> bytes:
     L_I = 4 + n_pkt  # loop counter local
     RESULT_AREA = 0x260  # static result<_,string> cell (12 bytes)
     body = bytearray()
+    # self arrives as the BORROW handle (canonical ABI); unwrap to the rep
+    # pointer via [resource-rep], like wit-bindgen shims do
+    body += bytes([LOCAL_GET, ARG_REP, CALL]) + leb(imp_rrep)
+    body += bytes([LOCAL_SET, ARG_REP])
     # write ok result immediately: disc byte 0 at the result area
     body += bytes([I32_CONST]) + sleb(RESULT_AREA)
     body += bytes([I32_CONST, 0, I32_STORE8]) + memarg(0, 0)
@@ -550,9 +555,12 @@ def build_gain_component(pin_out: str = "out") -> bytes:
         [I32] * (4 + n_pkt), [I32], bytes(body), locals_=[I32, I32]
     )
 
-    # ---- update-params(rep, disc, ptr, len) -> i32 (result ptr) -------------
+    # ---- update-params(self-handle, disc, ptr, len) -> i32 (result ptr) ----
     body = (
-        bytes([I32_CONST])
+        bytes([LOCAL_GET, 0, CALL])
+        + leb(imp_rrep)
+        + bytes([LOCAL_SET, 0])  # unwrap borrow handle -> rep
+        + bytes([I32_CONST])
         + sleb(RESULT_AREA)
         + bytes([I32_CONST, 0, I32_STORE8])
         + memarg(0, 0)
@@ -564,7 +572,7 @@ def build_gain_component(pin_out: str = "out") -> bytes:
     )
     f_upd = m.add_func([I32] * 4, [I32], body)
 
-    # ---- cleanup(rep) -> () -------------------------------------------------
+    # ---- cleanup(self-handle) -> () -----------------------------------------
     f_clean = m.add_func([I32], [], bytes([END]))
 
     m.export_memory("memory")

@@ -180,10 +180,10 @@ def test_gain_component_end_to_end():
     assert meta["outputs"][0]["produces-type"][0] == "raw-audio"
 
     h = inst.call_lifted(funcs["[constructor]node-instance"], "3")
-    ni = pc.parsed_resource()
-    rep = inst.handles[ni][h]
+    # methods take the BORROW HANDLE as self (the guest unwraps it through
+    # canon [resource-rep], like real wit-bindgen output)
     res = inst.call_lifted(
-        funcs["[method]node-instance.process"], rep, "in",
+        funcs["[method]node-instance.process"], h, "in",
         ("audio", {"sample-rate": 16000, "channels": 1,
                    "samples": [1.0, 2.0, -0.5]}),
     )
@@ -195,11 +195,11 @@ def test_gain_component_end_to_end():
 
     # live param update through the lifted method
     assert inst.call_lifted(
-        funcs["[method]node-instance.update-params"], rep, "5"
+        funcs["[method]node-instance.update-params"], h, "5"
     ) == ("ok", None)
     sent.clear()
     inst.call_lifted(
-        funcs["[method]node-instance.process"], rep, "in",
+        funcs["[method]node-instance.process"], h, "in",
         ("audio", {"sample-rate": 8000, "channels": 1, "samples": [2.0]}),
     )
     assert sent[0][1][1]["samples"] == [10.0]
@@ -207,11 +207,11 @@ def test_gain_component_end_to_end():
     # non-audio packets are accepted but not transformed/re-emitted
     sent.clear()
     res = inst.call_lifted(
-        funcs["[method]node-instance.process"], rep, "in", ("text", "hi"),
+        funcs["[method]node-instance.process"], h, "in", ("text", "hi"),
     )
     assert res == ("ok", None) and sent == []
 
-    inst.call_lifted(funcs["[method]node-instance.cleanup"], rep)
+    inst.call_lifted(funcs["[method]node-instance.cleanup"], h)
 
 
 @needs_rt
@@ -241,10 +241,9 @@ def test_missing_host_function_traps_cleanly():
     funcs = pc.export_instance_funcs(NODE_IFACE)
     inst = ComponentInstance(pc)  # no send-output provided
     h = inst.call_lifted(funcs["[constructor]node-instance"], None)
-    rep = inst.handles[pc.parsed_resource()][h]
     with pytest.raises(ComponentError, match="send-output not provided"):
         inst.call_lifted(
-            funcs["[method]node-instance.process"], rep, "in",
+            funcs["[method]node-instance.process"], h, "in",
             ("audio", {"sample-rate": 1, "channels": 1, "samples": [0.0]}),
         )
 
