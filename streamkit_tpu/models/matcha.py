@@ -120,11 +120,20 @@ def _conv1d(x, p):
     )
 
 
-def _encode(params, cfg: MatchaConfig, tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Phoneme tokens → (mu per token [b,t,n_mels], log-durations [b,t])."""
+def _encode(params, cfg: MatchaConfig, tokens: jnp.ndarray, mask=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Phoneme tokens → (mu per token [b,t,n_mels], log-durations [b,t]).
+
+    ``mask [b, t]`` (1 = token, 0 = pad) excludes pad keys from attention
+    and zeroes pad activations so conv layers see zeros there — required
+    for cross-session batching of different-length texts."""
     x = params["emb"][tokens] * math.sqrt(cfg.d_model)
     b, t, d = x.shape
     hd = d // cfg.heads
+    m = None if mask is None else mask.astype(x.dtype)[..., None]
+    attn_bias = None
+    if mask is not None:
+        x = x * m
+        attn_bias = ((1.0 - mask.astype(jnp.float32)) * -1e9)[:, None, None, :]
     for layer in params["enc_layers"]:
         h = _ln(x, layer["ln1"])
         q, k, v = jnp.split(_dense(h, layer["qkv"]), 3, axis=-1)
@@ -133,11 +142,15 @@ def _encode(params, cfg: MatchaConfig, tokens: jnp.ndarray) -> Tuple[jnp.ndarray
             return z.reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
 
         scores = jnp.matmul(heads(q), heads(k).transpose(0, 1, 3, 2), preferred_element_type=jnp.float32)
+        if attn_bias is not None:
+            scores = scores + attn_bias
         w = jax.nn.softmax(scores / math.sqrt(hd), axis=-1).astype(v.dtype)
         att = jnp.matmul(w, heads(v), preferred_element_type=v.dtype)
         x = x + _dense(att.transpose(0, 2, 1, 3).reshape(b, t, d), layer["out"])
         h = _ln(x, layer["ln2"])
         x = x + _conv1d(jax.nn.gelu(_conv1d(h, layer["conv1"])), layer["conv2"])
+        if m is not None:
+            x = x * m
     x = _ln(x, params["enc_ln"])
     mu = _dense(x, params["mu_proj"])
     dur = _dense(_ln(jax.nn.relu(_conv1d(x, params["dur_conv"])), params["dur_ln"]), params["dur_proj"])
@@ -188,6 +201,7 @@ def matcha_synthesize_mel(
     cfg: MatchaConfig,
     tokens: jnp.ndarray,
     max_frames: int,
+    mask=None,
     speaker_id: int = 0,
     noise_scale: float = 0.667,
     length_scale: float = 1.0,
@@ -199,14 +213,22 @@ def matcha_synthesize_mel(
     Deterministic given ``seed``. ``length_scale`` > 1 slows speech
     (reference config.rs semantics: speed = 1/length_scale)."""
     steps = ode_steps or cfg.ode_steps
-    mu, log_dur = _encode(params, cfg, tokens)
+    mu, log_dur = _encode(params, cfg, tokens, mask)
     durations = jnp.clip(jnp.round(jnp.exp(log_dur) * length_scale), 1, None).astype(jnp.int32)
+    if mask is not None:
+        durations = durations * mask.astype(jnp.int32)  # pads emit no frames
     n_frames = jnp.minimum(jnp.sum(durations, axis=1), max_frames)
     mu_frames = _length_regulate(mu, durations, max_frames)
     spk = params["spk_emb"][jnp.full((tokens.shape[0],), speaker_id, jnp.int32)]
 
     key = jax.random.PRNGKey(seed)
-    x = mu_frames + noise_scale * jax.random.normal(key, mu_frames.shape, mu_frames.dtype)
+    # one noise pattern broadcast across rows: synthesis is then invariant
+    # to batch width (required for cross-session batching — a row decodes
+    # identically whether it shares the call with 0 or 15 other sentences)
+    noise = jax.random.normal(
+        key, (1,) + mu_frames.shape[1:], mu_frames.dtype
+    )
+    x = mu_frames + noise_scale * noise
     dt = 1.0 / steps
 
     def euler_step(i, x):

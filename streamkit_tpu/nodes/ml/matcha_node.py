@@ -131,15 +131,17 @@ class MatchaTtsNode(ProcessorNode):
             ids = [b % mcfg.vocab_size for b in text.encode()][:256]
             return np.asarray([ids or [0]], np.int32)
 
-        def synth_sync(text: str) -> np.ndarray:
-            tokens = tokens_for(text)
-            max_frames = max(32, tokens.shape[1] * 8)
+        spk = min(self.speaker_id, mcfg.n_speakers - 1)
+
+        def _synth_batch(ids_b, mask_b, max_frames: int):
+            """[b, tb] padded tokens + mask → (audio [b, samples], n [b])."""
             mel, n_frames = matcha_synthesize_mel(
                 mparams,
                 mcfg,
-                jnp.asarray(tokens),
+                jnp.asarray(ids_b),
                 max_frames,
-                speaker_id=min(self.speaker_id, mcfg.n_speakers - 1),
+                mask=jnp.asarray(mask_b, jnp.float32),
+                speaker_id=spk,
                 noise_scale=self.noise_scale,
                 length_scale=self.length_scale,
                 ode_steps=self.ode_steps,
@@ -151,8 +153,40 @@ class MatchaTtsNode(ProcessorNode):
                 )[..., : vcfg.model_in_dim]
             audio = hifigan_generate(vparams, vcfg, mel)
             up = int(np.prod(vcfg.upsample_rates))
-            n = int(np.asarray(n_frames)[0]) * up
-            return np.asarray(audio[0, :n], np.float32)
+            return np.asarray(audio), np.asarray(n_frames) * up
+
+        def synth_sync(text: str) -> np.ndarray:
+            tokens = tokens_for(text)
+            mask = np.ones_like(tokens, np.float32)
+            audio, n = _synth_batch(tokens, mask, max(32, tokens.shape[1] * 8))
+            return np.asarray(audio[0, : int(n[0])], np.float32)
+
+        # cross-session batching (same contract as the VITS tts node):
+        # sentences pad to pow-2 token buckets (frames budget 8/token) and
+        # coalesce across all matcha sessions sharing the model
+        if ctx.batcher is not None:
+
+            def make_fn(tb: int):
+                frames = max(32, tb * 8)
+
+                def fn(ids_b: np.ndarray, mask_b: np.ndarray):
+                    return _synth_batch(ids_b, mask_b, frames)
+
+                return fn
+
+            async def synth_batched(text: str) -> np.ndarray:
+                ids = tokens_for(text)[0]
+                tb = 1 << max(5, (max(1, len(ids)) - 1).bit_length())
+                kind = f"matcha:{id(mparams)}:{spk}:{self.ode_steps}:{tb}"
+                ctx.batcher.register(kind, make_fn(tb), max_batch=16)
+                padded = np.zeros(tb, np.int32)
+                padded[: len(ids)] = ids[:tb]
+                mask = np.zeros(tb, np.float32)
+                mask[: len(ids)] = 1.0
+                audio, n = await ctx.batcher.submit(kind, padded, mask)
+                return np.asarray(audio[: int(n)], np.float32)
+        else:
+            synth_batched = None
 
         pending = ""
         fmt = AudioFormat(self.sample_rate, 1)
@@ -160,7 +194,10 @@ class MatchaTtsNode(ProcessorNode):
         async def speak(text: str) -> None:
             if not text.strip():
                 return
-            audio = await loop.run_in_executor(None, synth_sync, text)
+            if synth_batched is not None:
+                audio = await synth_batched(text)
+            else:
+                audio = await loop.run_in_executor(None, synth_sync, text)
             peak = float(np.abs(audio).max() or 1.0)
             if peak > 1.0:
                 audio = audio / peak

@@ -134,3 +134,44 @@ def test_tts_nodes_coalesce_through_batcher():
     total_items = sum(stats["kinds"][k]["items"] for k in kinds)
     assert total_items == n_nodes
     assert total_calls < total_items, stats
+
+
+def test_matcha_masked_batch_row_exact():
+    """Matcha masked batched synthesis matches single-row synthesis (batch
+    invariance: shared noise pattern + pad masking in the encoder)."""
+    import jax
+
+    from streamkit_tpu.models.matcha import (
+        MatchaConfig,
+        matcha_init_params,
+        matcha_synthesize_mel,
+    )
+    import jax.numpy as jnp
+
+    cfg = MatchaConfig(
+        vocab_size=40, d_model=32, heads=2, enc_layers=2, ffn_dim=64,
+        n_mels=20, dec_channels=32, dec_layers=2, spk_dim=16,
+        n_speakers=2, ode_steps=2,
+    )
+    params = matcha_init_params(cfg, 0)
+    rng = np.random.RandomState(0)
+    a = rng.randint(1, 40, 7).astype(np.int32)
+    b = rng.randint(1, 40, 12).astype(np.int32)
+    T, F = 16, 64
+    ids = np.zeros((2, T), np.int32)
+    m = np.zeros((2, T), np.float32)
+    ids[0, :7] = a
+    m[0, :7] = 1
+    ids[1, :12] = b
+    m[1, :12] = 1
+    mel_b, n_b = matcha_synthesize_mel(params, cfg, jnp.asarray(ids), F, mask=jnp.asarray(m))
+    for row, t in ((0, a), (1, b)):
+        one = np.zeros((1, T), np.int32)
+        m1 = np.zeros((1, T), np.float32)
+        one[0, : len(t)] = t
+        m1[0, : len(t)] = 1
+        mel_1, n_1 = matcha_synthesize_mel(params, cfg, jnp.asarray(one), F, mask=jnp.asarray(m1))
+        assert int(n_b[row]) == int(n_1[0])
+        np.testing.assert_allclose(
+            np.asarray(mel_b[row]), np.asarray(mel_1[0]), rtol=2e-4, atol=2e-5
+        )
