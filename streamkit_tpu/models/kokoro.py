@@ -58,6 +58,10 @@ __all__ = [
     "load_kokoro_dir",
     "kokoro_init_params",
     "kokoro_synthesize",
+    "kokoro_durations_batch",
+    "kokoro_core_batch",
+    "kokoro_bucket",
+    "HOP",
     "STYLE_DIM",
     "STYLE_ROWS",
 ]
@@ -336,6 +340,27 @@ def kokoro_synthesize(
     out = np.asarray(audio)[: min(n, f_pad) * HOP]
     peak = np.abs(out).max() or 1.0
     return (out / max(peak, 1.0) * 0.7).astype(np.float32)
+
+
+def kokoro_bucket(n: int, buckets=None) -> int:
+    """Public pow-2/bucket helper (token buckets pass (64,128,256,512))."""
+    return _bucket(n, buckets) if buckets is not None else _bucket(n)
+
+
+def kokoro_durations_batch(params, cfg: KokoroConfig, tok_b, t_mask_b, style_b):
+    """Batched duration prediction: rows are independent (vmapped)."""
+    return jax.vmap(_predict_durations, in_axes=(None, None, 0, 0, 0))(
+        params, cfg, tok_b, t_mask_b, style_b
+    )
+
+
+def kokoro_core_batch(params, cfg: KokoroConfig, tok_b, t_mask_b, style_b,
+                      fi_b, f_mask_b, f_pad: int):
+    """Batched text-encode + frame-expand + decode (vmapped _kokoro_core;
+    row-exact vs single-row — the cross-session batching device call)."""
+    return jax.vmap(_kokoro_core, in_axes=(None, None, 0, 0, 0, 0, 0, None))(
+        params, cfg, tok_b, t_mask_b, style_b, fi_b, f_mask_b, f_pad
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -224,6 +224,80 @@ class TtsNode(ProcessorNode):
             def synth_sync(sentence: str) -> np.ndarray:
                 ids = ktokens.encode(sentence)
                 return kokoro_synthesize(kparams, kcfg, ids, pack, speed=self.speed)
+
+            # cross-session batching: duration prediction and the
+            # encode+expand+decode core are both vmapped over sessions
+            # (row-exact — models/kokoro.py kokoro_*_batch); two batcher
+            # kinds because the frame bucket is only known after durations
+            if ctx.batcher is not None:
+                import functools
+
+                import jax
+
+                from ...models.kokoro import (
+                    HOP,
+                    kokoro_bucket,
+                    kokoro_core_batch,
+                    kokoro_durations_batch,
+                )
+
+                tag = f"{self.model_path or 'randinit'}:{self.speaker_id}:{self.speed}"
+                dur_jit = jax.jit(
+                    lambda tb, mb, sb: kokoro_durations_batch(kparams, kcfg, tb, mb, sb)
+                )
+
+                def dur_fn(tok_b, tm_b, st_b):
+                    return (np.asarray(dur_jit(jnp.asarray(tok_b), jnp.asarray(tm_b), jnp.asarray(st_b))),)
+
+                @functools.lru_cache(maxsize=8)
+                def core_fn_for(f_pad: int):
+                    core_jit = jax.jit(
+                        lambda tb, mb, sb, fb, fmb: kokoro_core_batch(
+                            kparams, kcfg, tb, mb, sb, fb, fmb, f_pad
+                        )
+                    )
+
+                    def fn(tok_b, tm_b, st_b, fi_b, fm_b):
+                        audio, _ = core_jit(
+                            jnp.asarray(tok_b), jnp.asarray(tm_b), jnp.asarray(st_b),
+                            jnp.asarray(fi_b), jnp.asarray(fm_b),
+                        )
+                        return (np.asarray(audio),)
+
+                    return fn
+
+                async def _kokoro_batched(sentence: str) -> np.ndarray:
+                    ids = ktokens.encode(sentence)
+                    if not ids:
+                        return np.zeros(0, np.float32)
+                    t = len(ids)
+                    t_pad = kokoro_bucket(t, (64, 128, 256, 512))
+                    tok = np.zeros(t_pad, np.int32)
+                    tok[:t] = np.asarray(ids, np.int32) % kcfg.n_tokens
+                    t_mask = np.zeros(t_pad, np.float32)
+                    t_mask[:t] = 1.0
+                    style = np.asarray(pack[min(t, pack.shape[0] - 1)], np.float32)
+                    kind = f"kokoro_dur:{tag}:{t_pad}"
+                    ctx.batcher.register(kind, dur_fn, max_batch=16)
+                    dur_row = await ctx.batcher.submit(kind, tok, t_mask, style)
+                    dur = np.maximum(
+                        1, np.round(np.asarray(dur_row)[:t] / max(self.speed, 1e-3))
+                    ).astype(np.int64)
+                    frame_idx = np.repeat(np.arange(t, dtype=np.int32), dur)
+                    n = len(frame_idx)
+                    f_pad = kokoro_bucket(n)
+                    fi = np.zeros(f_pad, np.int32)
+                    fi[:n] = frame_idx[:f_pad]
+                    f_mask = np.zeros(f_pad, np.float32)
+                    f_mask[: min(n, f_pad)] = 1.0
+                    kind2 = f"kokoro_core:{tag}:{t_pad}:{f_pad}"
+                    ctx.batcher.register(kind2, core_fn_for(f_pad), max_batch=16)
+                    audio = await ctx.batcher.submit(kind2, tok, t_mask, style, fi, f_mask)
+                    out = np.asarray(audio)[: min(n, f_pad) * HOP]
+                    peak = np.abs(out).max() or 1.0
+                    return (out / max(peak, 1.0) * 0.7).astype(np.float32)
+
+                synth_batched = _kokoro_batched
         elif loaded[0] == "vits":
             from ...models.vits import synthesize as vits_synthesize
 

@@ -175,3 +175,78 @@ def test_matcha_masked_batch_row_exact():
         np.testing.assert_allclose(
             np.asarray(mel_b[row]), np.asarray(mel_1[0]), rtol=2e-4, atol=2e-5
         )
+
+
+def test_kokoro_nodes_coalesce_through_batcher():
+    """Kokoro sessions share both duration and core device calls (vmapped
+    batch helpers), using the golden sample pack."""
+    import os
+
+    golden = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "samples", "kokoro-golden",
+    )
+    if not os.path.isdir(golden):
+        pytest.skip("kokoro golden pack absent")
+
+    from streamkit_tpu.core import (
+        Channel,
+        NodeContext,
+        OutputSender,
+        Packet,
+        ResourceManager,
+    )
+    from streamkit_tpu.engine.batcher import DeviceBatcher
+    from streamkit_tpu.nodes.ml.tts_node import TtsNode
+
+    n_nodes = 3
+    sentence = "the same sentence for every concurrent kokoro session."
+
+    async def main():
+        batcher = DeviceBatcher(tick_ms=20.0)
+        batcher.start()
+        resources = ResourceManager()
+        samples = [0] * n_nodes
+
+        async def one(i: int):
+            node = TtsNode({"model_path": golden, "backend": "kokoro"})
+            in_ch = Channel(8)
+            out_ch = Channel(4096)
+            ctx = NodeContext(
+                node_name=f"k{i}",
+                inputs={"in": in_ch},
+                output=OutputSender(f"k{i}", direct={"out": out_ch}),
+                batcher=batcher,
+                resources=resources,
+            )
+            run_task = asyncio.ensure_future(node.run(ctx))
+
+            async def drain():
+                while True:
+                    pkt = await out_ch.recv_optional()
+                    if pkt is None:
+                        return
+                    if pkt.audio is not None:
+                        samples[i] += pkt.audio.num_samples
+
+            drain_task = asyncio.ensure_future(drain())
+            await in_ch.send(Packet.new_text(sentence + " "))
+            in_ch.close()
+            await run_task
+            out_ch.close()
+            await drain_task
+
+        await asyncio.gather(*(one(i) for i in range(n_nodes)))
+        stats = batcher.stats()
+        batcher.stop()
+        return samples, stats
+
+    samples, stats = asyncio.run(main())
+    assert all(s > 0 for s in samples)
+    assert len(set(samples)) == 1  # identical input -> identical audio length
+    for prefix in ("kokoro_dur:", "kokoro_core:"):
+        kinds = [k for k in stats["kinds"] if k.startswith(prefix)]
+        assert kinds, (prefix, stats)
+        calls = sum(stats["kinds"][k]["calls"] for k in kinds)
+        items = sum(stats["kinds"][k]["items"] for k in kinds)
+        assert items == n_nodes and calls < items, (prefix, stats)
