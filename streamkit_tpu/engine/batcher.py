@@ -63,6 +63,11 @@ class BatchKind:
     # (the dense STT engine scatters rows into slot order) would otherwise
     # pay a device upload + fetch per call just to reorder
     host_inputs: bool = False
+    # transient kinds re-register before every submit (the per-sentence /
+    # per-segment ML paths) and may be TTL-purged when idle; durable kinds
+    # (engine stream/ring kinds registered once at startup) never are
+    transient: bool = False
+    last_used: float = field(default_factory=time.monotonic)
 
 
 @dataclass
@@ -75,8 +80,15 @@ class _Item:
 class DeviceBatcher:
     """Micro-batching dispatcher for device work."""
 
-    def __init__(self, tick_ms: float = 5.0) -> None:
+    def __init__(self, tick_ms: float = 5.0, kind_ttl_secs: float = 900.0) -> None:
         self.tick_secs = tick_ms / 1000.0
+        # idle kinds are purged after this TTL: registered fns close over
+        # full model param trees (and their jit executables), so a kind
+        # registry with no eviction would pin every retired model's weights
+        # for the process lifetime even after ResourceManager LRU eviction.
+        # Re-registration after a purge is cheap (recompile on next use).
+        self.kind_ttl_secs = kind_ttl_secs
+        self._last_purge = time.monotonic()
         self._kinds: Dict[str, BatchKind] = {}
         self._pending: Dict[Tuple, List[_Item]] = defaultdict(list)
         self._wake = asyncio.Event()
@@ -101,6 +113,7 @@ class DeviceBatcher:
         pad_to: Optional[int] = None,
         gather_ms: float = 0.0,
         host_inputs: bool = False,
+        transient: bool = False,
     ) -> None:
         """Idempotent: re-registering a kind keeps the first fn."""
         if name not in self._kinds:
@@ -111,7 +124,7 @@ class DeviceBatcher:
             if pad_to is not None:
                 max_batch = min(max_batch, pad_to)
             self._kinds[name] = BatchKind(
-                name, fn, max_batch, pad_to, gather_ms, host_inputs
+                name, fn, max_batch, pad_to, gather_ms, host_inputs, transient
             )
 
     def is_registered(self, name: str) -> bool:
@@ -136,6 +149,7 @@ class DeviceBatcher:
         if self._task is None or self._task.done():
             self.start()
         self.submissions += 1
+        self._kinds[kind].last_used = time.monotonic()
         key = (kind,) + tuple(np.asarray(x).shape for x in inputs)
         fut = asyncio.get_running_loop().create_future()
         group = self._pending[key]
@@ -153,6 +167,16 @@ class DeviceBatcher:
             except asyncio.TimeoutError:
                 pass
             self._wake.clear()
+            now = time.monotonic()
+            if self.kind_ttl_secs > 0 and now - self._last_purge > 60.0:
+                self._last_purge = now
+                busy = {key[0] for key in self._pending}
+                for name in [
+                    n for n, k in self._kinds.items()
+                    if k.transient and n not in busy
+                    and now - k.last_used > self.kind_ttl_secs
+                ]:
+                    del self._kinds[name]
             if not self._pending:
                 continue
             batches = self._pending

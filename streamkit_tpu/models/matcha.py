@@ -148,10 +148,20 @@ def _encode(params, cfg: MatchaConfig, tokens: jnp.ndarray, mask=None) -> Tuple[
         att = jnp.matmul(w, heads(v), preferred_element_type=v.dtype)
         x = x + _dense(att.transpose(0, 2, 1, 3).reshape(b, t, d), layer["out"])
         h = _ln(x, layer["ln2"])
-        x = x + _conv1d(jax.nn.gelu(_conv1d(h, layer["conv1"])), layer["conv2"])
+        if m is not None:
+            h = h * m  # LN beta makes pads nonzero — convs must see zeros
+        h = jax.nn.gelu(_conv1d(h, layer["conv1"]))
+        if m is not None:
+            h = h * m  # conv1 spills into pad positions; conv2 must not read it
+        x = x + _conv1d(h, layer["conv2"])
         if m is not None:
             x = x * m
     x = _ln(x, params["enc_ln"])
+    if m is not None:
+        # zeros at pads before the mu/duration conv heads: a padded batch
+        # then matches the unpadded run exactly (conv zero-padding beyond
+        # the boundary equals masked pad positions)
+        x = x * m
     mu = _dense(x, params["mu_proj"])
     dur = _dense(_ln(jax.nn.relu(_conv1d(x, params["dur_conv"])), params["dur_ln"]), params["dur_proj"])
     return mu, dur[..., 0]

@@ -11,7 +11,8 @@ all sessions sharing a model coalesce per bucket. Extra per-row inputs
 
 from __future__ import annotations
 
-from typing import Callable
+import weakref
+from typing import Callable, Dict, Tuple
 
 import numpy as np
 
@@ -19,6 +20,31 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["BucketedGreedy"]
+
+# one jitted decode per kind_tag, shared across node instances: N sessions
+# on one model must not compile N identical XLA programs (30-60 s each over
+# a device tunnel). kind_tag embeds id(params); the anchor (the model's cfg
+# object, loaded alongside the params by the ResourceManager) is weakref'd
+# to guard against id() reuse after the original load is collected.
+_JIT_CACHE: Dict[str, Tuple[weakref.ref, object]] = {}
+
+
+def _shared_jit(kind_tag: str, anchor, decode: Callable):
+    # sweep entries whose anchor died: the jitted fn closes over the model
+    # params, so stale entries would pin evicted weights forever
+    for k in [k for k, (ref, _) in _JIT_CACHE.items() if ref() is None]:
+        del _JIT_CACHE[k]
+    hit = _JIT_CACHE.get(kind_tag)
+    if hit is not None:
+        ref, fn = hit
+        if ref() is anchor:
+            return fn
+    fn = jax.jit(decode)
+    try:
+        _JIT_CACHE[kind_tag] = (weakref.ref(anchor), fn)
+    except TypeError:  # unweakrefable anchor: skip sharing
+        pass
+    return fn
 
 
 class BucketedGreedy:
@@ -31,12 +57,16 @@ class BucketedGreedy:
         pad_id: int,
         decode: Callable,
         max_batch: int = 16,
+        share_anchor=None,
     ) -> None:
         self.kind_tag = kind_tag
         self.max_positions = max_positions
         self.pad_id = pad_id
         self.max_batch = max_batch
-        self._jit = jax.jit(decode)
+        if share_anchor is not None:
+            self._jit = _shared_jit(kind_tag, share_anchor, decode)
+        else:
+            self._jit = jax.jit(decode)
 
     def _bucketed(self, ids):
         n = min(len(ids), self.max_positions)
@@ -66,7 +96,7 @@ class BucketedGreedy:
         """Cross-session path through the engine batcher."""
         tb, padded = self._bucketed(ids)
         kind = f"{self.kind_tag}:{tb}"
-        batcher.register(kind, self._batch_fn, max_batch=self.max_batch)
+        batcher.register(kind, self._batch_fn, max_batch=self.max_batch, transient=True)
         toks, n = await batcher.submit(
             kind, padded, *[np.asarray(e) for e in extras]
         )

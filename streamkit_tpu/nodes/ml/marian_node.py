@@ -183,6 +183,7 @@ class MarianTranslateNode(ProcessorNode):
             cfg.max_positions,
             pad_id,
             lambda src_b: marian_greedy_cached(params, cfg, src_b, max_tokens=max_tok),
+            share_anchor=cfg,
         )
 
         def _strip(toks: np.ndarray, n: int) -> str:

@@ -177,8 +177,13 @@ class MatchaTtsNode(ProcessorNode):
             async def synth_batched(text: str) -> np.ndarray:
                 ids = tokens_for(text)[0]
                 tb = 1 << max(5, (max(1, len(ids)) - 1).bit_length())
-                kind = f"matcha:{id(mparams)}:{spk}:{self.ode_steps}:{tb}"
-                ctx.batcher.register(kind, make_fn(tb), max_batch=16)
+                # noise/length scale are closed over by the fn — include
+                # them in the kind so differently-tuned sessions never share
+                kind = (
+                    f"matcha:{id(mparams)}:{spk}:{self.ode_steps}:"
+                    f"{self.noise_scale}:{self.length_scale}:{tb}"
+                )
+                ctx.batcher.register(kind, make_fn(tb), max_batch=16, transient=True)
                 padded = np.zeros(tb, np.int32)
                 padded[: len(ids)] = ids[:tb]
                 mask = np.zeros(tb, np.float32)

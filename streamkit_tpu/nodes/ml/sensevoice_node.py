@@ -227,8 +227,11 @@ class SenseVoiceNode(ProcessorNode):
             bucket = 1 << max(14, (n - 1).bit_length())  # >=1s @16k
             padded = np.zeros(bucket, np.float32)
             padded[:n] = samples
-            kind = f"sensevoice:{id(params)}:{bucket}"
-            ctx.batcher.register(kind, _batch_fn, max_batch=16, host_inputs=True)
+            # the fn closes over lang/itn — they MUST be in the kind, or a
+            # session with different settings would get the first
+            # registrant's transcription config
+            kind = f"sensevoice:{id(params)}:{self.language}:{int(self.use_itn)}:{bucket}"
+            ctx.batcher.register(kind, _batch_fn, max_batch=16, host_inputs=True, transient=True)
             ids, ln = await ctx.batcher.submit(kind, padded, np.asarray(n, np.int32))
             return _ids_to_text([int(i) for i in ids[: int(ln)]])
 

@@ -167,6 +167,7 @@ class TranslateNode(ProcessorNode):
             lambda src_b, tgt_b: nllb_greedy_cached(
                 params, cfg, src_b, tgt_b, max_tokens=max_tok
             ),
+            share_anchor=cfg,
         )
         tgt = np.asarray(target_token, np.int32)
 

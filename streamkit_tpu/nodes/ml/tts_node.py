@@ -278,7 +278,7 @@ class TtsNode(ProcessorNode):
                     t_mask[:t] = 1.0
                     style = np.asarray(pack[min(t, pack.shape[0] - 1)], np.float32)
                     kind = f"kokoro_dur:{tag}:{t_pad}"
-                    ctx.batcher.register(kind, dur_fn, max_batch=16)
+                    ctx.batcher.register(kind, dur_fn, max_batch=16, transient=True)
                     dur_row = await ctx.batcher.submit(kind, tok, t_mask, style)
                     dur = np.maximum(
                         1, np.round(np.asarray(dur_row)[:t] / max(self.speed, 1e-3))
@@ -291,7 +291,7 @@ class TtsNode(ProcessorNode):
                     f_mask = np.zeros(f_pad, np.float32)
                     f_mask[: min(n, f_pad)] = 1.0
                     kind2 = f"kokoro_core:{tag}:{t_pad}:{f_pad}"
-                    ctx.batcher.register(kind2, core_fn_for(f_pad), max_batch=16)
+                    ctx.batcher.register(kind2, core_fn_for(f_pad), max_batch=16, transient=True)
                     audio = await ctx.batcher.submit(kind2, tok, t_mask, style, fi, f_mask)
                     out = np.asarray(audio)[: min(n, f_pad) * HOP]
                     peak = np.abs(out).max() or 1.0
@@ -356,7 +356,7 @@ class TtsNode(ProcessorNode):
                     wave = np.zeros(0, np.float32)
                     for _ in range(4):
                         kind = f"tts_vits:{tag}:{tb}"
-                        ctx.batcher.register(kind, make_fn(tb), max_batch=16)
+                        ctx.batcher.register(kind, make_fn(tb), max_batch=16, transient=True)
                         padded = np.zeros(tb, np.int32)
                         padded[: len(ids)] = ids[:tb]
                         mask = np.zeros(tb, np.float32)

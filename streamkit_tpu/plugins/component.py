@@ -1909,8 +1909,10 @@ class ComponentNodeWrapper(_ProcessorNode):
         in_names = [p.name for p in self.input_pins()]
 
         # merged receive across ALL declared input pins (multi-input
-        # components would otherwise deadlock their undrained channels)
-        merged: "asyncio.Queue" = asyncio.Queue()
+        # components would otherwise deadlock their undrained channels).
+        # Bounded: the pumps must NOT strip the input Channels' backpressure
+        # by draining them into unbounded memory.
+        merged: "asyncio.Queue" = asyncio.Queue(maxsize=4)
         live = len(in_names)
 
         async def pump(pin: str) -> None:

@@ -175,6 +175,18 @@ def test_matcha_masked_batch_row_exact():
         np.testing.assert_allclose(
             np.asarray(mel_b[row]), np.asarray(mel_1[0]), rtol=2e-4, atol=2e-5
         )
+        # and padded-with-mask == UNPADDED direct run (the batched path must
+        # match what synth_sync produces, not just another padded call):
+        # conv inputs are masked to zero at pads, so SAME-conv zero padding
+        # beyond the boundary equals the masked pad positions
+        tight, n_t = matcha_synthesize_mel(
+            params, cfg, jnp.asarray(t[None]), F,
+            mask=jnp.asarray(np.ones((1, len(t)), np.float32)),
+        )
+        assert int(n_t[0]) == int(n_1[0])
+        np.testing.assert_allclose(
+            np.asarray(mel_1[0]), np.asarray(tight[0]), rtol=2e-4, atol=2e-5
+        )
 
 
 def test_kokoro_nodes_coalesce_through_batcher():
