@@ -34,6 +34,7 @@ __all__ = [
     "marian_decode_logits",
     "marian_greedy_translate",
     "marian_greedy_cached",
+    "marian_beam_translate",
     "marian_decode_step",
     "marian_config_from_hf",
     "marian_params_from_hf",
@@ -350,3 +351,34 @@ def marian_params_from_hf(sd: Dict[str, np.ndarray], cfg: MarianConfig, dtype=jn
         "enc_layers": [enc_layer(i) for i in range(cfg.encoder_layers)],
         "dec_layers": [dec_layer(i) for i in range(cfg.decoder_layers)],
     }
+
+
+def marian_beam_translate(
+    params,
+    cfg: MarianConfig,
+    src_tokens: jnp.ndarray,
+    max_tokens: int = 64,
+    beam: int = 4,
+    length_penalty: float = 1.0,
+):
+    """Beam-search decode (reference helsinki/CTranslate2 ``beam_size``).
+    Returns (tokens [b, max_tokens] best hypothesis, lengths [b])."""
+    from .seq2seq import beam_decode
+
+    enc_states, enc_bias = marian_encode(params, cfg, src_tokens)
+    b = src_tokens.shape[0]
+    cache = _marian_init_cache(params, cfg, enc_states, max_tokens + 1)
+    start = jnp.full((b,), cfg.decoder_start_token_id, jnp.int32)
+    logits, cache = marian_decode_step(params, cfg, start, jnp.int32(0), cache, enc_bias)
+    cache = jax.tree.map(lambda x: jnp.repeat(x, beam, axis=0), cache)
+    enc_bias_x = jnp.repeat(enc_bias, beam, axis=0)
+
+    def step(tok, i, c):
+        return marian_decode_step(params, cfg, tok, i, c, enc_bias_x)
+
+    tokens, lengths, _ = beam_decode(
+        step, cache, logits, b, beam, max_tokens,
+        cfg.eos_token_id, cfg.pad_token_id, start_step=1,
+        length_penalty=length_penalty,
+    )
+    return tokens, lengths

@@ -33,6 +33,7 @@ __all__ = [
     "nllb_config_from_hf",
     "nllb_params_from_hf",
     "nllb_greedy_translate",
+    "nllb_beam_translate",
     "nllb_greedy_cached",
     "nllb_decode_step",
 ]
@@ -363,3 +364,37 @@ def nllb_params_from_hf(sd: Dict[str, np.ndarray], cfg: NllbConfig, dtype=jnp.fl
         "dec_layers": [dec_layer(i) for i in range(cfg.decoder_layers)],
         "dec_ln": ln("model.decoder.layer_norm"),
     }
+
+
+def nllb_beam_translate(
+    params,
+    cfg: NllbConfig,
+    src_tokens: jnp.ndarray,
+    target_lang_token,
+    max_tokens: int = 128,
+    beam: int = 4,
+    length_penalty: float = 1.0,
+):
+    """Beam-search decode (reference nllb/CTranslate2 ``beam_size``).
+    Returns (tokens [b, max_tokens] best hypothesis, lengths [b])."""
+    from .seq2seq import beam_decode
+
+    enc_states, enc_bias = nllb_encode(params, cfg, src_tokens)
+    b = src_tokens.shape[0]
+    cache = _nllb_init_cache(params, cfg, enc_states, max_tokens + 2)
+    start = jnp.full((b,), cfg.decoder_start_token_id, jnp.int32)
+    lang = jnp.broadcast_to(jnp.asarray(target_lang_token, jnp.int32), (b,))
+    _, cache = nllb_decode_step(params, cfg, start, jnp.int32(0), cache, enc_bias)
+    logits, cache = nllb_decode_step(params, cfg, lang, jnp.int32(1), cache, enc_bias)
+    cache = jax.tree.map(lambda x: jnp.repeat(x, beam, axis=0), cache)
+    enc_bias_x = jnp.repeat(enc_bias, beam, axis=0)
+
+    def step(tok, i, c):
+        return nllb_decode_step(params, cfg, tok, i, c, enc_bias_x)
+
+    tokens, lengths, _ = beam_decode(
+        step, cache, logits, b, beam, max_tokens,
+        cfg.eos_token_id, cfg.pad_token_id, start_step=2,
+        length_penalty=length_penalty,
+    )
+    return tokens, lengths

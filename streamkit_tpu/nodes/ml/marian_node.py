@@ -78,7 +78,7 @@ class MarianTranslateNode(ProcessorNode):
                 "target_language": None,
                 "max_tokens": 128,
                 "max_length": None,  # reference alias for max_tokens
-                "beam_size": 1,  # greedy (beam=1) — validated, larger rejected loudly
+                "beam_size": 1,  # 1 = greedy; >1 = beam search (models/seq2seq.py)
                 "allow_random_init": True,
                 "device": None,  # accepted for reference-yaml compat
                 "num_threads": None,
@@ -90,9 +90,10 @@ class MarianTranslateNode(ProcessorNode):
         self.source_language = cfg["source_language"]
         self.target_language = cfg["target_language"]
         self.max_tokens = int(cfg["max_length"] or cfg["max_tokens"])
-        if int(cfg["beam_size"]) != 1:
+        self.beam_size = int(cfg["beam_size"])
+        if not 1 <= self.beam_size <= 8:
             raise ConfigurationError(
-                "plugin::native::helsinki: only beam_size=1 (greedy) is implemented"
+                "plugin::native::helsinki: beam_size must be 1-8"
             )
         self.allow_random_init = bool(cfg["allow_random_init"])
         self.dtype = jnp.bfloat16 if cfg["dtype"] == "bfloat16" else jnp.float32
@@ -178,11 +179,22 @@ class MarianTranslateNode(ProcessorNode):
 
         max_tok = self.max_tokens
         pad_id = cfg.pad_token_id
+        beam = self.beam_size
+        if beam > 1:
+            from ...models.marian import marian_beam_translate
+
+            decode = lambda src_b: marian_beam_translate(  # noqa: E731
+                params, cfg, src_b, max_tokens=max_tok, beam=beam
+            )
+        else:
+            decode = lambda src_b: marian_greedy_cached(  # noqa: E731
+                params, cfg, src_b, max_tokens=max_tok
+            )
         bg = BucketedGreedy(
-            f"marian:{id(params)}:{max_tok}",
+            f"marian:{id(params)}:{max_tok}:b{beam}",
             cfg.max_positions,
             pad_id,
-            lambda src_b: marian_greedy_cached(params, cfg, src_b, max_tokens=max_tok),
+            decode,
             share_anchor=cfg,
         )
 

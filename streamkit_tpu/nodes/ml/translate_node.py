@@ -75,7 +75,7 @@ class TranslateNode(ProcessorNode):
                 "source_language": None,  # reference aliases
                 "target_language": None,
                 "max_length": None,
-                "beam_size": 1,  # reference exposes beam size; greedy for now
+                "beam_size": 1,  # 1 = greedy; >1 = beam search (models/seq2seq.py)
                 "max_tokens": 128,
                 "allow_random_init": True,
                 "device": None,  # accepted for reference-yaml compat
@@ -88,6 +88,9 @@ class TranslateNode(ProcessorNode):
         self.source_lang = cfg["source_language"] or cfg["source_lang"]
         self.target_lang = cfg["target_language"] or cfg["target_lang"]
         self.max_tokens = int(cfg["max_length"] or cfg["max_tokens"])
+        self.beam_size = int(cfg["beam_size"])
+        if not 1 <= self.beam_size <= 8:
+            raise ConfigurationError("plugin::native::nllb: beam_size must be 1-8")
         self.allow_random_init = bool(cfg["allow_random_init"])
         self.dtype = jnp.bfloat16 if cfg["dtype"] == "bfloat16" else jnp.float32
 
@@ -160,13 +163,22 @@ class TranslateNode(ProcessorNode):
 
         max_tok = self.max_tokens
         pad_id = cfg.pad_token_id
+        beam = self.beam_size
+        if beam > 1:
+            from ...models.nllb import nllb_beam_translate
+
+            decode = lambda src_b, tgt_b: nllb_beam_translate(  # noqa: E731
+                params, cfg, src_b, tgt_b, max_tokens=max_tok, beam=beam
+            )
+        else:
+            decode = lambda src_b, tgt_b: nllb_greedy_cached(  # noqa: E731
+                params, cfg, src_b, tgt_b, max_tokens=max_tok
+            )
         bg = BucketedGreedy(
-            f"nllb:{id(params)}:{max_tok}",
+            f"nllb:{id(params)}:{max_tok}:b{beam}",
             cfg.max_positions,
             pad_id,
-            lambda src_b, tgt_b: nllb_greedy_cached(
-                params, cfg, src_b, tgt_b, max_tokens=max_tok
-            ),
+            decode,
             share_anchor=cfg,
         )
         tgt = np.asarray(target_token, np.int32)

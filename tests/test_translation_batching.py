@@ -154,3 +154,67 @@ def test_translate_nodes_coalesce_through_batcher():
     calls = sum(stats["kinds"][k]["calls"] for k in kinds)
     items = sum(stats["kinds"][k]["items"] for k in kinds)
     assert items == n_nodes and calls < items, stats
+
+
+def test_beam_search_beam1_equals_greedy_and_beam_improves_score():
+    """beam=1 reproduces the cached greedy exactly; beam>1 never scores
+    worse than greedy (sum of per-token log-probs of the hypothesis)."""
+    from streamkit_tpu.models.marian import (
+        MarianConfig,
+        marian_beam_translate,
+        marian_decode_logits,
+        marian_encode,
+        marian_greedy_cached,
+        marian_init_params,
+    )
+
+    cfg = MarianConfig(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        heads=2, ffn_dim=64, max_positions=64,
+        pad_token_id=63, eos_token_id=0, decoder_start_token_id=63,
+    )
+    params = marian_init_params(cfg, seed=0)
+    rng = np.random.RandomState(3)
+    src = rng.randint(2, 60, size=(2, 9)).astype(np.int32)
+    T = 8
+    g_toks, g_lens = marian_greedy_cached(params, cfg, jnp.asarray(src), max_tokens=T)
+    b1_toks, b1_lens = marian_beam_translate(params, cfg, jnp.asarray(src), max_tokens=T, beam=1)
+    assert (np.asarray(g_toks) == np.asarray(b1_toks)).all()
+    b4_toks, b4_lens = marian_beam_translate(
+        params, cfg, jnp.asarray(src), max_tokens=T, beam=4, length_penalty=0.0
+    )
+
+    def hyp_score(toks, n):
+        """Teacher-forced sum log-prob of a hypothesis (independent oracle)."""
+        dec = np.concatenate([[cfg.decoder_start_token_id], toks[:n]])
+        enc, bias = marian_encode(params, cfg, jnp.asarray(src))
+        logits = marian_decode_logits(params, cfg, jnp.asarray(dec[None]), enc[:1], bias[:1])
+        lp = jax.nn.log_softmax(np.asarray(logits, np.float32), axis=-1)
+        return float(sum(lp[0, i, dec[i + 1]] for i in range(n)))
+
+    for row in range(1):
+        n_g = int(g_lens[row])
+        n_b = int(b4_lens[row])
+        sg = hyp_score(np.asarray(g_toks[row]), n_g)
+        sb = hyp_score(np.asarray(b4_toks[row]), n_b)
+        assert sb >= sg - 1e-3, (sb, sg)
+
+
+def test_nllb_beam1_equals_greedy():
+    from streamkit_tpu.models.nllb import (
+        NllbConfig,
+        nllb_beam_translate,
+        nllb_greedy_cached,
+        nllb_init_params,
+    )
+
+    cfg = NllbConfig(
+        vocab_size=96, d_model=32, encoder_layers=2, decoder_layers=2,
+        heads=2, ffn_dim=64, max_positions=64,
+    )
+    params = nllb_init_params(cfg, seed=0)
+    rng = np.random.RandomState(4)
+    src = rng.randint(4, 96, size=(2, 7)).astype(np.int32)
+    g, _ = nllb_greedy_cached(params, cfg, jnp.asarray(src), 5, max_tokens=10)
+    b, _ = nllb_beam_translate(params, cfg, jnp.asarray(src), 5, max_tokens=10, beam=1)
+    assert (np.asarray(g) == np.asarray(b)).all()
