@@ -25,7 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "whisper_param_sharding", "shard_params", "data_sharding"]
+__all__ = ["make_mesh", "whisper_param_sharding", "seq2seq_param_sharding", "shard_params", "data_sharding"]
 
 
 def make_mesh(n_devices: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
@@ -76,6 +76,36 @@ def _fits(spec: P, shape, mesh: Mesh) -> bool:
         if i >= len(shape) or shape[i] % mesh.shape[axis] != 0:
             return False
     return True
+
+
+def _seq2seq_spec_for_path(path: str) -> P:
+    """PartitionSpec for a Marian/NLLB param (models/marian.py, nllb.py
+    layer layout). Megatron pairing: q/k/v + fc1 column-parallel, o + fc2
+    row-parallel; the tied embedding shards its vocab axis (serves as both
+    lookup table and output projection — XLA inserts the gather/psum)."""
+    is_w = path.endswith("['w']")
+    if any(f"['{k}']" in path for k in ("q", "k", "v", "fc1")):
+        return P(None, "tp") if is_w else P("tp")
+    if any(f"['{k}']" in path for k in ("o", "fc2")):
+        return P("tp", None) if is_w else P()
+    if path.endswith("['emb']"):
+        return P("tp", None)
+    if path.endswith("['logits_bias']"):
+        return P("tp")  # follows the vocab axis of emb.T
+    return P()  # pos table, layernorms: replicated
+
+
+def seq2seq_param_sharding(mesh: Mesh, params):
+    """NamedSharding pytree for a Marian/NLLB param pytree (same
+    replicate-on-misfit fallback as the whisper rules)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = []
+    for path, leaf in flat:
+        spec = _seq2seq_spec_for_path(_path_str(path))
+        if not _fits(spec, np.shape(leaf), mesh):
+            spec = P()
+        specs.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, specs)
 
 
 def whisper_param_sharding(mesh: Mesh, params):

@@ -95,3 +95,45 @@ def test_sharded_train_step_runs_and_descends():
         losses.append(float(np.asarray(loss)))
     assert losses[-1] < losses[0], f"loss did not descend: {losses}"
     assert int(np.asarray(state.step)) == 5
+
+
+def test_seq2seq_tp_sharded_decode_matches_single_device():
+    """NLLB cached greedy decode under tp=2 sharding is token-exact vs the
+    unsharded run (Megatron column/row pairing + vocab-sharded tied emb)."""
+    from streamkit_tpu.models.nllb import (
+        NllbConfig,
+        nllb_greedy_cached,
+        nllb_init_params,
+    )
+    from streamkit_tpu.parallel import seq2seq_param_sharding
+
+    cfg = NllbConfig(
+        vocab_size=128, d_model=64, encoder_layers=2, decoder_layers=2,
+        heads=4, ffn_dim=128, max_positions=64,
+    )
+    params = nllb_init_params(cfg, seed=0)
+    rng = np.random.RandomState(5)
+    src = rng.randint(4, 128, size=(4, 9)).astype(np.int32)
+
+    ref_toks, ref_lens = jax.jit(
+        lambda p, s: nllb_greedy_cached(p, cfg, s, 5, max_tokens=8)
+    )(params, jnp.asarray(src))
+
+    mesh = make_mesh(8, tp=2)
+    shardings = seq2seq_param_sharding(mesh, params)
+    # layout sanity: q column, o row, emb vocab-sharded, ln replicated
+    assert shardings["dec_layers"][0]["attn"]["q"]["w"].spec == P(None, "tp")
+    assert shardings["dec_layers"][0]["attn"]["o"]["w"].spec == P("tp", None)
+    assert shardings["emb"].spec == P("tp", None)
+    assert shardings["enc_ln"]["g"].spec == P()
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), params, shardings
+    )
+    data = NamedSharding(mesh, P("dp"))
+    src_s = jax.device_put(src, data)
+    tgt_s = jax.device_put(np.full((4,), 5, np.int32), data)
+    toks, lens = jax.jit(
+        lambda p, s, t: nllb_greedy_cached(p, cfg, s, t, max_tokens=8)
+    )(sharded, src_s, tgt_s)
+    assert (np.asarray(toks) == np.asarray(ref_toks)).all()
+    assert (np.asarray(lens) == np.asarray(ref_lens)).all()
