@@ -19,7 +19,7 @@ import numpy as np
 
 from ...ops.mel import log_mel_spectrogram
 from .config import WhisperConfig
-from .model import Params, decode_step, encode, init_kv_cache
+from .model import Params, decode_logits, decode_step, encode, init_kv_cache
 
 __all__ = ["greedy_decode", "transcribe_window", "transcribe_ring", "pad_or_trim", "N_SAMPLES_30S"]
 
@@ -160,7 +160,7 @@ def transcribe_window(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "window_samples", "language_index", "max_tokens", "cross_kv_int8")
+    jax.jit, static_argnames=("cfg", "window_samples", "max_tokens", "cross_kv_int8")
 )
 def _ring_stt(
     params: Params,
@@ -169,8 +169,9 @@ def _ring_stt(
     slot_ids: jnp.ndarray,  # [B]
     starts: jnp.ndarray,  # [B] absolute sample positions
     lengths: jnp.ndarray,  # [B] valid samples (<= window_samples)
+    lang_rows: jnp.ndarray,  # [B] language indices (per-row: sessions with
+    # different — possibly auto-detected — languages share one batch)
     window_samples: int,
-    language_index: int,
     max_tokens: int,
     cross_kv_int8: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -182,16 +183,56 @@ def _ring_stt(
     audio_states = encode(params, cfg, mel.astype(param_dtype))
     # per-row token budget from actual audio length: ~4 tok/s + slack
     token_caps = lengths // 4000 + 4
-    prefix = jnp.broadcast_to(
-        jnp.asarray(
-            [cfg.token_sot, cfg.token_language(language_index), cfg.token_transcribe,
-             cfg.token_no_timestamps],
-            dtype=jnp.int32,
-        ),
-        (audio.shape[0], 4),
+    lang_rows = lang_rows.astype(jnp.int32)
+    prefix = jnp.stack(
+        [
+            jnp.full_like(lang_rows, cfg.token_sot),
+            jnp.int32(cfg.token_sot + 1) + lang_rows,  # token_language(i)
+            jnp.full_like(lang_rows, cfg.token_transcribe),
+            jnp.full_like(lang_rows, cfg.token_no_timestamps),
+        ],
+        axis=1,
     )
     return _greedy_loop(params, cfg, audio_states, prefix, max_tokens,
                         cross_kv_int8=cross_kv_int8, token_caps=token_caps)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "window_samples"))
+def _ring_detect(
+    params: Params,
+    cfg: WhisperConfig,
+    ring: jnp.ndarray,
+    slot_ids: jnp.ndarray,
+    starts: jnp.ndarray,
+    lengths: jnp.ndarray,
+    window_samples: int,
+) -> jnp.ndarray:
+    """Language auto-detection (whisper.cpp ``language=auto`` semantics):
+    one decoder step after ``<|sot|>``, argmax over the language-token
+    block. Returns [B] language indices."""
+    from ...engine.audio_ring import gather_ring_window
+
+    audio = gather_ring_window(ring, slot_ids, starts, lengths, window_samples)
+    mel = log_mel_spectrogram(audio, cfg.n_mels)
+    param_dtype = params["enc"]["conv1"]["w"].dtype
+    audio_states = encode(params, cfg, mel.astype(param_dtype))
+    sot = jnp.full((audio.shape[0], 1), cfg.token_sot, jnp.int32)
+    logits = decode_logits(params, cfg, sot, audio_states)[:, -1]
+    n_langs = 100 if cfg.n_vocab == 51866 else 99
+    block = jax.lax.dynamic_slice_in_dim(logits, cfg.token_sot + 1, n_langs, axis=-1)
+    return jnp.argmax(block, axis=-1).astype(jnp.int32)
+
+
+def detect_language_ring(params, cfg, ring, slot_ids, starts, lengths,
+                         window_samples: int) -> jnp.ndarray:
+    """Public wrapper for the batched ring language detector."""
+    return _ring_detect(
+        params, cfg, ring,
+        jnp.asarray(slot_ids, jnp.int32),
+        jnp.asarray(starts, jnp.int32),
+        jnp.asarray(lengths, jnp.int32),
+        window_samples,
+    )
 
 
 def transcribe_ring(
@@ -219,10 +260,32 @@ def transcribe_ring(
         cross_kv_int8 = (
             param_dtype == jnp.bfloat16 and os.environ.get("SK_KV_INT8", "1") == "1"
         )
+    lang_rows = (
+        jnp.full((np.asarray(slot_ids).shape[0],), language_index, jnp.int32)
+        if np.isscalar(language_index) or getattr(language_index, "ndim", 1) == 0
+        else jnp.asarray(language_index, jnp.int32)
+    )
     return _ring_stt(
         params, cfg, ring,
         jnp.asarray(slot_ids, jnp.int32),
         jnp.asarray(starts, jnp.int32),
         jnp.asarray(lengths, jnp.int32),
-        window_samples, language_index, max_tokens, cross_kv_int8,
+        lang_rows,
+        window_samples=window_samples, max_tokens=max_tokens,
+        cross_kv_int8=cross_kv_int8,
     )
+
+
+def detect_language_window(params, cfg, audio_16k: np.ndarray) -> int:
+    """Language auto-detection on a raw audio window (non-batched path):
+    one decoder step after ``<|sot|>``, argmax over the language block."""
+    audio = pad_or_trim(np.asarray(audio_16k)[None] if np.asarray(audio_16k).ndim == 1
+                        else np.asarray(audio_16k), N_SAMPLES_30S)
+    mel = log_mel_spectrogram(jnp.asarray(audio), cfg.n_mels)
+    param_dtype = params["enc"]["conv1"]["w"].dtype
+    audio_states = encode(params, cfg, mel.astype(param_dtype))
+    sot = jnp.full((audio.shape[0], 1), cfg.token_sot, jnp.int32)
+    logits = decode_logits(params, cfg, sot, audio_states)[:, -1]
+    n_langs = 100 if cfg.n_vocab == 51866 else 99
+    block = logits[:, cfg.token_sot + 1 : cfg.token_sot + 1 + n_langs]
+    return int(jnp.argmax(block, axis=-1)[0])

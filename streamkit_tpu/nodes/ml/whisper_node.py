@@ -55,7 +55,7 @@ from ...models.whisper import (
     load_pretrained,
     transcribe_window,
 )
-from ...models.whisper.config import language_index
+from ...models.whisper.config import WHISPER_LANGUAGES, language_index
 from ...ops import VAD_FRAME, vad_frame_probs, vad_init_state
 from .vad_node import SpeechSegmenter
 
@@ -175,13 +175,25 @@ class WhisperNode(ProcessorNode):
         vad_slot = None
         seg = SpeechSegmenter(self.vad_threshold, self.min_silence_ms, self.max_segment_secs)
         buf = np.zeros(0, dtype=np.float32)
-        lang_index = language_index(self.language)
+        # language=auto (whisper.cpp semantics): detect on the first speech
+        # segment (one decoder step after <|sot|>, argmax over the language
+        # block), then pin for the session. Until then decode as English.
+        auto_lang = str(self.language).lower() == "auto"
+        lang_index = 0 if auto_lang else language_index(self.language)
+        lang_code = "en" if auto_lang else self.language
         loop = asyncio.get_running_loop()
         last_partial = 0.0
         partial_task = None
         seq = 0
 
         def decode_sync(audio: np.ndarray):
+            nonlocal lang_index, lang_code, auto_lang
+            if auto_lang:
+                from ...models.whisper.decode import detect_language_window
+
+                lang_index = int(detect_language_window(params, model_cfg, audio))
+                lang_code = WHISPER_LANGUAGES[lang_index]
+                auto_lang = False
             tokens, lengths = transcribe_window(
                 params, model_cfg, audio, language_index=lang_index, max_tokens=self.max_tokens
             )
@@ -201,7 +213,10 @@ class WhisperNode(ProcessorNode):
             from ...models.whisper.decode import transcribe_ring
 
             ring = _get_audio_ring()
-            model_tag = f"{self.model_path or self.model_size}:{lang_index}:{self.max_tokens}"
+            # language rides PER-ROW through every batched kind (meta prefix
+            # on the stream path, lang rows on the ring decodes), so sessions
+            # with different — or auto-detected — languages share programs
+            model_tag = f"{self.model_path or self.model_size}:{self.max_tokens}"
             batch_kind = f"whisper_ring:{model_tag}"
             vad_kind = f"vad_ring:{self.vad_block}"
 
@@ -221,16 +236,35 @@ class WhisperNode(ProcessorNode):
             )
 
             def make_ring_stt(window: int, tok_budget: int):
-                def batched_stt(slot_ids, starts, lengths):
+                def batched_stt(slot_ids, starts, lengths, lang_rows):
                     tokens, tok_lengths = transcribe_ring(
                         params, model_cfg, ring.ring_ref(),
                         slot_ids, starts, lengths,
                         window_samples=window,
-                        language_index=lang_index, max_tokens=tok_budget,
+                        language_index=np.asarray(lang_rows, np.int32),
+                        max_tokens=tok_budget,
                     )
                     return tokens, tok_lengths
 
                 return batched_stt
+
+            detect_kind = f"whisper_detect:{model_tag}"
+            detect_window = int(self.window_buckets[0] * _SR)
+
+            def batched_detect(slot_ids, starts, lengths):
+                from ...models.whisper.decode import detect_language_ring
+
+                return (
+                    np.asarray(
+                        detect_language_ring(
+                            params, model_cfg, ring.ring_ref(),
+                            slot_ids, starts, lengths,
+                            window_samples=detect_window,
+                        )
+                    ),
+                )
+
+            ctx.batcher.register(detect_kind, batched_detect)
 
             # gather window: hold a partial decode batch briefly so
             # co-arriving sessions coalesce into one padded call (decode is
@@ -285,17 +319,20 @@ class WhisperNode(ProcessorNode):
                 ctx.batcher.register(
                     sstep_kind, batched_sstep, pad_to=stream_pad, gather_ms=sgather,
                 )
-        stream_prefix = None
-        if stream_tbl is not None:
-            stream_prefix = np.asarray(
+        def _prefix_for(idx: int) -> np.ndarray:
+            return np.asarray(
                 [
                     model_cfg.token_sot,
-                    model_cfg.token_language(lang_index),
+                    model_cfg.token_language(idx),
                     model_cfg.token_transcribe,
                     model_cfg.token_no_timestamps,
                 ],
                 np.int32,
             )
+
+        stream_prefix = None
+        if stream_tbl is not None:
+            stream_prefix = _prefix_for(lang_index)
         # fused-path streaming cursors (all sample counts absolute)
         st_ready = False  # reset done for the currently open segment
         st_tip = 0  # next chunk start
@@ -311,14 +348,29 @@ class WhisperNode(ProcessorNode):
             return int(self.window_buckets[-1] * _SR)
 
         async def decode_text(samples: np.ndarray, start_f: int, end_f: int) -> str:
+            nonlocal lang_index, lang_code, auto_lang, stream_prefix
             if batch_kind is not None:
                 n = min((end_f - start_f) * VAD_FRAME, int(self.window_buckets[-1] * _SR))
+                if auto_lang:
+                    lang = await ctx.batcher.submit(
+                        detect_kind,
+                        np.int32(vad_slot),
+                        np.int32((start_f * VAD_FRAME) % ring.ring_samples),
+                        np.int32(min(n, detect_window)),
+                    )
+                    lang_index = int(lang)
+                    lang_code = WHISPER_LANGUAGES[lang_index]
+                    auto_lang = False
+                    if stream_prefix is not None:
+                        stream_prefix = _prefix_for(lang_index)
+                    telemetry.emit("stt.language", {"detected": lang_code})
                 window = _bucket_samples(n)
                 tokens, length = await ctx.batcher.submit(
                     f"{batch_kind}:{window}",
                     np.int32(vad_slot),
                     np.int32((start_f * VAD_FRAME) % ring.ring_samples),
                     np.int32(n),
+                    np.int32(lang_index),
                 )
                 return detok.decode(tokens[: int(length)])
             return await loop.run_in_executor(None, decode_sync, samples)
@@ -330,7 +382,7 @@ class WhisperNode(ProcessorNode):
             data = TranscriptionData(
                 text=text,
                 segments=(TranscriptionSegment(text, start_ms, end_ms),),
-                language=self.language,
+                language=lang_code,
                 is_final=is_final,
             )
             meta = PacketMetadata(timestamp_us=start_ms * 1000, sequence=seq)
@@ -461,6 +513,23 @@ class WhisperNode(ProcessorNode):
                                 do_dec = False
                             do_rst = st_pending_reset
                             st_pending_reset = False
+                            if auto_lang and do_dec:
+                                # first decode of an auto session: detect the
+                                # language from audio ALREADY in the ring
+                                # (this block is appended by the fused step
+                                # only after this detect call)
+                                avail = int(min(detect_window, written))
+                                lang = await ctx.batcher.submit(
+                                    detect_kind,
+                                    np.int32(vad_slot),
+                                    np.int32((written - avail) % ring.ring_samples),
+                                    np.int32(max(1, avail)),
+                                )
+                                lang_index = int(lang)
+                                lang_code = WHISPER_LANGUAGES[lang_index]
+                                auto_lang = False
+                                stream_prefix = _prefix_for(lang_index)
+                                telemetry.emit("stt.language", {"detected": lang_code})
                             meta_row = np.concatenate(
                                 [
                                     np.asarray(

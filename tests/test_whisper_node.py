@@ -131,3 +131,50 @@ def test_model_cache_shared_across_pipelines(registry):
     asyncio.run(main())
     assert resources.misses == 1
     assert resources.hits >= 1
+
+
+def test_language_auto_detects_and_resolves(registry):
+    """language=auto (whisper.cpp semantics): the node detects the language
+    from the first segment and reports a resolved code, both on the direct
+    path and through the batched ring-decode path (per-row language)."""
+    from streamkit_tpu.engine.batcher import DeviceBatcher
+    from streamkit_tpu.models.whisper.config import WHISPER_LANGUAGES
+
+    yaml_auto = STT_YAML.replace("language: en", "language: auto")
+    pipeline = compile_yaml(yaml_auto)
+    body = speech_wav()
+
+    async def main(batcher):
+        resources = ResourceManager()
+
+        async def stream():
+            yield body
+
+        result = await run_oneshot_pipeline(
+            registry, pipeline, input_stream=stream(),
+            resources=resources, batcher=batcher,
+        )
+        return (await result.read_all()).decode()
+
+    # direct (non-batched) path
+    out = asyncio.run(main(None))
+    lines = [json.loads(l) for l in out.strip().splitlines() if l]
+    assert lines, out
+    lang = lines[0]["Transcription"]["language"]
+    assert lang in WHISPER_LANGUAGES, lang  # resolved, never "auto"
+
+    # batched path: detect kind + per-row lang rows through the ring decode
+    async def run_batched():
+        b = DeviceBatcher(tick_ms=5.0)
+        b.start()
+        out = await main(b)
+        stats = b.stats()
+        b.stop()
+        return out, stats
+
+    out, stats = asyncio.run(run_batched())
+    lines = [json.loads(l) for l in out.strip().splitlines() if l]
+    assert lines, out
+    lang = lines[0]["Transcription"]["language"]
+    assert lang in WHISPER_LANGUAGES, lang
+    assert any(k.startswith("whisper_detect:") for k in stats["kinds"]), stats
