@@ -43,6 +43,11 @@ def _greedy_loop(
     max_tokens: int,
     cross_kv_int8: bool = False,
     token_caps: Optional[jnp.ndarray] = None,  # [batch] per-row budget
+    suppress_bias: Optional[jnp.ndarray] = None,  # [n_vocab] f32 added to
+    # every step's logits (-inf at suppressed ids: the whisper.cpp
+    # suppress_nst non-speech set)
+    begin_bias: Optional[jnp.ndarray] = None,  # [n_vocab] extra bias for the
+    # FIRST sampled token only (suppress_blank: " " and eot at begin)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode → (tokens [batch, max_tokens], lengths [batch]).
 
@@ -73,6 +78,10 @@ def _greedy_loop(
         if token_caps is None
         else jnp.clip(token_caps.astype(jnp.int32), 1, max_tokens)
     )
+    if suppress_bias is not None:
+        logits = logits + suppress_bias
+    if begin_bias is not None:
+        logits = logits + begin_bias
     tokens0 = jnp.full((batch, max_tokens), eot, dtype=jnp.int32)
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first)
@@ -85,6 +94,8 @@ def _greedy_loop(
     def body(carry):
         i, tokens, cache, done = carry
         logits, cache = decode_step(params, cfg, tokens[:, i], cache)
+        if suppress_bias is not None:
+            logits = logits + suppress_bias
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eot, nxt)
         tokens = tokens.at[:, i + 1].set(nxt)
@@ -104,6 +115,8 @@ def greedy_decode(
     task: str = "transcribe",
     max_tokens: int = 224,
     cross_kv_int8: Optional[bool] = None,
+    suppress_bias: Optional[jnp.ndarray] = None,
+    begin_bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode + greedy decode with the standard forced prefix
     ``<|sot|><|lang|><|task|><|notimestamps|>``.
@@ -129,7 +142,8 @@ def greedy_decode(
         (batch, 4),
     )
     tokens, lengths = _greedy_loop(
-        params, cfg, audio_states, prefix, max_tokens, cross_kv_int8=cross_kv_int8
+        params, cfg, audio_states, prefix, max_tokens, cross_kv_int8=cross_kv_int8,
+        suppress_bias=suppress_bias, begin_bias=begin_bias,
     )
     return np.asarray(tokens), np.asarray(lengths)
 
@@ -174,6 +188,8 @@ def _ring_stt(
     window_samples: int,
     max_tokens: int,
     cross_kv_int8: bool,
+    suppress_bias: Optional[jnp.ndarray] = None,
+    begin_bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     from ...engine.audio_ring import gather_ring_window
 
@@ -194,7 +210,8 @@ def _ring_stt(
         axis=1,
     )
     return _greedy_loop(params, cfg, audio_states, prefix, max_tokens,
-                        cross_kv_int8=cross_kv_int8, token_caps=token_caps)
+                        cross_kv_int8=cross_kv_int8, token_caps=token_caps,
+                        suppress_bias=suppress_bias, begin_bias=begin_bias)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "window_samples"))
@@ -246,6 +263,8 @@ def transcribe_ring(
     language_index: int = 0,
     max_tokens: int = 224,
     cross_kv_int8: Optional[bool] = None,
+    suppress_bias: Optional[jnp.ndarray] = None,
+    begin_bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode straight from device-resident audio rings: the submission
     carries three scalars per session instead of a padded audio window
@@ -273,6 +292,7 @@ def transcribe_ring(
         lang_rows,
         window_samples=window_samples, max_tokens=max_tokens,
         cross_kv_int8=cross_kv_int8,
+        suppress_bias=suppress_bias, begin_bias=begin_bias,
     )
 
 

@@ -54,3 +54,39 @@ class WhisperDetokenizer:
             return "".join(f"<{i}>" for i in ids)
         out = b"".join(self.id_to_bytes.get(int(i), b"") for i in ids if int(i) < self.n_special_start)
         return out.decode("utf-8", errors="replace")
+
+    # -- suppression sets (openai/whisper tokenizer.py:non_speech_tokens) ----
+
+    def token_id(self, text: str) -> Optional[int]:
+        """Exact single-token lookup (inverse of the byte table)."""
+        if not self.id_to_bytes:
+            return None
+        if not hasattr(self, "_bytes_to_id"):
+            self._bytes_to_id = {v: k for k, v in self.id_to_bytes.items()}
+        return self._bytes_to_id.get(text.encode("utf-8"))
+
+    def non_speech_tokens(self) -> List[int]:
+        """Token ids whisper suppresses as "non-speech" (bracket/symbol/music
+        markers — the whisper.cpp ``suppress_nst`` set, derived from the
+        vocab exactly like openai/whisper ``tokenizer.non_speech_tokens``).
+        Empty when no vocab is loaded (numeric fallback mode)."""
+        if not self.id_to_bytes:
+            return []
+        symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』') + (
+            "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪".split()
+        )
+        miscellaneous = set("♩♪♫♬♭♮♯")
+        result = set()
+        for text in (" -", " '"):
+            tid = self.token_id(text)
+            if tid is not None:
+                result.add(tid)
+        for symbol in symbols + list(miscellaneous):
+            for form in (symbol, " " + symbol):
+                tid = self.token_id(form)
+                if tid is not None:
+                    result.add(tid)
+        return sorted(result)
+
+    def blank_token(self) -> Optional[int]:
+        return self.token_id(" ")

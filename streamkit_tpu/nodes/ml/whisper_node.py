@@ -108,11 +108,16 @@ class WhisperNode(ProcessorNode):
                 "allow_random_init": True,  # offline/dev mode when no weights
                 "dtype": "float32",
                 "max_tokens": 224,
+                "suppress_blank": True,  # whisper.cpp set_suppress_blank
+                "suppress_non_speech_tokens": True,  # set_suppress_nst
+                "n_threads": 0,  # reference compat (XLA owns scheduling)
             },
         )
         self.model_path = cfg["model_path"]
         self.model_size = cfg["model_size"]
         self.language = cfg["language"]
+        self.suppress_blank = bool(cfg["suppress_blank"])
+        self.suppress_nst = bool(cfg["suppress_non_speech_tokens"])
         self.vad_threshold = float(cfg["vad_threshold"])
         self.min_silence_ms = float(cfg["min_silence_duration_ms"])
         self.max_segment_secs = float(cfg["max_segment_duration_secs"])
@@ -181,6 +186,28 @@ class WhisperNode(ProcessorNode):
         auto_lang = str(self.language).lower() == "auto"
         lang_index = 0 if auto_lang else language_index(self.language)
         lang_code = "en" if auto_lang else self.language
+
+        # whisper.cpp-parity suppression (lib.rs:633-635): non-speech symbol
+        # tokens biased out of every step; blank + eot biased out of the
+        # first sampled token. Needs a real vocab (the sets derive from it);
+        # numeric-fallback detokenizers suppress nothing.
+        suppress_bias = None
+        begin_bias = None
+        n_vocab = model_cfg.n_vocab
+        if self.suppress_nst:
+            nst = [i for i in detok.non_speech_tokens() if i < n_vocab]
+            if nst:
+                b = np.zeros(n_vocab, np.float32)
+                b[np.asarray(nst)] = -1e9
+                suppress_bias = jnp.asarray(b)
+        if self.suppress_blank:
+            ids = [model_cfg.token_eot]
+            blank = detok.blank_token()
+            if blank is not None and blank < n_vocab:
+                ids.append(blank)
+            b = np.zeros(n_vocab, np.float32)
+            b[np.asarray(ids)] = -1e9
+            begin_bias = jnp.asarray(b)
         loop = asyncio.get_running_loop()
         last_partial = 0.0
         partial_task = None
@@ -195,7 +222,9 @@ class WhisperNode(ProcessorNode):
                 lang_code = WHISPER_LANGUAGES[lang_index]
                 auto_lang = False
             tokens, lengths = transcribe_window(
-                params, model_cfg, audio, language_index=lang_index, max_tokens=self.max_tokens
+                params, model_cfg, audio, language_index=lang_index,
+                max_tokens=self.max_tokens,
+                suppress_bias=suppress_bias, begin_bias=begin_bias,
             )
             return detok.decode(tokens[0][: int(lengths[0])])
 
@@ -243,6 +272,7 @@ class WhisperNode(ProcessorNode):
                         window_samples=window,
                         language_index=np.asarray(lang_rows, np.int32),
                         max_tokens=tok_budget,
+                        suppress_bias=suppress_bias, begin_bias=begin_bias,
                     )
                     return tokens, tok_lengths
 

@@ -237,3 +237,62 @@ def test_language_index_full_table():
     assert language_index("xx") == 0
     assert language_index("") == 0
     assert language_index("SU") == language_index("su")
+
+
+def test_suppression_biases_change_greedy_choice():
+    """suppress_bias removes a token from the argmax everywhere; begin_bias
+    only affects the first sampled token (whisper.cpp suppress_blank/nst)."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamkit_tpu.models.whisper.config import WhisperConfig
+    from streamkit_tpu.models.whisper.decode import transcribe_window
+    from streamkit_tpu.models.whisper.model import init_params
+
+    cfg = WhisperConfig(
+        n_audio_ctx=64, n_audio_state=64, n_audio_head=2, n_audio_layer=1,
+        n_vocab=51865, n_text_ctx=32, n_text_state=64, n_text_head=2,
+        n_text_layer=1,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(0)
+    audio = rng.randn(1, 16000).astype(np.float32) * 0.1
+
+    base_toks, base_lens = transcribe_window(
+        params, cfg, audio, window_samples=16000, max_tokens=6
+    )
+    first = int(base_toks[0, 0])
+    # suppress whatever greedy picked first, everywhere
+    bias = np.zeros(cfg.n_vocab, np.float32)
+    bias[first] = -1e9
+    sup_toks, _ = transcribe_window(
+        params, cfg, audio, window_samples=16000, max_tokens=6,
+        suppress_bias=jnp.asarray(bias),
+    )
+    assert int(sup_toks[0, 0]) != first
+    assert first not in [int(t) for t in sup_toks[0]]
+    # begin-only bias: first token changes, the suppressed id may reappear
+    beg_toks, _ = transcribe_window(
+        params, cfg, audio, window_samples=16000, max_tokens=6,
+        begin_bias=jnp.asarray(bias),
+    )
+    assert int(beg_toks[0, 0]) != first
+
+
+def test_tokenizer_non_speech_set_from_vocab(tmp_path):
+    """The suppression set derives from a real vocab like openai/whisper."""
+    import json
+
+    from streamkit_tpu.models.whisper.tokenizer import WhisperDetokenizer
+
+    # tiny synthetic vocab: GPT-2 byte-level strings (printable ascii maps
+    # to itself; space is 'Ġ')
+    vocab = {"hello": 0, "(": 1, "[[": 2, "Ġ(": 3, "Ġ-": 4, "Ġ'": 5, "x": 6, "Ġ": 7}
+    p = tmp_path / "vocab.json"
+    p.write_text(json.dumps(vocab))
+    tok = WhisperDetokenizer(str(p))
+    nst = tok.non_speech_tokens()
+    assert 1 in nst and 2 in nst and 3 in nst  # symbols, both forms
+    assert 4 in nst and 5 in nst  # " -" and " '"
+    assert 0 not in nst and 6 not in nst
+    assert tok.blank_token() == 7
