@@ -32,6 +32,12 @@ class WhisperConfig:
         return self.n_vocab - 51865 + 50256 if self.n_vocab >= 51865 else 50256
 
     @property
+    def n_languages(self) -> int:
+        """Size of the language-token block (large-v3's 51866 vocab adds
+        yue as the 100th entry; see WHISPER_LANGUAGES)."""
+        return 100 if self.n_vocab == 51866 else 99
+
+    @property
     def token_sot(self) -> int:
         return self.token_eot + 1  # <|startoftranscript|>
 

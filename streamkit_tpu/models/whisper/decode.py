@@ -235,8 +235,9 @@ def _ring_detect(
     audio_states = encode(params, cfg, mel.astype(param_dtype))
     sot = jnp.full((audio.shape[0], 1), cfg.token_sot, jnp.int32)
     logits = decode_logits(params, cfg, sot, audio_states)[:, -1]
-    n_langs = 100 if cfg.n_vocab == 51866 else 99
-    block = jax.lax.dynamic_slice_in_dim(logits, cfg.token_sot + 1, n_langs, axis=-1)
+    block = jax.lax.dynamic_slice_in_dim(
+        logits, cfg.token_sot + 1, cfg.n_languages, axis=-1
+    )
     return jnp.argmax(block, axis=-1).astype(jnp.int32)
 
 
@@ -306,6 +307,5 @@ def detect_language_window(params, cfg, audio_16k: np.ndarray) -> int:
     audio_states = encode(params, cfg, mel.astype(param_dtype))
     sot = jnp.full((audio.shape[0], 1), cfg.token_sot, jnp.int32)
     logits = decode_logits(params, cfg, sot, audio_states)[:, -1]
-    n_langs = 100 if cfg.n_vocab == 51866 else 99
-    block = logits[:, cfg.token_sot + 1 : cfg.token_sot + 1 + n_langs]
+    block = logits[:, cfg.token_sot + 1 : cfg.token_sot + 1 + cfg.n_languages]
     return int(jnp.argmax(block, axis=-1)[0])

@@ -434,6 +434,8 @@ def _decode_core(
     max_steps: int,
     enc_t: int,
     identity: bool = False,  # batch row b IS table slot b (B = S)
+    suppress_bias=None,  # [vocab] f32: whisper.cpp suppress_nst set
+    begin_bias=None,  # [vocab] f32 applied to the FIRST sampled token only
 ):
     """Greedy continuation scan. Per step a row feeds ``tokens[min(fed,
     n_tok-1)]`` (re-feeding the newest token when caught up refreshes its
@@ -547,6 +549,12 @@ def _decode_core(
         logits = jnp.matmul(
             xfin[:, 0], d["tok_emb"].T.astype(dtype), preferred_element_type=jnp.float32
         )  # [B, vocab]
+        if suppress_bias is not None:
+            logits = logits + suppress_bias
+        if begin_bias is not None:
+            # first sampled token = the one appended right after the 4-token
+            # forced prefix (META_PREFIX)
+            logits = logits + jnp.where((n_r == 4)[:, None], begin_bias, 0.0)
         fed_new = jnp.where(active, feed_idx + 1, fed_r)
         proposing = jnp.logical_and(active, fed_new == n_r)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -626,6 +634,8 @@ def _stream_decode(
     cfg: WhisperConfig,
     max_steps: int,
     enc_t: int = 512,
+    suppress_bias=None,
+    begin_bias=None,
 ):
     """Standalone batched decode continuation (see :func:`_decode_core`)."""
     b = stream_ids.shape[0]
@@ -634,6 +644,7 @@ def _stream_decode(
         dec_k, dec_v, xk, xv, stream_ids, enc_pos[stream_ids],
         tokens[stream_ids], fed[stream_ids], n_tok[stream_ids],
         jnp.ones((b,), bool), max_steps, enc_t,
+        suppress_bias=suppress_bias, begin_bias=begin_bias,
     )
     tokens = tokens.at[stream_ids].set(tok)
     fed = fed.at[stream_ids].set(fed_r)
@@ -675,6 +686,8 @@ def _stream_step(
     n_chunks: int = 2,
     enc_t: int = 512,
     identity: bool = False,
+    suppress_bias=None,
+    begin_bias=None,
 ):
     """Fused per-VAD-block streaming step: (optionally) open a new segment,
     score VAD frames, append them to the audio rings, encode up to
@@ -763,6 +776,7 @@ def _stream_step(
         fed if identity else fed[stream_ids],
         n_tok if identity else n_tok[stream_ids],
         do_dec, max_steps, enc_t, identity=identity,
+        suppress_bias=suppress_bias, begin_bias=begin_bias,
     )
 
     if identity:
@@ -809,8 +823,12 @@ class StreamTable:
         enc_t: Optional[int] = None,
         dec_t: Optional[int] = None,
         kv_int8: Optional[bool] = None,
+        suppress_bias=None,  # [vocab] f32 (whisper.cpp suppress_nst set)
+        begin_bias=None,  # [vocab] f32, first sampled token per segment
     ) -> None:
         self.cfg = cfg
+        self.suppress_bias = None if suppress_bias is None else jnp.asarray(suppress_bias)
+        self.begin_bias = None if begin_bias is None else jnp.asarray(begin_bias)
         self.max_slots = max_slots or int(os.environ.get("SK_STREAM_SLOTS", "64"))
         # clamped to the model's position tables (tiny test configs have
         # short contexts; position gathers must stay in range)
@@ -994,6 +1012,8 @@ class StreamTable:
                     max_steps,
                     enc_t=self.enc_t,
                     identity=identity,
+                    suppress_bias=self.suppress_bias,
+                    begin_bias=self.begin_bias,
                 )
         return probs, tok_rows, n_rows, pos_new
 
@@ -1043,7 +1063,10 @@ def get_stream_table(tag: str, cfg: WhisperConfig, dtype, **kw) -> StreamTable:
             _TABLES[tag] = tbl
         else:
             got = {"max_slots": tbl.max_slots, "enc_t": tbl.enc_t, "dec_t": tbl.dec_t}
-            diff = {k: v for k, v in kw.items() if v is not None and got.get(k) != v}
+            diff = {
+                k: v for k, v in kw.items()
+                if k in got and v is not None and got.get(k) != v
+            }
             if diff:
                 import logging
 

@@ -65,11 +65,29 @@ class WhisperDetokenizer:
             self._bytes_to_id = {v: k for k, v in self.id_to_bytes.items()}
         return self._bytes_to_id.get(text.encode("utf-8"))
 
+    def _first_token_of(self, text: str) -> Optional[int]:
+        """First BPE sub-token of ``text``: the longest vocab entry that is
+        a prefix of its utf-8 bytes (greedy byte-BPE approximation — the
+        merges file isn't needed for the leading token of short symbol
+        strings)."""
+        if not self.id_to_bytes:
+            return None
+        if not hasattr(self, "_bytes_to_id"):
+            self._bytes_to_id = {v: k for k, v in self.id_to_bytes.items()}
+        data = text.encode("utf-8")
+        for n in range(len(data), 0, -1):
+            tid = self._bytes_to_id.get(data[:n])
+            if tid is not None:
+                return tid
+        return None
+
     def non_speech_tokens(self) -> List[int]:
         """Token ids whisper suppresses as "non-speech" (bracket/symbol/music
-        markers — the whisper.cpp ``suppress_nst`` set, derived from the
-        vocab exactly like openai/whisper ``tokenizer.non_speech_tokens``).
-        Empty when no vocab is loaded (numeric fallback mode)."""
+        markers — the whisper.cpp ``suppress_nst`` set, following
+        openai/whisper ``tokenizer.non_speech_tokens``: single-token symbol
+        forms, plus the FIRST sub-token of " -", " '" and the music
+        miscellany even when they encode to multiple tokens). Empty when no
+        vocab is loaded (numeric fallback mode)."""
         if not self.id_to_bytes:
             return []
         symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』') + (
@@ -78,12 +96,15 @@ class WhisperDetokenizer:
         miscellaneous = set("♩♪♫♬♭♮♯")
         result = set()
         for text in (" -", " '"):
-            tid = self.token_id(text)
+            tid = self._first_token_of(text)
             if tid is not None:
                 result.add(tid)
         for symbol in symbols + list(miscellaneous):
             for form in (symbol, " " + symbol):
-                tid = self.token_id(form)
+                if symbol in miscellaneous:
+                    tid = self._first_token_of(form)
+                else:
+                    tid = self.token_id(form)
                 if tid is not None:
                     result.add(tid)
         return sorted(result)

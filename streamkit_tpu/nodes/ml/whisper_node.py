@@ -244,8 +244,13 @@ class WhisperNode(ProcessorNode):
             ring = _get_audio_ring()
             # language rides PER-ROW through every batched kind (meta prefix
             # on the stream path, lang rows on the ring decodes), so sessions
-            # with different — or auto-detected — languages share programs
-            model_tag = f"{self.model_path or self.model_size}:{self.max_tokens}"
+            # with different — or auto-detected — languages share programs.
+            # Suppression settings are baked into the registered closures
+            # (and the stream table), so they MUST be part of the tag.
+            model_tag = (
+                f"{self.model_path or self.model_size}:{self.max_tokens}"
+                f":s{int(self.suppress_blank)}{int(self.suppress_nst)}"
+            )
             batch_kind = f"whisper_ring:{model_tag}"
             vad_kind = f"vad_ring:{self.vad_block}"
 
@@ -278,8 +283,11 @@ class WhisperNode(ProcessorNode):
 
                 return batched_stt
 
-            detect_kind = f"whisper_detect:{model_tag}"
-            detect_window = int(self.window_buckets[0] * _SR)
+            # detection needs only a few seconds of audio — cap the window
+            # so the extra encode before the first decode stays cheap
+            # (fusing detection into _ring_stt is the next optimization)
+            detect_window = int(min(8.0, self.window_buckets[0]) * _SR)
+            detect_kind = f"whisper_detect:{model_tag}:{detect_window}"
 
             def batched_detect(slot_ids, starts, lengths):
                 from ...models.whisper.decode import detect_language_ring
@@ -322,7 +330,10 @@ class WhisperNode(ProcessorNode):
                 get_stream_table,
             )
 
-            stream_tbl = get_stream_table(model_tag, model_cfg, self.dtype)
+            stream_tbl = get_stream_table(
+                model_tag, model_cfg, self.dtype,
+                suppress_bias=suppress_bias, begin_bias=begin_bias,
+            )
             stream_id = stream_tbl.try_alloc()
             if stream_id is None:
                 stream_tbl = None  # table exhausted: bucket-partial fallback
@@ -543,7 +554,7 @@ class WhisperNode(ProcessorNode):
                                 do_dec = False
                             do_rst = st_pending_reset
                             st_pending_reset = False
-                            if auto_lang and do_dec:
+                            if auto_lang and (do_rst or do_dec) and written > 0:
                                 # first decode of an auto session: detect the
                                 # language from audio ALREADY in the ring
                                 # (this block is appended by the fused step

@@ -12,11 +12,9 @@ every stack, and audio synthesis at the far end.
 
 import asyncio
 import io
-import struct
 import wave
 
 import numpy as np
-import pytest
 
 from streamkit_tpu.api.yaml_compiler import compile_yaml
 from streamkit_tpu.core import NodeRegistry, ResourceManager
