@@ -201,13 +201,14 @@ class WhisperNode(ProcessorNode):
                 b[np.asarray(nst)] = -1e9
                 suppress_bias = jnp.asarray(b)
         if self.suppress_blank:
-            ids = [model_cfg.token_eot]
-            blank = detok.blank_token()
-            if blank is not None and blank < n_vocab:
-                ids.append(blank)
-            b = np.zeros(n_vocab, np.float32)
-            b[np.asarray(ids)] = -1e9
-            begin_bias = jnp.asarray(b)
+            # tiny test configs (n_vocab < real token ids) have no blank/eot
+            # in range — suppression is a no-op there
+            ids = [i for i in (model_cfg.token_eot, detok.blank_token())
+                   if i is not None and i < n_vocab]
+            if ids:
+                b = np.zeros(n_vocab, np.float32)
+                b[np.asarray(ids)] = -1e9
+                begin_bias = jnp.asarray(b)
         loop = asyncio.get_running_loop()
         last_partial = 0.0
         partial_task = None
