@@ -50,6 +50,18 @@ def collect_metrics(state):
         out.append(("skit_process_rss_bytes", "gauge", rss_pages * 4096, {}))
     except OSError:
         pass
+    # continuous-batcher efficiency (the serving-critical signal: mean
+    # batch width per kind tells you whether sessions actually coalesce)
+    b = getattr(state, "batcher", None)
+    if b is not None:
+        out.append(("skit_batcher_submissions", "counter", b.submissions, {}))
+        out.append(("skit_batcher_device_calls", "counter", b.device_calls, {}))
+        out.append(("skit_batcher_batched_items", "counter", b.batched_items, {}))
+        for kind, (calls, items, wall) in list(b.kind_stats.items()):
+            labels = {"kind": kind}
+            out.append(("skit_batcher_kind_calls", "counter", calls, labels))
+            out.append(("skit_batcher_kind_items", "counter", items, labels))
+            out.append(("skit_batcher_kind_dispatch_seconds", "counter", round(wall, 3), labels))
     # per-session node stats + distributor counters
     for session in state.sessions.list():
         engine = session.handle._engine
