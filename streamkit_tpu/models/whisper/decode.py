@@ -34,7 +34,9 @@ def pad_or_trim(audio: np.ndarray, length: int = N_SAMPLES_30S) -> np.ndarray:
     return np.pad(audio, pad)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_tokens", "cross_kv_int8"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_tokens", "cross_kv_int8", "with_logprobs")
+)
 def _greedy_loop(
     params: Params,
     cfg: WhisperConfig,
@@ -48,6 +50,8 @@ def _greedy_loop(
     # suppress_nst non-speech set)
     begin_bias: Optional[jnp.ndarray] = None,  # [n_vocab] extra bias for the
     # FIRST sampled token only (suppress_blank: " " and eot at begin)
+    with_logprobs: bool = False,  # also return summed chosen-token logprobs
+    # (confidence — the reference's whisper.cpp wrapper reports None)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode → (tokens [batch, max_tokens], lengths [batch]).
 
@@ -82,28 +86,40 @@ def _greedy_loop(
         logits = logits + suppress_bias
     if begin_bias is not None:
         logits = logits + begin_bias
+
+    def chosen_lp(logits, tok):
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+
     tokens0 = jnp.full((batch, max_tokens), eot, dtype=jnp.int32)
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first)
     done0 = jnp.logical_or(first == eot, caps <= 1)
+    lp0 = chosen_lp(logits, first) if with_logprobs else jnp.zeros((batch,), jnp.float32)
 
     def cond(carry):
-        i, _, _, done = carry
+        i, _, _, done, _ = carry
         return jnp.logical_and(i < max_tokens - 1, ~jnp.all(done))
 
     def body(carry):
-        i, tokens, cache, done = carry
+        i, tokens, cache, done, lp_sum = carry
         logits, cache = decode_step(params, cfg, tokens[:, i], cache)
         if suppress_bias is not None:
             logits = logits + suppress_bias
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eot, nxt)
+        if with_logprobs:
+            lp_sum = lp_sum + jnp.where(done, 0.0, chosen_lp(logits, nxt))
         tokens = tokens.at[:, i + 1].set(nxt)
         done = jnp.logical_or(done, jnp.logical_or(nxt == eot, i + 2 > caps))
-        return i + 1, tokens, cache, done
+        return i + 1, tokens, cache, done, lp_sum
 
-    _, tokens, _, done = jax.lax.while_loop(cond, body, (jnp.int32(0), tokens0, cache, done0))
+    _, tokens, _, done, lp_sum = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens0, cache, done0, lp0)
+    )
     lengths = jnp.sum((tokens != eot).astype(jnp.int32), axis=-1)
+    if with_logprobs:
+        return tokens, lengths, lp_sum
     return tokens, lengths
 
 
@@ -174,7 +190,8 @@ def transcribe_window(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "window_samples", "max_tokens", "cross_kv_int8")
+    jax.jit,
+    static_argnames=("cfg", "window_samples", "max_tokens", "cross_kv_int8", "with_logprobs"),
 )
 def _ring_stt(
     params: Params,
@@ -190,7 +207,8 @@ def _ring_stt(
     cross_kv_int8: bool,
     suppress_bias: Optional[jnp.ndarray] = None,
     begin_bias: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_logprobs: bool = False,
+):
     from ...engine.audio_ring import gather_ring_window
 
     audio = gather_ring_window(ring, slot_ids, starts, lengths, window_samples)
@@ -211,7 +229,8 @@ def _ring_stt(
     )
     return _greedy_loop(params, cfg, audio_states, prefix, max_tokens,
                         cross_kv_int8=cross_kv_int8, token_caps=token_caps,
-                        suppress_bias=suppress_bias, begin_bias=begin_bias)
+                        suppress_bias=suppress_bias, begin_bias=begin_bias,
+                        with_logprobs=with_logprobs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "window_samples"))
@@ -266,7 +285,8 @@ def transcribe_ring(
     cross_kv_int8: Optional[bool] = None,
     suppress_bias: Optional[jnp.ndarray] = None,
     begin_bias: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_logprobs: bool = False,
+):
     """Decode straight from device-resident audio rings: the submission
     carries three scalars per session instead of a padded audio window
     (mel + encode + greedy decode fused into ONE device call — partial
@@ -294,6 +314,7 @@ def transcribe_ring(
         window_samples=window_samples, max_tokens=max_tokens,
         cross_kv_int8=cross_kv_int8,
         suppress_bias=suppress_bias, begin_bias=begin_bias,
+        with_logprobs=with_logprobs,
     )
 
 

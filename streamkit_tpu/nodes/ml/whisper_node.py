@@ -272,15 +272,16 @@ class WhisperNode(ProcessorNode):
 
             def make_ring_stt(window: int, tok_budget: int):
                 def batched_stt(slot_ids, starts, lengths, lang_rows):
-                    tokens, tok_lengths = transcribe_ring(
+                    tokens, tok_lengths, lp_sum = transcribe_ring(
                         params, model_cfg, ring.ring_ref(),
                         slot_ids, starts, lengths,
                         window_samples=window,
                         language_index=np.asarray(lang_rows, np.int32),
                         max_tokens=tok_budget,
                         suppress_bias=suppress_bias, begin_bias=begin_bias,
+                        with_logprobs=True,
                     )
-                    return tokens, tok_lengths
+                    return tokens, tok_lengths, lp_sum
 
                 return batched_stt
 
@@ -389,6 +390,8 @@ class WhisperNode(ProcessorNode):
                     return int(b * _SR)
             return int(self.window_buckets[-1] * _SR)
 
+        last_confidence = None  # mean token prob of the newest ring decode
+
         async def decode_text(samples: np.ndarray, start_f: int, end_f: int) -> str:
             nonlocal lang_index, lang_code, auto_lang, stream_prefix
             if batch_kind is not None:
@@ -407,14 +410,19 @@ class WhisperNode(ProcessorNode):
                         stream_prefix = _prefix_for(lang_index)
                     telemetry.emit("stt.language", {"detected": lang_code})
                 window = _bucket_samples(n)
-                tokens, length = await ctx.batcher.submit(
+                tokens, length, lp_sum = await ctx.batcher.submit(
                     f"{batch_kind}:{window}",
                     np.int32(vad_slot),
                     np.int32((start_f * VAD_FRAME) % ring.ring_samples),
                     np.int32(n),
                     np.int32(lang_index),
                 )
-                return detok.decode(tokens[: int(length)])
+                nonlocal last_confidence
+                n_out = int(length)
+                # mean chosen-token probability (exp of the avg log-prob) —
+                # the reference's whisper.cpp wrapper reports None here
+                last_confidence = float(np.exp(lp_sum / max(1, n_out))) if n_out else None
+                return detok.decode(tokens[:n_out])
             return await loop.run_in_executor(None, decode_sync, samples)
 
         async def send_transcription(text: str, start_f, end_f, is_final: bool) -> None:
@@ -423,7 +431,12 @@ class WhisperNode(ProcessorNode):
             end_ms = end_f * VAD_FRAME * 1000 // _SR
             data = TranscriptionData(
                 text=text,
-                segments=(TranscriptionSegment(text, start_ms, end_ms),),
+                segments=(
+                    TranscriptionSegment(
+                        text, start_ms, end_ms,
+                        confidence=last_confidence if is_final else None,
+                    ),
+                ),
                 language=lang_code,
                 is_final=is_final,
             )

@@ -178,3 +178,35 @@ def test_language_auto_detects_and_resolves(registry):
     lang = lines[0]["Transcription"]["language"]
     assert lang in WHISPER_LANGUAGES, lang
     assert any(k.startswith("whisper_detect:") for k in stats["kinds"]), stats
+
+
+def test_final_confidence_reported_on_batched_path(registry):
+    """Finals carry a mean-token-probability confidence (the reference's
+    whisper.cpp wrapper reports None — this exceeds it)."""
+    from streamkit_tpu.engine.batcher import DeviceBatcher
+
+    pipeline = compile_yaml(STT_YAML)
+    body = speech_wav()
+
+    async def main():
+        b = DeviceBatcher(tick_ms=5.0)
+        b.start()
+        resources = ResourceManager()
+
+        async def stream():
+            yield body
+
+        result = await run_oneshot_pipeline(
+            registry, pipeline, input_stream=stream(),
+            resources=resources, batcher=b,
+        )
+        out = (await result.read_all()).decode()
+        b.stop()
+        return out
+
+    out = asyncio.run(main())
+    lines = [json.loads(l) for l in out.strip().splitlines() if l]
+    assert lines, out
+    seg = lines[0]["Transcription"]["segments"][0]
+    assert seg["confidence"] is not None
+    assert 0.0 < seg["confidence"] <= 1.0
