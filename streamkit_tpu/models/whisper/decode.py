@@ -52,7 +52,7 @@ def _greedy_loop(
     # FIRST sampled token only (suppress_blank: " " and eot at begin)
     with_logprobs: bool = False,  # also return summed chosen-token logprobs
     # (confidence — the reference's whisper.cpp wrapper reports None)
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+):  # -> (tokens, lengths) or (tokens, lengths, lp_sum) with with_logprobs
     """Greedy decode → (tokens [batch, max_tokens], lengths [batch]).
 
     ``token_caps`` bounds each row's emission (over-generation guard: real
@@ -95,7 +95,13 @@ def _greedy_loop(
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first)
     done0 = jnp.logical_or(first == eot, caps <= 1)
-    lp0 = chosen_lp(logits, first) if with_logprobs else jnp.zeros((batch,), jnp.float32)
+    # lp_sum covers CONTENT tokens only (the same set `lengths` counts):
+    # including the terminal eot would deflate short segments' confidence
+    lp0 = (
+        jnp.where(first == eot, 0.0, chosen_lp(logits, first))
+        if with_logprobs
+        else jnp.zeros((batch,), jnp.float32)
+    )
 
     def cond(carry):
         i, _, _, done, _ = carry
@@ -109,7 +115,9 @@ def _greedy_loop(
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eot, nxt)
         if with_logprobs:
-            lp_sum = lp_sum + jnp.where(done, 0.0, chosen_lp(logits, nxt))
+            lp_sum = lp_sum + jnp.where(
+                jnp.logical_or(done, nxt == eot), 0.0, chosen_lp(logits, nxt)
+            )
         tokens = tokens.at[:, i + 1].set(nxt)
         done = jnp.logical_or(done, jnp.logical_or(nxt == eot, i + 2 > caps))
         return i + 1, tokens, cache, done, lp_sum

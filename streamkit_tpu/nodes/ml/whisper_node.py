@@ -272,7 +272,7 @@ class WhisperNode(ProcessorNode):
 
             def make_ring_stt(window: int, tok_budget: int):
                 def batched_stt(slot_ids, starts, lengths, lang_rows):
-                    tokens, tok_lengths, lp_sum = transcribe_ring(
+                    return transcribe_ring(
                         params, model_cfg, ring.ring_ref(),
                         slot_ids, starts, lengths,
                         window_samples=window,
@@ -281,7 +281,6 @@ class WhisperNode(ProcessorNode):
                         suppress_bias=suppress_bias, begin_bias=begin_bias,
                         with_logprobs=True,
                     )
-                    return tokens, tok_lengths, lp_sum
 
                 return batched_stt
 
@@ -477,6 +476,7 @@ class WhisperNode(ProcessorNode):
             emit_q.put_nowait(("final", seg_samples, start_f, end_f, seg_gen[0]))
 
         async def emit_worker() -> None:
+            nonlocal last_confidence
             while True:
                 item = await emit_q.get()
                 if item is None:
@@ -490,7 +490,11 @@ class WhisperNode(ProcessorNode):
                     await send_transcription(samples_, start_f_, end_f_, False)
                 elif kind_ == "ftext":
                     # streaming final: text comes from the stream table's
-                    # continuation decode, no device work at close
+                    # continuation decode, no device work at close. The
+                    # stream path computes no confidence — clear the ring
+                    # decode's value so a PREVIOUS segment's confidence is
+                    # never attached to this one
+                    last_confidence = None
                     await send_transcription(samples_, start_f_, end_f_, True)
                 elif kind_ == "partial":
                     if gen_ != seg_gen[0]:

@@ -54,14 +54,15 @@ def collect_metrics(state):
     # batch width per kind tells you whether sessions actually coalesce)
     b = getattr(state, "batcher", None)
     if b is not None:
-        out.append(("skit_batcher_submissions", "counter", b.submissions, {}))
-        out.append(("skit_batcher_device_calls", "counter", b.device_calls, {}))
-        out.append(("skit_batcher_batched_items", "counter", b.batched_items, {}))
-        for kind, (calls, items, wall) in list(b.kind_stats.items()):
+        bs = b.stats()
+        out.append(("skit_batcher_submissions", "counter", bs["submissions"], {}))
+        out.append(("skit_batcher_device_calls", "counter", bs["device_calls"], {}))
+        out.append(("skit_batcher_batched_items", "counter", bs["batched_items"], {}))
+        for kind, ks in bs["kinds"].items():
             labels = {"kind": kind}
-            out.append(("skit_batcher_kind_calls", "counter", calls, labels))
-            out.append(("skit_batcher_kind_items", "counter", items, labels))
-            out.append(("skit_batcher_kind_dispatch_seconds", "counter", round(wall, 3), labels))
+            out.append(("skit_batcher_kind_calls", "counter", ks["calls"], labels))
+            out.append(("skit_batcher_kind_items", "counter", ks["items"], labels))
+            out.append(("skit_batcher_kind_dispatch_seconds", "counter", ks["dispatch_s"], labels))
     # per-session node stats + distributor counters
     for session in state.sessions.list():
         engine = session.handle._engine
