@@ -105,7 +105,8 @@ def _js_regex_to_py(src: str) -> str:
 
 
 class JSFunction:
-    def __init__(self, name, params, defaults, rest, body, closure, interp, is_arrow=False, this=None):
+    def __init__(self, name, params, defaults, rest, body, closure, interp,
+                 is_arrow=False, this=None, is_async=False):
         self.name = name or ""
         self.params = params
         self.defaults = defaults
@@ -115,10 +116,160 @@ class JSFunction:
         self.interp = interp
         self.is_arrow = is_arrow
         self.this = this
+        self.is_async = is_async
+        self.home_class = None  # set for class methods (super resolution)
         self.properties = JSObject()
 
     def __repr__(self):
         return f"function {self.name}() {{ ... }}"
+
+
+class JSPromise:
+    """Synchronous-microtask promise. ``then`` callbacks on a settled promise
+    run immediately; awaiting a *pending* promise drives the embedder's
+    ``pending_pump`` (the headless event loop) until it settles."""
+
+    __slots__ = ("state", "value", "callbacks")
+
+    def __init__(self):
+        self.state = "pending"  # pending | fulfilled | rejected
+        self.value = UNDEFINED
+        self.callbacks = []  # (on_fulfil|None, on_reject|None, chained JSPromise)
+
+    def __repr__(self):
+        return f"Promise {{ <{self.state}> }}"
+
+
+class JSClass:
+    """A `class` declaration/expression: constructor + method tables.
+
+    Pragmatic QuickJS-subset semantics: methods/getters/setters live on the
+    class (prototype-chain lookup through ``parent``); instance fields are
+    initialized base-first before the constructor body runs."""
+
+    def __init__(self, name, parent):
+        self.name = name or ""
+        self.parent = parent  # JSClass | None
+        self.ctor = None  # JSFunction | None
+        self.methods: Dict[str, Any] = {}
+        self.getters: Dict[str, Any] = {}
+        self.setters: Dict[str, Any] = {}
+        self.fields: List[Tuple[str, Any]] = []  # (name, init-expr AST)
+        self.statics = JSObject()
+
+    def __repr__(self):
+        return f"class {self.name} {{ ... }}"
+
+
+class JSMap:
+    """JS Map: insertion-ordered; object keys by identity."""
+
+    def __init__(self):
+        self._items: Dict[Any, Any] = {}  # hashable-key fast path
+        self._obj_items: List[Tuple[Any, Any]] = []  # identity-keyed
+
+    def _find_obj(self, key):
+        for i, (k, _) in enumerate(self._obj_items):
+            if k is key:
+                return i
+        return -1
+
+    def get(self, key):
+        try:
+            return self._items.get(key, UNDEFINED)
+        except TypeError:
+            i = self._find_obj(key)
+            return self._obj_items[i][1] if i >= 0 else UNDEFINED
+
+    def set(self, key, value):
+        try:
+            self._items[key] = value
+        except TypeError:
+            i = self._find_obj(key)
+            if i >= 0:
+                self._obj_items[i] = (key, value)
+            else:
+                self._obj_items.append((key, value))
+        return self
+
+    def has(self, key):
+        try:
+            return key in self._items
+        except TypeError:
+            return self._find_obj(key) >= 0
+
+    def delete(self, key):
+        try:
+            return self._items.pop(key, _SENTINEL) is not _SENTINEL
+        except TypeError:
+            i = self._find_obj(key)
+            if i >= 0:
+                self._obj_items.pop(i)
+                return True
+            return False
+
+    def clear(self):
+        self._items.clear()
+        self._obj_items.clear()
+
+    def entries(self):
+        out = [(k, v) for k, v in self._items.items()]
+        out.extend(self._obj_items)
+        return out
+
+    @property
+    def size(self):
+        return len(self._items) + len(self._obj_items)
+
+
+class JSSet:
+    """JS Set: insertion-ordered; object members by identity."""
+
+    def __init__(self):
+        self._items: Dict[Any, bool] = {}
+        self._obj_items: List[Any] = []
+
+    def has(self, v):
+        try:
+            return v in self._items
+        except TypeError:
+            return any(x is v for x in self._obj_items)
+
+    def add(self, v):
+        try:
+            self._items[v] = True
+        except TypeError:
+            if not any(x is v for x in self._obj_items):
+                self._obj_items.append(v)
+        return self
+
+    def delete(self, v):
+        try:
+            return self._items.pop(v, _SENTINEL) is not _SENTINEL
+        except TypeError:
+            for i, x in enumerate(self._obj_items):
+                if x is v:
+                    self._obj_items.pop(i)
+                    return True
+            return False
+
+    def clear(self):
+        self._items.clear()
+        self._obj_items.clear()
+
+    def values(self):
+        return list(self._items.keys()) + list(self._obj_items)
+
+    @property
+    def size(self):
+        return len(self._items) + len(self._obj_items)
+
+
+class _Sentinel:
+    pass
+
+
+_SENTINEL = _Sentinel()
 
 
 # ---------------------------------------------------------------------------
@@ -416,7 +567,10 @@ class _Parser:
         # usage), so async/await degenerate to direct calls/values here.
         if t.kind == "name" and t.value == "async" and self.peek(1).kind == "keyword" and self.peek(1).value == "function":
             self.next()
-            return self.function_decl()
+            return self.function_decl(is_async=True)
+        if t.kind == "name" and t.value == "class" and self.peek(1).kind == "name":
+            node = self.class_expr()
+            return ("classdecl", node[1], node)
         if t.kind == "punct" and t.value == "{":
             return self.block()
         if t.kind == "punct" and t.value == ";":
@@ -486,25 +640,79 @@ class _Parser:
             body.append(self.statement())
         return ("block", body)
 
+    def binding_target(self):
+        """A declaration/parameter binding: plain name, object pattern, or
+        array pattern. AST: ``("pid", name)`` | ``("pobj", props, rest)``
+        (props = [(key, sub-target, default-expr|None)]) |
+        ``("parr", elems, rest)`` (elems = [(sub-target|None, default)])."""
+        t = self.peek()
+        if t.kind == "name":
+            return ("pid", self.next().value)
+        if t.kind == "punct" and t.value == "{":
+            self.next()
+            props, rest = [], None
+            while not self.eat("punct", "}"):
+                if self.eat("punct", "..."):
+                    rest = self.expect("name").value
+                    self.expect("punct", "}")
+                    break
+                kt = self.next()
+                if kt.kind not in ("name", "keyword", "str"):
+                    raise JSError(f"SyntaxError: bad destructuring key {kt.value!r}")
+                key = kt.value
+                sub = ("pid", key)
+                if self.eat("punct", ":"):
+                    sub = self.binding_target()
+                default = None
+                if self.eat("punct", "="):
+                    default = self.assignment()
+                props.append((key, sub, default))
+                if not self.eat("punct", ","):
+                    self.expect("punct", "}")
+                    break
+            return ("pobj", props, rest)
+        if t.kind == "punct" and t.value == "[":
+            self.next()
+            elems, rest = [], None
+            while not self.eat("punct", "]"):
+                if self.at("punct", ","):  # elision hole
+                    self.next()
+                    elems.append((None, None))
+                    continue
+                if self.eat("punct", "..."):
+                    rest = self.expect("name").value
+                    self.expect("punct", "]")
+                    break
+                sub = self.binding_target()
+                default = None
+                if self.eat("punct", "="):
+                    default = self.assignment()
+                elems.append((sub, default))
+                if not self.eat("punct", ","):
+                    self.expect("punct", "]")
+                    break
+            return ("parr", elems, rest)
+        raise JSError(f"SyntaxError: expected binding target, got {t.value!r}")
+
     def var_decl(self):
         kind = self.next().value
         decls = []
         while True:
-            name = self.expect("name").value
+            target = self.binding_target()
             init = None
             if self.eat("punct", "="):
                 init = self.assignment()
-            decls.append((name, init))
+            decls.append((target, init))
             if not self.eat("punct", ","):
                 break
         return ("decl", kind, decls)
 
-    def function_decl(self):
+    def function_decl(self, is_async=False):
         self.expect("keyword", "function")
         name = self.expect("name").value
         params, defaults, rest = self.param_list()
         body = self.block()
-        return ("funcdecl", name, params, defaults, rest, body)
+        return ("funcdecl", name, params, defaults, rest, body, is_async)
 
     def param_list(self):
         self.expect("punct", "(")
@@ -514,7 +722,7 @@ class _Parser:
                 rest = self.expect("name").value
                 self.expect("punct", ")")
                 break
-            p = self.expect("name").value
+            p = self.binding_target()
             d = None
             if self.eat("punct", "="):
                 d = self.assignment()
@@ -549,8 +757,8 @@ class _Parser:
                     iterable = self.expression()
                     self.expect("punct", ")")
                     body = self.statement()
-                    name = init[2][0][0]
-                    return ("forof" if kind == "of" else "forin", name, iterable, body)
+                    target = init[2][0][0]  # binding pattern
+                    return ("forof" if kind == "of" else "forin", target, iterable, body)
             else:
                 init = ("expr", self.expression())
         self.expect("punct", ";")
@@ -597,6 +805,65 @@ class _Parser:
             cases.append((test, stmts))
         return ("switch", disc, cases)
 
+    def class_expr(self):
+        """``class [Name] [extends Expr] { members }`` — members are
+        methods / ``constructor`` / ``get``/``set`` accessors / ``static``
+        members / instance fields (``x = expr``)."""
+        self.next()  # 'class' (tokenized as a name)
+        name = None
+        if self.at("name") and self.peek().value != "extends":
+            name = self.next().value
+        sup = None
+        if self.at("name", "extends"):
+            self.next()
+            sup = self.call_member()
+        self.expect("punct", "{")
+        members = []  # (is_static, kind: ctor|method|get|set|field, key, value)
+        while not self.eat("punct", "}"):
+            if self.eat("punct", ";"):
+                continue
+            is_static = False
+            if self.at("name", "static") and not (
+                self.peek(1).kind == "punct" and self.peek(1).value in ("(", "=")
+            ):
+                self.next()
+                is_static = True
+            is_async = False
+            if self.at("name", "async") and not (
+                self.peek(1).kind == "punct" and self.peek(1).value in ("(", "=")
+            ):
+                self.next()
+                is_async = True
+            mkind = "method"
+            t = self.peek()
+            if (
+                t.kind == "name"
+                and t.value in ("get", "set")
+                and not (self.peek(1).kind == "punct" and self.peek(1).value in ("(", "="))
+            ):
+                mkind = self.next().value
+            kt = self.next()
+            if kt.kind not in ("name", "keyword", "str"):
+                raise JSError(f"SyntaxError: bad class member {kt.value!r}")
+            key = kt.value
+            if self.at("punct", "="):  # instance/static field
+                self.next()
+                value = self.assignment()
+                self.semi()
+                members.append((is_static, "field", key, value))
+                continue
+            if not self.at("punct", "("):  # bare field `x;`
+                self.semi()
+                members.append((is_static, "field", key, ("lit", UNDEFINED)))
+                continue
+            params, defaults, rest = self.param_list()
+            body = self.block()
+            fn = ("func", key, params, defaults, rest, body, is_async)
+            if key == "constructor" and mkind == "method" and not is_static:
+                mkind = "ctor"
+            members.append((is_static, mkind, key, fn))
+        return ("class", name, sup, members)
+
     # -- expressions --------------------------------------------------------
     def expression(self):
         e = self.assignment()
@@ -620,24 +887,26 @@ class _Parser:
     def try_arrow(self):
         start = self.i
         t = self.peek()
+        is_async = False
         if t.kind == "name" and t.value == "async":
             nxt = self.peek(1)
             if (nxt.kind == "keyword" and nxt.value == "function") or (
                 nxt.kind == "name" and self.peek(2).kind == "punct" and self.peek(2).value == "=>"
             ) or (nxt.kind == "punct" and nxt.value == "("):
-                self.next()  # drop `async`; body parses as the sync form
+                self.next()  # consume `async`
+                is_async = True
                 t = self.peek()
                 if t.kind == "keyword" and t.value == "function":
                     self.next()
                     name = self.eat("name")
                     params, defaults, rest = self.param_list()
                     body = self.block()
-                    return ("func", name.value if name else None, params, defaults, rest, body)
+                    return ("func", name.value if name else None, params, defaults, rest, body, True)
         if t.kind == "name" and self.peek(1).kind == "punct" and self.peek(1).value == "=>":
             name = self.next().value
             self.next()
             body = self.arrow_body()
-            return ("arrow", [name], [None], None, body)
+            return ("arrow", [("pid", name)], [None], None, body, is_async)
         if t.kind == "punct" and t.value == "(":
             # look ahead for ') =>'
             depth = 0
@@ -656,7 +925,7 @@ class _Parser:
                 params, defaults, rest = self.param_list()
                 self.expect("punct", "=>")
                 body = self.arrow_body()
-                return ("arrow", params, defaults, rest, body)
+                return ("arrow", params, defaults, rest, body, is_async)
         self.i = start
         return None
 
@@ -782,7 +1051,9 @@ class _Parser:
             nxt = self.peek(1)
             if not (nxt.kind == "punct" and nxt.value in (";", ")", "]", "}", ",", "=", "=>")) and nxt.kind != "eof":
                 self.next()
-                return self.unary()  # await <expr> == <expr> (sync runtime)
+                # sync runtime: unwraps promises, pumping the embedder's
+                # event loop while the promise is pending
+                return ("await", self.unary())
         if t.kind == "punct" and t.value in ("!", "-", "+", "~"):
             self.next()
             return ("unary", t.value, self.unary())
@@ -804,11 +1075,27 @@ class _Parser:
 
     def call_member(self):
         if self.eat("keyword", "new"):
-            callee = self.call_member()
-            if callee[0] == "call":
-                return ("new", callee[1], callee[2])
-            return ("new", callee, [])
-        e = self.primary()
+            # `new Ctor(args)` binds tighter than trailing member/call chains:
+            # parse the constructor (member accesses only), then its args,
+            # then let the normal postfix loop continue on the instance.
+            callee = self.primary()
+            while True:
+                if self.eat("punct", "."):
+                    name = self.next()
+                    if name.kind not in ("name", "keyword"):
+                        raise JSError("SyntaxError: bad property access")
+                    callee = ("member", callee, ("lit", name.value), False)
+                elif self.at("punct", "["):
+                    self.next()
+                    idx = self.expression()
+                    self.expect("punct", "]")
+                    callee = ("member", callee, idx, False)
+                else:
+                    break
+            args = self.arguments() if self.at("punct", "(") else []
+            e = ("new", callee, args)
+        else:
+            e = self.primary()
         while True:
             if self.eat("punct", "."):
                 name = self.next()
@@ -868,6 +1155,11 @@ class _Parser:
                     parts.append(("expr", sub.expression()))
             return ("template", parts)
         if t.kind == "name":
+            if t.value == "class" and (self.at("punct", "{") or self.peek().kind == "name"):
+                self.i -= 1
+                return self.class_expr()
+            if t.value == "super":
+                return ("super",)
             return ("name", t.value)
         if t.kind == "keyword":
             if t.value == "true":
@@ -884,7 +1176,7 @@ class _Parser:
                 name = self.eat("name")
                 params, defaults, rest = self.param_list()
                 body = self.block()
-                return ("func", name.value if name else None, params, defaults, rest, body)
+                return ("func", name.value if name else None, params, defaults, rest, body, False)
             if t.value == "new":
                 self.i -= 1
                 return self.call_member()
@@ -929,10 +1221,25 @@ class _Parser:
                         continue
                     else:
                         raise JSError(f"SyntaxError: bad object key {kt.value!r}")
+                    if key in ("get", "set") and (
+                        self.peek().kind in ("name", "keyword", "str", "num")
+                        and not (self.peek(1).kind == "punct" and self.peek(1).value in (":", ",", "}"))
+                    ):
+                        # accessor: `get x() {…}` / `set x(v) {…}`
+                        akind = key
+                        akt = self.next()
+                        akey = js_to_string(akt.value) if akt.kind == "num" else akt.value
+                        params, defaults, rest = self.param_list()
+                        body = self.block()
+                        props.append((akind, akey, ("func", akey, params, defaults, rest, body, False)))
+                        if not self.eat("punct", ","):
+                            self.expect("punct", "}")
+                            break
+                        continue
                     if self.at("punct", "("):
                         params, defaults, rest = self.param_list()
                         body = self.block()
-                        props.append(("kv", key, ("func", key, params, defaults, rest, body)))
+                        props.append(("kv", key, ("func", key, params, defaults, rest, body, False)))
                     elif self.eat("punct", ":"):
                         props.append(("kv", key, self.assignment()))
                     else:
@@ -1079,6 +1386,12 @@ def to_python(v):
         return [to_python(x) for x in v]
     if isinstance(v, JSObject):
         return {k: to_python(x) for k, x in v.items()}
+    if isinstance(v, JSMap):
+        return {to_python(k): to_python(x) for k, x in v.entries()}
+    if isinstance(v, JSSet):
+        return [to_python(x) for x in v.values()]
+    if isinstance(v, JSPromise):
+        return to_python(v.value) if v.state == "fulfilled" else None
     if isinstance(v, float) and v == int(v) and abs(v) < 2**53:
         return int(v)
     return v
@@ -1178,6 +1491,9 @@ class JSInterpreter:
         self.globals = _Scope()
         self.op_budget = op_budget
         self.ops = 0
+        # embedder event-loop hook: called while awaiting a pending promise;
+        # returns True if it made progress (ran a timer / delivered an event)
+        self.pending_pump: Optional[Callable[[], bool]] = None
         self._install_stdlib()
 
     # -- embedder API -------------------------------------------------------
@@ -1192,7 +1508,10 @@ class JSInterpreter:
     def call(self, name: str, *args):
         fn = self.globals.get(name)
         self.ops = 0
-        return self.call_function(fn, list(args), UNDEFINED)
+        out = self.call_function(fn, list(args), UNDEFINED)
+        # async entry points return a promise — unwrap it for the embedder
+        # (pending promises pump the embedder loop; rejections re-throw)
+        return self._await_value(out)
 
     # -- execution ----------------------------------------------------------
     def _tick(self):
@@ -1204,8 +1523,10 @@ class JSInterpreter:
         # hoist function declarations
         for s in stmts:
             if s[0] == "funcdecl":
-                _, name, params, defaults, rest, body = s
-                scope.declare(name, JSFunction(name, params, defaults, rest, body, scope, self))
+                _, name, params, defaults, rest, body, is_async = s
+                scope.declare(
+                    name, JSFunction(name, params, defaults, rest, body, scope, self, is_async=is_async)
+                )
         last = UNDEFINED
         for s in stmts:
             last = self.exec_stmt(s, scope)
@@ -1218,9 +1539,13 @@ class JSInterpreter:
             return self.eval(s[1], scope)
         if kind == "decl":
             _, dkind, decls = s
-            for name, init in decls:
+            for target, init in decls:
                 val = UNDEFINED if init is None else self.eval(init, scope)
-                scope.declare(name, val, const=(dkind == "const"))
+                self._bind_pattern(target, val, scope, const=(dkind == "const"))
+            return UNDEFINED
+        if kind == "classdecl":
+            _, name, node = s
+            scope.declare(name, self.eval(node, scope))
             return UNDEFINED
         if kind == "funcdecl":
             return UNDEFINED  # hoisted
@@ -1271,12 +1596,16 @@ class JSInterpreter:
                     self.eval(update, fscope)
             return UNDEFINED
         if kind == "forof":
-            _, name, iterable, body = s
+            _, target, iterable, body = s
             it = self.eval(iterable, scope)
             if isinstance(it, str):
                 seq = list(it)
             elif isinstance(it, JSArray):
                 seq = list(it)
+            elif isinstance(it, JSMap):
+                seq = [JSArray([k, v]) for k, v in it.entries()]
+            elif isinstance(it, JSSet):
+                seq = it.values()
             elif isinstance(it, JSObject):
                 raise JSError("TypeError: object is not iterable (use for-in)")
             else:
@@ -1284,7 +1613,7 @@ class JSInterpreter:
             for item in seq:
                 self._tick()
                 fscope = _Scope(scope)
-                fscope.declare(name, item)
+                self._bind_pattern(target, item, fscope)
                 try:
                     self.exec_stmt(body, fscope)
                 except _Break:
@@ -1293,7 +1622,7 @@ class JSInterpreter:
                     continue
             return UNDEFINED
         if kind == "forin":
-            _, name, iterable, body = s
+            _, target, iterable, body = s
             it = self.eval(iterable, scope)
             if isinstance(it, JSObject):
                 keys = list(it.keys())
@@ -1304,7 +1633,7 @@ class JSInterpreter:
             for k in keys:
                 self._tick()
                 fscope = _Scope(scope)
-                fscope.declare(name, k)
+                self._bind_pattern(target, k, fscope)
                 try:
                     self.exec_stmt(body, fscope)
                 except _Break:
@@ -1385,7 +1714,8 @@ class JSInterpreter:
         if kind == "name":
             return scope.get(e[1])
         if kind == "this":
-            return UNDEFINED
+            s = scope.lookup("this")
+            return s.vars["this"] if s is not None else UNDEFINED
         if kind == "template":
             out = []
             for pk, pv in e[1]:
@@ -1412,6 +1742,14 @@ class JSInterpreter:
                     obj[prop[1]] = self.eval(prop[2], scope)
                 elif prop[0] == "computed":
                     obj[js_to_string(self.eval(prop[1], scope))] = self.eval(prop[2], scope)
+                elif prop[0] in ("get", "set"):
+                    _, akey, fnode = prop
+                    fn = self.eval(fnode, scope)
+                    acc = getattr(obj, "accessors", None)
+                    if acc is None:
+                        acc = obj.accessors = {}
+                    g, s_ = acc.get(akey, (None, None))
+                    acc[akey] = (fn, s_) if prop[0] == "get" else (g, fn)
                 else:  # spread
                     v = self.eval(prop[1], scope)
                     if isinstance(v, JSObject):
@@ -1419,10 +1757,18 @@ class JSInterpreter:
             return obj
         if kind in ("func", "arrow"):
             if kind == "func":
-                _, name, params, defaults, rest, body = e
-                return JSFunction(name, params, defaults, rest, body, scope, self)
-            _, params, defaults, rest, body = e
-            return JSFunction(None, params, defaults, rest, body, scope, self, is_arrow=True)
+                _, name, params, defaults, rest, body, is_async = e
+                return JSFunction(name, params, defaults, rest, body, scope, self, is_async=is_async)
+            _, params, defaults, rest, body, is_async = e
+            return JSFunction(None, params, defaults, rest, body, scope, self, is_arrow=True, is_async=is_async)
+        if kind == "await":
+            v = self.eval(e[1], scope)
+            return self._await_value(v)
+        if kind == "class":
+            return self._build_class(e, scope)
+        if kind == "super":
+            s = scope.lookup("__superclass__")
+            return s.vars["__superclass__"] if s is not None else UNDEFINED
         if kind == "seq":
             self.eval(e[1], scope)
             return self.eval(e[2], scope)
@@ -1532,6 +1878,16 @@ class JSInterpreter:
         a = self.eval(le, scope)
         if op == "instanceof":
             b = self.eval(re_, scope)
+            if isinstance(b, JSClass):
+                c = getattr(a, "jsclass", None)
+                while c is not None:
+                    if c is b:
+                        return True
+                    c = c.parent
+                return False
+            check = getattr(b, "instance_check", None)
+            if check is not None:
+                return bool(check(a))
             name = getattr(b, "name", None) or getattr(b, "__name__", "")
             if name == "Array":
                 return isinstance(a, JSArray)
@@ -1606,6 +1962,43 @@ class JSInterpreter:
     def _eval_call(self, e, scope):
         _, callee, args, optional = e
         this = UNDEFINED
+        if callee[0] == "super":
+            # super(...) — run the parent constructor chain on current `this`
+            s = scope.lookup("__superclass__")
+            sup = s.vars["__superclass__"] if s is not None else None
+            ts = scope.lookup("this")
+            this_val = ts.vars["this"] if ts is not None else UNDEFINED
+            if not isinstance(sup, JSClass):
+                raise JSError("SyntaxError: 'super' outside a derived-class method")
+            argv = []
+            for a in args:
+                if a[0] == "spread":
+                    argv.extend(list(self.eval(a[1], scope)))
+                else:
+                    argv.append(self.eval(a, scope))
+            # parent fields already initialized in _construct
+            self._run_ctor(sup, this_val, argv)
+            return UNDEFINED
+        if callee[0] == "member" and callee[1][0] == "super":
+            # super.m(...) — parent-chain method with the current `this`
+            s = scope.lookup("__superclass__")
+            sup = s.vars["__superclass__"] if s is not None else None
+            ts = scope.lookup("this")
+            this_val = ts.vars["this"] if ts is not None else UNDEFINED
+            if not isinstance(sup, JSClass):
+                raise JSError("SyntaxError: 'super' outside a derived-class method")
+            key = self._member_key(callee[2], scope)
+            hit = self._class_lookup(sup, key)
+            if hit is None:
+                raise JSError(f"TypeError: super.{key} is not a function")
+            fn = hit[1] if hit[0] == "method" else self.call_function(hit[1], [], this_val)
+            argv = []
+            for a in args:
+                if a[0] == "spread":
+                    argv.extend(list(self.eval(a[1], scope)))
+                else:
+                    argv.append(self.eval(a, scope))
+            return self.call_function(fn, argv, this_val)
         if callee[0] == "member":
             obj = self.eval(callee[1], scope)
             if callee[3] and (obj is None or obj is UNDEFINED):
@@ -1629,8 +2022,13 @@ class JSInterpreter:
     def _eval_new(self, e, scope):
         _, callee, args = e
         name = callee[1] if callee[0] == "name" else None
-        argv = [self.eval(a, scope) for a in args]
-        if name == "Error" or name == "TypeError" or name == "RangeError":
+        argv = []
+        for a in args:
+            if a[0] == "spread":
+                argv.extend(list(self.eval(a[1], scope)))
+            else:
+                argv.append(self.eval(a, scope))
+        if name in ("Error", "TypeError", "RangeError", "SyntaxError"):
             o = JSObject()
             o["name"] = name
             o["message"] = js_to_string(argv[0]) if argv else ""
@@ -1641,33 +2039,34 @@ class JSInterpreter:
             if len(argv) == 1 and isinstance(argv[0], float):
                 return JSArray([UNDEFINED] * int(argv[0]))
             return JSArray(argv)
-        if name == "Map" or name == "Set":
-            raise JSError(f"TypeError: {name} is not supported in this runtime")
         fn = self.eval(callee, scope)
+        if isinstance(fn, JSClass):
+            return self._construct(fn, argv)
         if isinstance(fn, JSFunction):
             this = JSObject()
-            self.call_function(fn, argv, this)
-            return this
+            out = self.call_function(fn, argv, this)
+            return out if isinstance(out, JSObject) else this
+        if callable(fn):
+            # host constructor (Promise, Map, Set, embedder DOM classes):
+            # calling it returns the instance
+            return self.call_function(fn, argv, UNDEFINED)
         raise JSError("TypeError: not a constructor")
 
     def call_function(self, fn, argv, this):
         if isinstance(fn, JSFunction):
-            scope = _Scope(fn.closure)
-            for i, p in enumerate(fn.params):
-                if i < len(argv) and argv[i] is not UNDEFINED:
-                    scope.declare(p, argv[i])
-                elif fn.defaults[i] is not None:
-                    scope.declare(p, self.eval(fn.defaults[i], scope))
-                else:
-                    scope.declare(p, argv[i] if i < len(argv) else UNDEFINED)
-            if fn.rest is not None:
-                scope.declare(fn.rest, JSArray(argv[len(fn.params):]))
-            scope.declare("arguments", JSArray(argv))
-            try:
-                self.exec_stmt(fn.body, scope)
-            except _Return as r:
-                return r.value
-            return UNDEFINED
+            if fn.is_async:
+                # async fn: run synchronously (awaits pump the embedder
+                # loop), return a settled promise — so `.then()` chains and
+                # `await` both observe proper JS semantics
+                p = JSPromise()
+                try:
+                    self._promise_settle(p, "fulfilled", self._invoke_js(fn, argv, this))
+                except JSTimeout:
+                    raise
+                except JSError as e:
+                    self._promise_settle(p, "rejected", self._error_value(e))
+                return p
+            return self._invoke_js(fn, argv, this)
         if callable(fn):
             try:
                 out = fn(*argv)
@@ -1679,14 +2078,320 @@ class JSInterpreter:
             return out if out is not None else UNDEFINED
         raise JSError(f"TypeError: {js_to_string(fn)} is not a function")
 
+    def _invoke_js(self, fn: JSFunction, argv, this):
+        scope = _Scope(fn.closure)
+        if not fn.is_arrow:
+            scope.declare("this", this)
+            if fn.home_class is not None:
+                scope.declare("__superclass__", fn.home_class.parent)
+        for i, p in enumerate(fn.params):
+            val = argv[i] if i < len(argv) else UNDEFINED
+            if val is UNDEFINED and fn.defaults[i] is not None:
+                val = self.eval(fn.defaults[i], scope)
+            self._bind_pattern(p, val, scope)
+        if fn.rest is not None:
+            scope.declare(fn.rest, JSArray(argv[len(fn.params):]))
+        scope.declare("arguments", JSArray(argv))
+        try:
+            self.exec_stmt(fn.body, scope)
+        except _Return as r:
+            return r.value
+        return UNDEFINED
+
+    def _bind_pattern(self, target, value, scope, const=False):
+        """Bind a ``binding_target`` pattern to ``value`` in ``scope``."""
+        k = target[0]
+        if k == "pid":
+            scope.declare(target[1], value, const=const)
+            return
+        if k == "pobj":
+            _, props, rest = target
+            if value is None or value is UNDEFINED:
+                raise JSError(f"TypeError: cannot destructure {js_to_string(value)}")
+            taken = set()
+            for key, sub, default in props:
+                v = self.get_member(value, key)
+                if v is UNDEFINED and default is not None:
+                    v = self.eval(default, scope)
+                self._bind_pattern(sub, v, scope, const)
+                taken.add(key)
+            if rest is not None:
+                o = JSObject()
+                if isinstance(value, JSObject):
+                    for kk, vv in value.items():
+                        if kk not in taken:
+                            o[kk] = vv
+                scope.declare(rest, o, const=const)
+            return
+        if k == "parr":
+            _, elems, rest = target
+            if isinstance(value, (JSArray, str)):
+                seq = list(value)
+            elif isinstance(value, JSSet):
+                seq = value.values()
+            elif isinstance(value, JSMap):
+                seq = [JSArray([kk, vv]) for kk, vv in value.entries()]
+            elif value is None or value is UNDEFINED:
+                raise JSError(f"TypeError: {js_to_string(value)} is not iterable")
+            else:
+                try:
+                    seq = list(value)
+                except TypeError:
+                    raise JSError("TypeError: value is not iterable")
+            for i, (sub, default) in enumerate(elems):
+                if sub is None:
+                    continue
+                v = seq[i] if i < len(seq) else UNDEFINED
+                if v is UNDEFINED and default is not None:
+                    v = self.eval(default, scope)
+                self._bind_pattern(sub, v, scope, const)
+            if rest is not None:
+                scope.declare(rest, JSArray(seq[len(elems):]), const=const)
+            return
+        raise JSError("InternalError: bad binding pattern")
+
+    # -- promises -------------------------------------------------------------
+    def _promise_settle(self, p: JSPromise, state: str, value):
+        if p.state != "pending":
+            return
+        # `resolve(anotherPromise)` adopts its state
+        if state == "fulfilled" and isinstance(value, JSPromise):
+            inner = value
+            if inner.state == "pending":
+                inner.callbacks.append(
+                    (
+                        lambda v: self._promise_settle(p, "fulfilled", v),
+                        lambda r: self._promise_settle(p, "rejected", r),
+                        None,
+                    )
+                )
+                return
+            state, value = inner.state, inner.value
+        p.state = state
+        p.value = value
+        cbs, p.callbacks = p.callbacks, []
+        for on_ful, on_rej, chained in cbs:
+            handler = on_ful if state == "fulfilled" else on_rej
+            if handler is None:
+                if chained is not None:
+                    self._promise_settle(chained, state, value)
+                continue
+            if chained is None:
+                handler(value)
+                continue
+            try:
+                out = (
+                    self.call_function(handler, [value], UNDEFINED)
+                    if isinstance(handler, JSFunction) or callable(handler)
+                    else UNDEFINED
+                )
+                self._promise_settle(chained, "fulfilled", out)
+            except JSTimeout:
+                raise
+            except JSError as e:
+                self._promise_settle(chained, "rejected", self._error_value(e))
+
+    def _promise_then(self, p: JSPromise, on_ful=None, on_rej=None) -> JSPromise:
+        chained = JSPromise()
+        if p.state == "pending":
+            p.callbacks.append((on_ful, on_rej, chained))
+        else:
+            handler = on_ful if p.state == "fulfilled" else on_rej
+            if handler is None:
+                self._promise_settle(chained, p.state, p.value)
+            else:
+                try:
+                    out = self.call_function(handler, [p.value], UNDEFINED)
+                    self._promise_settle(chained, "fulfilled", out)
+                except JSTimeout:
+                    raise
+                except JSError as e:
+                    self._promise_settle(chained, "rejected", self._error_value(e))
+        return chained
+
+    def _await_value(self, v):
+        if not isinstance(v, JSPromise):
+            return v
+        guard = 0
+        while v.state == "pending":
+            self._tick()
+            if self.pending_pump is None:
+                raise JSError("TypeError: await on a pending promise with no event loop")
+            progressed = self.pending_pump()
+            if not progressed:
+                guard += 1
+                if guard > 10_000:
+                    raise JSError("Error: await: promise never settles (event loop starved)")
+            else:
+                guard = 0
+        if v.state == "fulfilled":
+            return v.value
+        raise JSError(v.value)
+
+    # -- classes --------------------------------------------------------------
+    def _build_class(self, e, scope) -> JSClass:
+        _, name, supexpr, members = e
+        parent = None
+        if supexpr is not None:
+            parent = self.eval(supexpr, scope)
+            if not isinstance(parent, JSClass):
+                raise JSError("TypeError: class extends a non-class value")
+        cls = JSClass(name, parent)
+        for is_static, mkind, key, value in members:
+            if mkind == "field":
+                if is_static:
+                    cls.statics[key] = self.eval(value, scope)
+                else:
+                    cls.fields.append((key, value))
+                continue
+            fn = self.eval(value, scope)
+            fn.home_class = cls
+            if is_static:
+                cls.statics[key] = fn
+            elif mkind == "ctor":
+                cls.ctor = fn
+            elif mkind == "get":
+                cls.getters[key] = fn
+            elif mkind == "set":
+                cls.setters[key] = fn
+            else:
+                cls.methods[key] = fn
+        return cls
+
+    def _construct(self, cls: JSClass, argv):
+        inst = JSObject()
+        inst.jsclass = cls
+        # instance fields, base-first (simplification: before ctor bodies)
+        chain = []
+        c = cls
+        while c is not None:
+            chain.append(c)
+            c = c.parent
+        for c in reversed(chain):
+            for fkey, fexpr in c.fields:
+                fscope = _Scope(self.globals)
+                fscope.declare("this", inst)
+                inst[fkey] = self.eval(fexpr, fscope)
+        self._run_ctor(cls, inst, argv)
+        return inst
+
+    def _run_ctor(self, cls: JSClass, inst, argv):
+        c = cls
+        while c is not None and c.ctor is None:
+            c = c.parent  # default-constructor chain: forward args upward
+        if c is not None:
+            self._invoke_js(c.ctor, argv, inst)
+
+    def _class_lookup(self, cls, key):
+        c = cls
+        while c is not None:
+            if key in c.getters:
+                return ("get", c.getters[key])
+            if key in c.methods:
+                return ("method", c.methods[key])
+            c = c.parent
+        return None
+
+    def _class_lookup_setter(self, cls, key):
+        c = cls
+        while c is not None:
+            if key in c.setters:
+                return c.setters[key]
+            c = c.parent
+        return None
+
     # -- member access ------------------------------------------------------
     def get_member(self, obj, key: str):
         if obj is None or obj is UNDEFINED:
             raise JSError(f"TypeError: cannot read property {key!r} of {js_to_string(obj)}")
         if isinstance(obj, JSObject):
+            acc = getattr(obj, "accessors", None)
+            if acc is not None and key in acc and acc[key][0] is not None:
+                return self.call_function(acc[key][0], [], obj)
             if key in obj:
                 return obj[key]
+            cls = getattr(obj, "jsclass", None)
+            if cls is not None:
+                hit = self._class_lookup(cls, key)
+                if hit is not None:
+                    return self.call_function(hit[1], [], obj) if hit[0] == "get" else hit[1]
+                if key == "constructor":
+                    return cls
             return _object_method(self, obj, key)
+        if isinstance(obj, JSPromise):
+            if key == "then":
+                return lambda on_ful=None, on_rej=None: self._promise_then(
+                    obj,
+                    on_ful if on_ful not in (None, UNDEFINED) else None,
+                    on_rej if on_rej not in (None, UNDEFINED) else None,
+                )
+            if key == "catch":
+                return lambda on_rej=None: self._promise_then(
+                    obj, None, on_rej if on_rej not in (None, UNDEFINED) else None
+                )
+            if key == "finally":
+                def _finally(cb=None):
+                    def run(v):
+                        if cb not in (None, UNDEFINED):
+                            self.call_function(cb, [], UNDEFINED)
+                        return v
+                    def run_rej(r):
+                        if cb not in (None, UNDEFINED):
+                            self.call_function(cb, [], UNDEFINED)
+                        raise JSError(r)
+                    return self._promise_then(obj, run, run_rej)
+                return _finally
+            return UNDEFINED
+        if isinstance(obj, JSMap):
+            if key == "size":
+                return float(obj.size)
+            if key == "get":
+                return lambda k=UNDEFINED: obj.get(k)
+            if key == "set":
+                return lambda k=UNDEFINED, v=UNDEFINED: obj.set(k, v)
+            if key == "has":
+                return lambda k=UNDEFINED: obj.has(k)
+            if key == "delete":
+                return lambda k=UNDEFINED: obj.delete(k)
+            if key == "clear":
+                return lambda: obj.clear()
+            if key == "forEach":
+                return lambda fn=None: [
+                    self.call_function(fn, [v, k, obj], UNDEFINED) for k, v in obj.entries()
+                ] and UNDEFINED
+            if key == "keys":
+                return lambda: JSArray(k for k, _ in obj.entries())
+            if key == "values":
+                return lambda: JSArray(v for _, v in obj.entries())
+            if key == "entries":
+                return lambda: JSArray(JSArray([k, v]) for k, v in obj.entries())
+            return UNDEFINED
+        if isinstance(obj, JSSet):
+            if key == "size":
+                return float(obj.size)
+            if key == "add":
+                return lambda v=UNDEFINED: obj.add(v)
+            if key == "has":
+                return lambda v=UNDEFINED: obj.has(v)
+            if key == "delete":
+                return lambda v=UNDEFINED: obj.delete(v)
+            if key == "clear":
+                return lambda: obj.clear()
+            if key == "forEach":
+                return lambda fn=None: [
+                    self.call_function(fn, [v, v, obj], UNDEFINED) for v in obj.values()
+                ] and UNDEFINED
+            if key == "values":
+                return lambda: JSArray(obj.values())
+            return UNDEFINED
+        if isinstance(obj, JSClass):
+            if key in obj.statics:
+                return obj.statics[key]
+            if key == "name":
+                return obj.name
+            if obj.parent is not None:
+                return self.get_member(obj.parent, key)
+            return UNDEFINED
         if isinstance(obj, JSArray):
             if key == "length":
                 return float(len(obj))
@@ -1727,6 +2432,12 @@ class JSInterpreter:
                 return lambda *a: self.call_function(
                     obj, list(a[1]) if len(a) > 1 else [], a[0] if a else UNDEFINED
                 )
+            if key == "bind":
+                def _bind(*a):
+                    bound_this = a[0] if a else UNDEFINED
+                    bound_args = list(a[1:])
+                    return lambda *later: self.call_function(obj, bound_args + list(later), bound_this)
+                return _bind
             if key == "name":
                 return obj.name
             return obj.properties.get(key, UNDEFINED)
@@ -1738,7 +2449,20 @@ class JSInterpreter:
 
     def set_member(self, obj, key: str, val):
         if isinstance(obj, JSObject):
+            acc = getattr(obj, "accessors", None)
+            if acc is not None and key in acc and acc[key][1] is not None:
+                self.call_function(acc[key][1], [val], obj)
+                return
+            cls = getattr(obj, "jsclass", None)
+            if cls is not None:
+                setter = self._class_lookup_setter(cls, key)
+                if setter is not None:
+                    self.call_function(setter, [val], obj)
+                    return
             obj[key] = val
+            return
+        if isinstance(obj, JSClass):
+            obj.statics[key] = val
             return
         if isinstance(obj, JSArray):
             if key == "length":
@@ -1834,21 +2558,37 @@ class JSInterpreter:
         g.declare("Infinity", _math.inf)
         g.declare("globalThis", JSObject())
 
+        def _obj_pairs(o):
+            if isinstance(o, JSObject):
+                return list(o.items())
+            if isinstance(o, JSArray):
+                return [(js_to_string(float(i)), v) for i, v in enumerate(o)]
+            return []
+
         object_obj = JSObject()
-        object_obj["keys"] = lambda o=None: JSArray(list(o.keys())) if isinstance(o, JSObject) else JSArray()
-        object_obj["values"] = lambda o=None: JSArray(list(o.values())) if isinstance(o, JSObject) else JSArray()
-        object_obj["entries"] = lambda o=None: JSArray(
-            JSArray([k, v]) for k, v in o.items()
-        ) if isinstance(o, JSObject) else JSArray()
+        object_obj["keys"] = lambda o=None: JSArray(k for k, _ in _obj_pairs(o))
+        object_obj["values"] = lambda o=None: JSArray(v for _, v in _obj_pairs(o))
+        object_obj["entries"] = lambda o=None: JSArray(JSArray([k, v]) for k, v in _obj_pairs(o))
         object_obj["assign"] = _object_assign
         object_obj["freeze"] = lambda o=None: o
         g.declare("Object", _CallableObject(object_obj, lambda v=None: v if isinstance(v, JSObject) else JSObject()))
 
         array_obj = JSObject()
         array_obj["isArray"] = lambda v=None: isinstance(v, JSArray)
+        def _array_from_seq(v):
+            if isinstance(v, (JSArray, str)):
+                return list(v)
+            if isinstance(v, JSSet):
+                return v.values()
+            if isinstance(v, JSMap):
+                return [JSArray([k, x]) for k, x in v.entries()]
+            if isinstance(v, JSObject) and "length" in v:
+                return [v.get(js_to_string(float(i)), UNDEFINED) for i in range(int(js_to_number(v["length"])))]
+            return []
+
         array_obj["from"] = lambda v=None, fn=None: JSArray(
-            (interp.call_function(fn, [x, float(i)], UNDEFINED) if fn else x)
-            for i, x in enumerate(list(v) if isinstance(v, (JSArray, str)) else [])
+            (interp.call_function(fn, [x, float(i)], UNDEFINED) if fn not in (None, UNDEFINED) else x)
+            for i, x in enumerate(_array_from_seq(v))
         )
         array_obj["name"] = "Array"
         g.declare("Array", _CallableObject(array_obj, lambda *a: JSArray(a)))
@@ -1856,6 +2596,94 @@ class JSInterpreter:
         date_obj = JSObject()
         date_obj["now"] = lambda: float(int(_time.time() * 1000))
         g.declare("Date", _CallableObject(date_obj, lambda *a: JSObject()))
+
+        # -- Promise / Map / Set ------------------------------------------------
+        def _promise_ctor(executor=None):
+            p = JSPromise()
+            if executor not in (None, UNDEFINED):
+                resolve = lambda v=UNDEFINED: interp._promise_settle(p, "fulfilled", v)
+                reject = lambda r=UNDEFINED: interp._promise_settle(p, "rejected", r)
+                try:
+                    interp.call_function(executor, [resolve, reject], UNDEFINED)
+                except JSTimeout:
+                    raise
+                except JSError as e:
+                    interp._promise_settle(p, "rejected", interp._error_value(e))
+            return p
+
+        promise_statics = JSObject()
+
+        def _p_resolve(v=UNDEFINED):
+            if isinstance(v, JSPromise):
+                return v
+            p = JSPromise()
+            interp._promise_settle(p, "fulfilled", v)
+            return p
+
+        def _p_reject(r=UNDEFINED):
+            p = JSPromise()
+            interp._promise_settle(p, "rejected", r)
+            return p
+
+        def _p_all(items=None):
+            out = JSPromise()
+            vals = JSArray()
+            seq = list(items) if isinstance(items, JSArray) else []
+            remaining = [len(seq)]
+            if not seq:
+                interp._promise_settle(out, "fulfilled", vals)
+                return out
+            vals.extend([UNDEFINED] * len(seq))
+
+            def arm(i, it):
+                p = it if isinstance(it, JSPromise) else _p_resolve(it)
+
+                def on_ful(v, i=i):
+                    vals[i] = v
+                    remaining[0] -= 1
+                    if remaining[0] == 0:
+                        interp._promise_settle(out, "fulfilled", vals)
+
+                def on_rej(r):
+                    interp._promise_settle(out, "rejected", r)
+
+                interp._promise_then(p, on_ful, on_rej)
+
+            for i, it in enumerate(seq):
+                arm(i, it)
+            return out
+
+        promise_statics["resolve"] = _p_resolve
+        promise_statics["reject"] = _p_reject
+        promise_statics["all"] = _p_all
+        promise_global = _CallableObject(promise_statics, _promise_ctor)
+        promise_global.instance_check = lambda v: isinstance(v, JSPromise)
+        g.declare("Promise", promise_global)
+
+        def _map_ctor(init=None):
+            m = JSMap()
+            if isinstance(init, JSArray):
+                for pair in init:
+                    if isinstance(pair, JSArray) and len(pair) >= 2:
+                        m.set(pair[0], pair[1])
+            return m
+
+        def _set_ctor(init=None):
+            s = JSSet()
+            if isinstance(init, (JSArray, str)):
+                for v in list(init):
+                    s.add(v)
+            elif isinstance(init, JSSet):
+                for v in init.values():
+                    s.add(v)
+            return s
+
+        map_global = _CallableObject(JSObject(), _map_ctor)
+        map_global.instance_check = lambda v: isinstance(v, JSMap)
+        set_global = _CallableObject(JSObject(), _set_ctor)
+        set_global.instance_check = lambda v: isinstance(v, JSSet)
+        g.declare("Map", map_global)
+        g.declare("Set", set_global)
 
 
 class _CallableObject:

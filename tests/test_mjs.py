@@ -327,3 +327,165 @@ def test_reference_weather_script_parses_and_helpers_run():
     it.run(src)  # must parse + run top-level without error
     # exercise a pure helper defined by the script
     assert to_python(it.call("normalizeWhitespace", "  a   b  ")) == "a b"
+
+
+# ---------------------------------------------------------------------------
+# round-3 language extensions: destructuring, classes, accessors, Promise,
+# Map/Set, `this` binding — the constructs the web UI script (and modern
+# QuickJS user scripts, script.rs:408-693) rely on.
+# ---------------------------------------------------------------------------
+def test_destructuring_declarations():
+    it = JSInterpreter()
+    assert to_python(it.run("const {a, b} = {a:1, b:2}; a + b")) == 3
+    assert to_python(it.run("const [x, , y] = [1, 2, 3]; x + y")) == 4
+    assert to_python(it.run("const {p: {q}} = {p: {q: 7}}; q")) == 7
+    assert to_python(it.run("const {m = 5, n} = {n: 1}; m + n")) == 6
+    assert to_python(it.run("const {a, ...rest} = {a:1, b:2, c:3}; rest.b + rest.c")) == 5
+    assert to_python(it.run("const [h, ...t] = [1,2,3]; t.length")) == 2
+    assert to_python(it.run("const {done, value: v} = {done:false, value:9}; v")) == 9
+
+
+def test_destructuring_params_and_forof():
+    assert run("function f({a, b=10}) { return a + b }", "f", {"a": 1}) == 11
+    it = JSInterpreter()
+    assert (
+        to_python(it.run("let s = 0; for (const [k, v] of Object.entries({x:1, y:2})) s += v; s"))
+        == 3
+    )
+
+
+def test_this_binding_in_methods():
+    it = JSInterpreter()
+    assert to_python(it.run("const o = {v: 3, m() { return this.v }}; o.m()")) == 3
+    # arrows capture lexical `this`
+    assert (
+        to_python(it.run("const o = {v: 5, m() { const f = () => this.v; return f() }}; o.m()"))
+        == 5
+    )
+    # detached method loses `this` (JS semantics)
+    assert to_python(it.run("const o = {v:1, m(){ return this === undefined }}; const f = o.m; f()")) is True
+
+
+def test_classes():
+    it = JSInterpreter()
+    src = """
+    class Animal {
+        legs = 4;
+        constructor(name) { this.name = name }
+        get label() { return this.name + '/' + this.legs }
+        speak() { return 'generic' }
+        static kind() { return 'animal' }
+    }
+    class Dog extends Animal {
+        constructor() { super('dog') }
+        speak() { return super.speak() + ':woof' }
+    }
+    const d = new Dog();
+    """
+    it.run(src)
+    assert to_python(it.run("d.label")) == "dog/4"
+    assert to_python(it.run("d.speak()")) == "generic:woof"
+    assert to_python(it.run("Animal.kind()")) == "animal"
+    assert to_python(it.run("d instanceof Dog && d instanceof Animal")) is True
+    assert to_python(it.run("new Animal('cat') instanceof Dog")) is False
+
+
+def test_class_setters_and_chaining():
+    it = JSInterpreter()
+    assert (
+        to_python(
+            it.run(
+                "class A { set v(x) { this._v = x * 2 } get v() { return this._v } }"
+                " const a = new A(); a.v = 4; a.v"
+            )
+        )
+        == 8
+    )
+    assert (
+        to_python(
+            it.run("class C { n = 0; inc() { this.n++; return this } } new C().inc().inc().n")
+        )
+        == 2
+    )
+
+
+def test_object_literal_accessors():
+    it = JSInterpreter()
+    assert (
+        to_python(
+            it.run(
+                "const o = {_v: 2, get x() { return this._v * 2 }, set x(v) { this._v = v }};"
+                " o.x = 5; o.x"
+            )
+        )
+        == 10
+    )
+
+
+def test_promises_sync_resolution():
+    it = JSInterpreter()
+    assert to_python(it.run("let r; new Promise(res => res(5)).then(v => { r = v }); r")) == 5
+    assert to_python(it.run("let s; Promise.resolve(2).then(v => v * 3).then(v => { s = v }); s")) == 6
+    assert (
+        to_python(it.run("let t; Promise.all([Promise.resolve(1), 2]).then(v => { t = v[0] + v[1] }); t"))
+        == 3
+    )
+    # rejection → .catch
+    assert (
+        to_python(it.run("let e; Promise.reject('boom').catch(r => { e = r }); e")) == "boom"
+    )
+
+
+def test_async_functions_return_promises():
+    it = JSInterpreter()
+    assert to_python(it.run("async function f() { return 4 } await f() + 1")) == 5
+    assert to_python(it.run("let out; (async () => 7)().then(v => { out = v }); out")) == 7
+    # async throw → await rethrows (catchable)
+    src = "async function g() { throw 'bad' } let m; try { await g() } catch (e) { m = e.message || e } m"
+    assert to_python(it.run(src)) == "bad"
+
+
+def test_await_pending_promise_pumps_embedder_loop():
+    it = JSInterpreter()
+    settle = []
+    it.run("let p = new Promise((res) => { globalThis._res = res }); ")
+    resolver = it.globals.get("globalThis")["_res"]
+
+    def pump():
+        # one pump tick settles the promise (models a delivered WS event)
+        if not settle:
+            settle.append(1)
+            it.call_function(resolver, [42.0], UNDEFINED)
+        return True
+
+    it.pending_pump = pump
+    assert to_python(it.run("await p")) == 42
+
+
+def test_await_pending_without_loop_raises():
+    it = JSInterpreter()
+    with pytest.raises(JSError):
+        it.run("await new Promise(() => {})")
+
+
+def test_map_and_set():
+    it = JSInterpreter()
+    assert to_python(it.run("const m = new Map(); m.set('a', 1).set('b', 2); m.get('a') + m.size")) == 3
+    assert to_python(it.run("const s = new Set([1, 2, 2, 3]); s.size")) == 3
+    assert to_python(it.run("const m2 = new Map([['x', 1], ['y', 2]]); let t = 0; for (const [k, v] of m2) t += v; t")) == 3
+    assert to_python(it.run("const s2 = new Set(); s2.add(5); s2.has(5) && !s2.has(6)")) is True
+    assert to_python(it.run("Array.from(new Set(['a','b'])).length")) == 2
+    assert to_python(it.run("new Map() instanceof Map && new Set() instanceof Set")) is True
+
+
+def test_function_bind():
+    it = JSInterpreter()
+    assert (
+        to_python(it.run("function f(a, b) { return this.x + a + b } const g = f.bind({x: 1}, 2); g(3)"))
+        == 6
+    )
+
+
+def test_new_binds_tighter_than_member_chain():
+    it = JSInterpreter()
+    assert to_python(it.run("class A { m() { return 9 } } new A().m()")) == 9
