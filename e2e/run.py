@@ -1,11 +1,17 @@
 # SPDX-License-Identifier: Apache-2.0
 """Browser e2e harness (reference ``e2e/src/harness/run.ts``): boots the real
-server, health-gates, then drives the web UI with Playwright.
+server, health-gates, then drives the web UI.
 
-Requires ``playwright`` + a browser install (not present in the build image;
-CI runs it via ``.github/workflows/e2e.yml``). Usage:
+Two modes:
 
-    pip install playwright && playwright install chromium
+* With ``playwright`` + a browser installed (CI, ``.github/workflows/e2e.yml``):
+  drives real Chromium against the real server.
+* Without (this image ships no browser): runs the HEADLESS e2e
+  (``tests/test_webui_e2e.py``) — the UI's actual JavaScript executed under
+  the package's own JS interpreter + DOM shim (``e2e/harness/``), with real
+  HTTP/WS/multipart traffic to the real server. Same flows, executable
+  anywhere.
+
     python e2e/run.py
 """
 
@@ -39,8 +45,19 @@ def main() -> int:
     try:
         from playwright.sync_api import sync_playwright
     except ImportError:
-        print("SKIP: playwright not installed (pip install playwright)")
-        return 0
+        # No browser in this image: run the HEADLESS e2e instead — the web
+        # UI's actual JS executed under the package's own JS interpreter
+        # (utils/mjs.py) against the DOM shim (e2e/harness/), with real
+        # HTTP + WS traffic to the real server. Same flows, no Chromium.
+        print("playwright not installed — running the headless-browser e2e")
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env.setdefault("JAX_PLATFORM_NAME", "cpu")
+        env.setdefault("JAX_PLATFORMS", "cpu")
+        return subprocess.call(
+            [sys.executable, "-m", "pytest", "tests/test_webui_e2e.py", "-q"],
+            cwd=REPO, env=env,
+        )
 
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -70,7 +87,7 @@ def main() -> int:
 
             # import a known pipeline, create a session, see it in Monitor
             page.fill("#design-yaml", open(
-                os.path.join(REPO, "samples", "pipelines", "live_gain.yml")).read())
+                os.path.join(REPO, "samples", "pipelines", "system", "live_gain.yml")).read())
             page.click("#btn-validate")
             page.wait_for_selector("#design-result .ok", timeout=10_000)
             assert page.locator("#editor [data-node]").count() >= 4

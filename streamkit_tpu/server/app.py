@@ -487,6 +487,19 @@ async def create_session_http(request: web.Request) -> web.Response:
         except (StreamKitError, PermissionDenied, ValueError) as e:
             await state.sessions.remove(session.id)
             return web.json_response({"error": str(e)}, status=422)
+    # lifecycle events broadcast regardless of entry point (reference
+    # Session::create wires event forwarding to ALL WS clients —
+    # session.rs:105-133; the UI's session lists depend on it)
+    from ..api.messages import make_event
+
+    state.broadcast(
+        make_event(
+            "sessioncreated",
+            session_id=session.id,
+            name=session.name,
+            created_at=session.created_at,
+        )
+    )
     return web.json_response(
         {"session_id": session.id, "name": session.name, "created_at": session.created_at},
         status=201,
@@ -526,6 +539,9 @@ async def destroy_session_http(request: web.Request) -> web.Response:
     if denied is not None:
         return denied
     await state.sessions.remove(session.id)
+    from ..api.messages import make_event
+
+    state.broadcast(make_event("sessiondestroyed", session_id=session.id))
     return web.json_response({"session_id": session.id})
 
 

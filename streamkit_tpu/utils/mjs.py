@@ -1221,6 +1221,20 @@ class _Parser:
                         continue
                     else:
                         raise JSError(f"SyntaxError: bad object key {kt.value!r}")
+                    if key == "async" and (
+                        self.peek().kind in ("name", "keyword", "str")
+                        and self.peek(1).kind == "punct"
+                        and self.peek(1).value == "("
+                    ):
+                        # async shorthand method: `async m(args) {…}`
+                        mkey = self.next().value
+                        params, defaults, rest = self.param_list()
+                        body = self.block()
+                        props.append(("kv", mkey, ("func", mkey, params, defaults, rest, body, True)))
+                        if not self.eat("punct", ","):
+                            self.expect("punct", "}")
+                            break
+                        continue
                     if key in ("get", "set") and (
                         self.peek().kind in ("name", "keyword", "str", "num")
                         and not (self.peek(1).kind == "punct" and self.peek(1).value in (":", ",", "}"))
@@ -1254,6 +1268,21 @@ class _Parser:
 # ---------------------------------------------------------------------------
 # runtime helpers (JS semantics)
 # ---------------------------------------------------------------------------
+
+def _spread_seq(v):
+    """Iterable coercion for spread sites (arrays, strings, Map/Set)."""
+    if isinstance(v, (JSArray, str)):
+        return list(v)
+    if isinstance(v, JSSet):
+        return v.values()
+    if isinstance(v, JSMap):
+        return [JSArray([k, x]) for k, x in v.entries()]
+    try:
+        return list(v)
+    except TypeError:
+        raise JSError("TypeError: value is not iterable (spread)")
+
+
 def js_truthy(v) -> bool:
     if v is UNDEFINED or v is None or v is False:
         return False
@@ -1730,8 +1759,7 @@ class JSInterpreter:
             arr = JSArray()
             for item in e[1]:
                 if item[0] == "spread":
-                    v = self.eval(item[1], scope)
-                    arr.extend(v if isinstance(v, JSArray) else list(v))
+                    arr.extend(_spread_seq(self.eval(item[1], scope)))
                 else:
                     arr.append(self.eval(item, scope))
             return arr
@@ -1973,7 +2001,7 @@ class JSInterpreter:
             argv = []
             for a in args:
                 if a[0] == "spread":
-                    argv.extend(list(self.eval(a[1], scope)))
+                    argv.extend(_spread_seq(self.eval(a[1], scope)))
                 else:
                     argv.append(self.eval(a, scope))
             # parent fields already initialized in _construct
@@ -1995,7 +2023,7 @@ class JSInterpreter:
             argv = []
             for a in args:
                 if a[0] == "spread":
-                    argv.extend(list(self.eval(a[1], scope)))
+                    argv.extend(_spread_seq(self.eval(a[1], scope)))
                 else:
                     argv.append(self.eval(a, scope))
             return self.call_function(fn, argv, this_val)
@@ -2014,7 +2042,7 @@ class JSInterpreter:
         for a in args:
             if a[0] == "spread":
                 v = self.eval(a[1], scope)
-                argv.extend(list(v))
+                argv.extend(_spread_seq(v))
             else:
                 argv.append(self.eval(a, scope))
         return self.call_function(fn, argv, this)
@@ -2025,7 +2053,7 @@ class JSInterpreter:
         argv = []
         for a in args:
             if a[0] == "spread":
-                argv.extend(list(self.eval(a[1], scope)))
+                argv.extend(_spread_seq(self.eval(a[1], scope)))
             else:
                 argv.append(self.eval(a, scope))
         if name in ("Error", "TypeError", "RangeError", "SyntaxError"):
@@ -2571,6 +2599,16 @@ class JSInterpreter:
         object_obj["entries"] = lambda o=None: JSArray(JSArray([k, v]) for k, v in _obj_pairs(o))
         object_obj["assign"] = _object_assign
         object_obj["freeze"] = lambda o=None: o
+
+        def _from_entries(pairs=None):
+            o = JSObject()
+            seq = pairs.entries() if isinstance(pairs, JSMap) else (list(pairs) if isinstance(pairs, JSArray) else [])
+            for pair in seq:
+                if isinstance(pair, (JSArray, tuple, list)) and len(pair) >= 2:
+                    o[js_to_string(pair[0])] = pair[1]
+            return o
+
+        object_obj["fromEntries"] = _from_entries
         g.declare("Object", _CallableObject(object_obj, lambda v=None: v if isinstance(v, JSObject) else JSObject()))
 
         array_obj = JSObject()

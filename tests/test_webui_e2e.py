@@ -1,0 +1,289 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Headless browser e2e: the web UI's ACTUAL JavaScript executes under the
+package's own JS interpreter against a DOM shim, talking real HTTP + WS to
+the real server (reference drives the same flows with Playwright —
+``e2e/tests/monitor.spec.ts``, ``design.spec.ts``; no browser ships in this
+image, so the rendering engine is the only mocked part).
+
+Flows covered: script boot + live WS status, tab switching, YAML validate
+round-trip, palette from the live schema endpoint, session create →
+monitor live graph → destroy, oneshot convert through multipart upload,
+sample list → load-into-designer, design persistence via localStorage,
+and editor drag-drop + port wiring."""
+
+from __future__ import annotations
+
+import os
+import socket
+import sys
+import wave
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from e2e.harness import HeadlessBrowser, ServerThread  # noqa: E402
+from streamkit_tpu.server import ServerConfig  # noqa: E402
+
+
+def _free_udp_port() -> int:
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def wav_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("media") / "tone.wav"
+    sr = 16000
+    t = np.arange(sr) / sr
+    pcm = (np.sin(2 * np.pi * 440 * t) * 0.4 * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def server(wav_path):
+    cfg = ServerConfig()
+    cfg.moq_port = _free_udp_port()
+    cfg.allowed_file_paths = [os.path.dirname(wav_path)]
+    srv = ServerThread(cfg)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def browser(server):
+    b = HeadlessBrowser(server)
+    b.open("/")
+    assert b.pump_until(lambda: b.by_id("ws-status")._get_text() == "live", 15), (
+        "control WS never connected"
+    )
+    return b
+
+
+def test_boot_ws_live_and_views(browser):
+    # all four nav views exist; stream view starts inactive, monitor clickable
+    for view in ("design", "monitor", "convert", "stream"):
+        assert browser.by_id(f"{view}-view") is not None
+    nav = browser.doc.query_selector('nav a[data-view="monitor"]')
+    nav.dispatch("click")
+    assert "active" in browser.by_id("monitor-view")._classes()
+    assert "active" not in browser.by_id("design-view")._classes()
+
+
+def test_palette_renders_node_kinds_from_live_schema(browser):
+    assert browser.pump_until(
+        lambda: len(browser.by_id("palette").element_children()) > 20, 10
+    ), "palette never populated from /api/v1/schema/nodes"
+    texts = browser.by_id("palette")._get_text()
+    assert "core::passthrough" in texts or "passthrough" in texts
+
+
+def test_validate_yaml_roundtrip_and_editor_import(browser):
+    browser.by_id("design-yaml")["value"] = (
+        "mode: oneshot\nsteps:\n"
+        "  - kind: streamkit::http_input\n"
+        "  - kind: audio::gain\n    params: {gain: 2.0}\n"
+        "  - kind: streamkit::http_output\n"
+    )
+    browser.by_id("btn-validate").dispatch("click")
+    assert browser.pump_until(
+        lambda: "valid" in browser.by_id("design-result")._get_text(), 10
+    )
+    assert "3 nodes" in browser.by_id("design-result")._get_text()
+    # validate imports the compiled pipeline into the graph editor
+    nodes = browser.by_id("editor").query_selector_all("g[data-node]")
+    assert len(nodes) == 3
+
+
+def test_invalid_yaml_shows_error(browser):
+    browser.by_id("design-yaml")["value"] = "mode: oneshot\nsteps:\n  - kind: no::such_node\n"
+    browser.by_id("btn-validate").dispatch("click")
+    assert browser.pump_until(
+        lambda: "✗" in browser.by_id("design-result")._get_text(), 10
+    )
+
+
+def test_session_lifecycle_and_monitor_graph(browser, wav_path):
+    # create a dynamic session from the Design view (file_reader → sink,
+    # the reference e2e's plugin-free pipeline — monitor.spec.ts:13-20)
+    browser.by_id("sample-name")["value"] = "e2e-mon"
+    browser.by_id("design-yaml")["value"] = (
+        "mode: dynamic\nnodes:\n"
+        "  src:\n    kind: core::file_reader\n"
+        f'    params: {{path: "{wav_path}"}}\n'
+        "  out:\n    kind: core::sink\n    needs: src\n"
+    )
+    browser.by_id("btn-design-session").dispatch("click")
+    assert browser.pump_until(
+        lambda: "session created" in browser.by_id("design-result")._get_text(), 15
+    ), browser.by_id("design-result")._get_text()
+
+    # the sessioncreated WS event refreshes the session lists
+    assert browser.pump_until(
+        lambda: "e2e-mon" in browser.by_id("mon-sessions")._get_text(), 10
+    )
+    # click the session card → live pipeline graph renders nodes + states
+    card = None
+    for el in browser.by_id("mon-sessions").element_children():
+        if "e2e-mon" in el._get_text():
+            card = el
+            break
+    assert card is not None
+    card.dispatch("click")
+    assert browser.pump_until(
+        lambda: len(browser.by_id("mon-pipeline").query_selector_all("g[data-node]")) == 2,
+        10,
+    ), browser.by_id("mon-pipeline")._get_inner_html()[:300]
+    graph_text = browser.by_id("mon-pipeline")._get_text()
+    assert "src" in graph_text and "out" in graph_text
+    assert "core::file_reader" in graph_text
+
+    # node click opens the live tuner panel
+    g = browser.by_id("mon-pipeline").query_selector_all("g[data-node]")[0]
+    g.dispatch("click")
+    browser.pump(0.5)
+    assert browser.by_id("mon-tune")._get_text() != "click a node in the graph"
+
+    # destroy from the Stream view session list; sessiondestroyed refreshes
+    destroy = None
+    for el in browser.by_id("stream-sessions").iter_tree():
+        if el.tag == "button" and el._get_text() == "destroy":
+            destroy = el
+            break
+    assert destroy is not None
+    destroy.dispatch("click")
+    assert browser.pump_until(
+        lambda: "e2e-mon" not in browser.by_id("mon-sessions")._get_text(), 15
+    )
+
+
+def test_convert_oneshot_audio_roundtrip(browser, wav_path):
+    """The Convert view runs a real oneshot through multipart upload and
+    renders the audio result (UI → POST /api/v1/process → wav out)."""
+    browser.by_id("convert-yaml")["value"] = (
+        "mode: oneshot\nsteps:\n"
+        "  - kind: streamkit::http_input\n"
+        "  - kind: containers::wav::demuxer\n"
+        "  - kind: audio::gain\n    params: {gain: 0.5}\n"
+        "  - kind: containers::wav::muxer\n"
+        "  - kind: streamkit::http_output\n"
+    )
+    # attach a "file" (the DOM shim's file objects carry bytes + name)
+    from streamkit_tpu.utils.mjs import JSArray, JSObject
+
+    f = JSObject()
+    f["_bytes"] = open(wav_path, "rb").read()
+    f["name"] = "tone.wav"
+    f["type"] = "audio/wav"
+    browser.by_id("convert-file")["_files"] = JSArray([f])
+    browser.by_id("btn-convert").dispatch("click")
+    assert browser.pump_until(
+        lambda: browser.by_id("convert-status")._get_text() in ("done",)
+        or "error" in browser.by_id("convert-status")._get_text()
+        or "failed" in browser.by_id("convert-status")._get_text(),
+        30,
+    )
+    assert browser.by_id("convert-status")._get_text() == "done", (
+        browser.by_id("convert-status")._get_text()
+        + " | "
+        + browser.by_id("convert-out")._get_text()[:300]
+    )
+    # audio branch rendered a player + download link
+    html = browser.by_id("convert-out")._get_inner_html()
+    assert "<audio" in html and "download" in html
+
+
+def test_samples_list_loads_into_designer(browser):
+    assert browser.pump_until(
+        lambda: len(browser.by_id("sample-list").element_children()) > 0, 10
+    ), "sample list never populated"
+    load_btn = None
+    for el in browser.by_id("sample-list").iter_tree():
+        if el.tag == "button" and "Design" in el._get_text():
+            load_btn = el
+            break
+    assert load_btn is not None
+    load_btn.dispatch("click")
+    browser.pump(0.3)
+    assert browser.by_id("design-yaml")["value"].strip() != ""
+    assert "active" in browser.by_id("design-view")._classes()
+
+
+def test_editor_drag_drop_wire_and_persistence(browser, server):
+    """Drag a kind onto the canvas, wire two nodes port-to-port (validated
+    through the real compiler), and confirm localStorage persistence
+    restores the graph in a fresh page load."""
+    from streamkit_tpu.utils.mjs import JSObject
+
+    browser.eval("ed.nodes = []; ed.edges = []; ed.sel = null; ed.render()")
+    svg = browser.by_id("editor")
+
+    def drop(kind, x, y):
+        dt = JSObject()
+        dt["getData"] = lambda *_a: kind
+        svg.dispatch("drop", {"offsetX": x, "offsetY": y, "dataTransfer": dt})
+
+    drop("core::passthrough", 60, 40)
+    drop("core::sink", 60, 160)
+    browser.pump(0.2)
+    assert len(svg.query_selector_all("g[data-node]")) == 2
+
+    # wire passthrough.out → sink.in: mousedown on the out-port, mouseup on
+    # the in-port (the svg handlers use closest([data-outport]))
+    browser.by_id("ed-mode")["value"] = "dynamic"
+    outport = svg.query_selector("[data-outport]")
+    inports = svg.query_selector_all("[data-inport]")
+    assert outport is not None and inports
+    # target the sink's input, not the passthrough's own
+    sink_in = [p for p in inports if p.attrs["data-inport"].startswith("sink")]
+    assert sink_in
+    outport.dispatch("mousedown", {"offsetX": 60, "offsetY": 40})
+    sink_in[0].dispatch("mouseup", {})
+    assert browser.pump_until(
+        lambda: "wired" in browser.by_id("ed-status")._get_text(), 10
+    ), browser.by_id("ed-status")._get_text()
+    assert browser.eval("ed.edges.length") == 1
+
+    # persistence: the saved graph survives a fresh page load
+    saved = browser.local_storage.get("sk-design-graph", "")
+    assert "passthrough" in saved
+    b2 = HeadlessBrowser(server)
+    b2.local_storage.update(browser.local_storage)
+    b2.open("/")
+    b2.pump(0.5)
+    assert b2.eval("ed.nodes.length") == 2
+    assert b2.eval("ed.edges.length") == 1
+    assert len(b2.by_id("editor").query_selector_all("g[data-node]")) == 2
+
+
+def test_stream_view_create_session_and_events(browser):
+    browser.by_id("stream-name")["value"] = "e2e-stream"
+    browser.by_id("stream-yaml")["value"] = (
+        "mode: dynamic\nnodes:\n"
+        "  p:\n    kind: core::pacer\n"
+        "  out:\n    kind: core::sink\n    needs: p\n"
+    )
+    browser.by_id("btn-stream-create").dispatch("click")
+    assert browser.pump_until(
+        lambda: "e2e-stream" in browser.by_id("stream-sessions")._get_text(), 15
+    )
+    # events stream logs the lifecycle (WS broadcast → logEvent)
+    assert browser.pump_until(
+        lambda: "sessioncreated" in browser.by_id("stream-events")._get_text(), 10
+    ), browser.by_id("stream-events")._get_text()[:200]
+    # cleanup
+    for el in browser.by_id("stream-sessions").iter_tree():
+        if el.tag == "button" and el._get_text() == "destroy":
+            el.dispatch("click")
+            break
+    browser.pump(1.0)
