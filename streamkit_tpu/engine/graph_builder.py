@@ -4,8 +4,11 @@
 Parity with reference ``engine/src/graph_builder.rs:58-430``:
 
 * Tier-1 async ``initialize()`` pass (pin discovery),
-* fan-out rejection — oneshot pipelines may fan *in* (mixers) but an output
-  pin may feed only one destination (``graph_builder.rs:71-85``),
+* full DAG wiring — fan *in* (mixers) AND fan *out* (one output pin feeding
+  several destinations, Reliable semantics with closed-branch pruning).
+  This EXCEEDS the reference, whose oneshot engine fails fast on fan-out
+  (``graph_builder.rs:71-85``) and supports it only in the dynamic engine's
+  pin distributors (``dynamic_pin_distributor.rs:182-370``),
 * iterative Passthrough output-type inference (≤100 iterations),
 * type + cardinality validation via :func:`can_connect`,
 * per-connection bounded channel; one asyncio task per node with final-state
@@ -22,6 +25,8 @@ from typing import Dict, List, Optional, Tuple
 from ..api.messages import Connection, Pipeline
 from ..core import (
     Channel,
+    ChannelClosed,
+    ChannelFull,
     NodeContext,
     OutputSender,
     ProcessorNode,
@@ -37,6 +42,58 @@ from . import constants
 log = logging.getLogger(__name__)
 
 __all__ = ["WiredGraph", "wire_and_spawn_graph", "resolve_passthrough_types"]
+
+
+class _FanoutChannel:
+    """Producer-side surface delivering every packet to N branch channels.
+
+    Oneshot DAG fan-out (exceeds reference: its oneshot engine rejects
+    fan-out, ``graph_builder.rs:71-85``). Semantics mirror the dynamic
+    engine's Reliable distributor (``engine/distributor.py``): every live
+    branch must take the packet (synchronized backpressure), packets are
+    cloned per extra branch (COW — cheap), closed branches are pruned, and
+    the producer sees ``ChannelClosed`` only when ALL branches are gone.
+    """
+
+    def __init__(self, branches: List[Channel], name: str = "") -> None:
+        self._branches = list(branches)
+        self.name = name
+
+    @staticmethod
+    def _clone(item):
+        return item.clone() if hasattr(item, "clone") else item
+
+    def _live(self) -> List[Channel]:
+        live = [b for b in self._branches if not b.is_closed]
+        self._branches = live
+        if not live:
+            raise ChannelClosed(self.name)
+        return live
+
+    def try_send(self, item) -> None:
+        live = self._live()
+        # all-or-nothing: no branch is written unless every branch has room
+        # (there is no await between the check and the writes, so this is
+        # atomic under the event loop)
+        if any(b.is_full for b in live):
+            raise ChannelFull(self.name)
+        for i, b in enumerate(live):
+            b.try_send(item if i == 0 else self._clone(item))
+
+    async def send(self, item) -> None:
+        delivered = False
+        for i, b in enumerate(self._live()):
+            try:
+                await b.send(item if i == 0 else self._clone(item))
+                delivered = True
+            except ChannelClosed:
+                continue  # pruned on the next call
+        if not delivered:
+            raise ChannelClosed(self.name)
+
+    def close(self) -> None:
+        for b in self._branches:
+            b.close()
 
 
 @dataclass
@@ -168,15 +225,11 @@ async def wire_and_spawn_graph(
     connections = pipeline.connections
     cancellation = cancellation or asyncio.Event()
 
-    # ---- fan-out rejection (oneshot is fan-in-only, graph_builder.rs:71-85)
-    seen_outputs: Dict[str, Connection] = {}
+    # ---- fan-out wiring plan (exceeds reference: graph_builder.rs:71-85
+    # rejects this; here one output pin may feed several destinations)
+    fanout_groups: Dict[str, List[Connection]] = {}
     for c in connections:
-        key = f"{c.from_node}:{c.from_pin}"
-        if key in seen_outputs:
-            raise ValidationFailure(
-                f"oneshot pipelines do not support fan-out: output {key} has multiple destinations"
-            )
-        seen_outputs[key] = c
+        fanout_groups.setdefault(f"{c.from_node}:{c.from_pin}", []).append(c)
     seen_inputs: Dict[str, Connection] = {}
     for c in connections:
         key = f"{c.to_node}:{c.to_pin}"
@@ -225,11 +278,17 @@ async def wire_and_spawn_graph(
     inputs_map: Dict[str, Dict[str, Channel]] = {n: {} for n in nodes}
     outputs_map: Dict[str, Dict[str, Channel]] = {n: {} for n in nodes}
 
-    for c in connections:
-        ch = Channel(media_capacity, name=c.id)
-        graph.channels.append(ch)
-        outputs_map[c.from_node][c.from_pin] = ch
-        inputs_map[c.to_node][c.to_pin] = ch
+    for key, group in fanout_groups.items():
+        branches: List[Channel] = []
+        for c in group:
+            ch = Channel(media_capacity, name=c.id)
+            graph.channels.append(ch)
+            inputs_map[c.to_node][c.to_pin] = ch
+            branches.append(ch)
+        first = group[0]
+        outputs_map[first.from_node][first.from_pin] = (
+            branches[0] if len(branches) == 1 else _FanoutChannel(branches, name=key)
+        )
 
     for (node_name, direction), ch in io_channels.items():
         if direction == "in":

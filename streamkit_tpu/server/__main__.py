@@ -148,6 +148,12 @@ def main(argv=None) -> int:
     serve.add_argument("--log-level", default="info")
     serve.add_argument("--log-file", default=None, help="also log to this file")
     serve.add_argument("--log-format", default="text", choices=["text", "json"])
+    serve.add_argument(
+        "--jax-platform",
+        default=os.environ.get("SK_JAX_PLATFORM"),
+        help="force the JAX backend (e.g. 'cpu'); overrides environments "
+        "whose sitecustomize pins a platform before JAX_PLATFORMS is read",
+    )
 
     cfg_cmd = sub.add_parser("config", help="config utilities")
     cfg_sub = cfg_cmd.add_subparsers(dest="config_command")
@@ -166,6 +172,12 @@ def main(argv=None) -> int:
             print(_default_toml())
         return 0
     if args.command in (None, "serve"):
+        if getattr(args, "jax_platform", None):
+            # post-import config update: the only override that wins when a
+            # sitecustomize pins JAX_PLATFORMS before user env is consulted
+            import jax
+
+            jax.config.update("jax_platforms", args.jax_platform)
         config = load_config(getattr(args, "config", None))
         if getattr(args, "address", None):
             config.address = args.address

@@ -128,19 +128,53 @@ def test_dag_pipeline_with_mixer(registry):
     np.testing.assert_allclose(y[:9600], 0.25, atol=1e-3)
 
 
-def test_fanout_rejected(registry):
+FANOUT_YAML = """
+mode: oneshot
+nodes:
+  http_input: {kind: streamkit::http_input}
+  demux: {kind: "containers::wav::demuxer", needs: http_input}
+  gain_a: {kind: "audio::gain", params: {gain: 0.5}, needs: demux}
+  gain_b: {kind: "audio::gain", params: {gain: 2.0}, needs: demux}
+  mixer:
+    kind: audio::mixer
+    needs: [gain_a, gain_b]
+  mux: {kind: "containers::wav::muxer", needs: mixer}
+  http_output: {kind: streamkit::http_output, needs: mux}
+"""
+
+
+def test_fanout_dag_pipeline(registry):
+    """Oneshot fan-out (one demux output feeding two gain branches) then
+    fan-in through the mixer. EXCEEDS the reference: its oneshot engine
+    fails fast on fan-out (graph_builder.rs:71-85)."""
+    x = (np.ones(9600) * 0.2).astype(np.float32)
+    data, _ = asyncio.run(run_pipeline_bytes(registry, FANOUT_YAML, make_wav(x)))
+    y, rate, ch = parse_streamed_wav(data)
+    assert rate == 48000 and ch == 1
+    # mixer sums the branches: 0.2*0.5 + 0.2*2.0 = 0.5
+    np.testing.assert_allclose(y[:9600], 0.5, atol=1e-3)
+
+
+def test_fanout_branch_isolation(registry):
+    """Each fan-out branch gets its own packet (COW clone): a gain node
+    mutating samples in place must not corrupt the sibling branch."""
+    x = (np.ones(4800) * 0.25).astype(np.float32)
     yaml_text = """
 mode: oneshot
 nodes:
   http_input: {kind: streamkit::http_input}
-  a: {kind: core::passthrough, needs: http_input}
-  b: {kind: core::passthrough, needs: a}
-  c: {kind: core::passthrough, needs: a}
-  http_output: {kind: streamkit::http_output, needs: b}
+  demux: {kind: "containers::wav::demuxer", needs: http_input}
+  loud: {kind: "audio::gain", params: {gain: 3.0}, needs: demux}
+  quiet: {kind: "audio::gain", params: {gain: 1.0}, needs: demux}
+  mixer: {kind: audio::mixer, needs: [loud, quiet]}
+  mux: {kind: "containers::wav::muxer", needs: mixer}
+  http_output: {kind: streamkit::http_output, needs: mux}
 """
-    pipeline = compile_yaml(yaml_text)
-    with pytest.raises(ValidationFailure, match="fan-out"):
-        asyncio.run(run_oneshot_pipeline(NodeRegistryFixture(), pipeline))
+    data, _ = asyncio.run(run_pipeline_bytes(registry, yaml_text, make_wav(x)))
+    y, _, _ = parse_streamed_wav(data)
+    # 0.25*3 + 0.25*1 = 1.0 exactly iff the quiet branch saw unmutated
+    # samples; a shared-buffer bug would give 0.25*3*2 = 1.5 (clipped)
+    np.testing.assert_allclose(y[:4800], 1.0, atol=1e-3)
 
 
 class NodeRegistryFixture(NodeRegistry):
