@@ -246,7 +246,11 @@ async def amain() -> dict:
             for nb in warm_sizes(pad_stt):
                 await asyncio.gather(
                     *(
-                        batcher.submit(kind, np.int32(120 - j), np.int32(0), np.int32(window))
+                        # 4th arg = per-row language index (added with
+                        # language auto-detection; 0 = the pinned default)
+                        batcher.submit(
+                            kind, np.int32(120 - j), np.int32(0), np.int32(window), np.int32(0)
+                        )
                         for j in range(nb)
                     )
                 )

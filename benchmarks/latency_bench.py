@@ -330,8 +330,10 @@ async def main():
             for nb in warm_sizes(pad_stt):
                 await asyncio.gather(
                     *(
+                        # 4th arg = per-row language index (added with
+                        # language auto-detection; 0 = the pinned default)
                         batcher.submit(
-                            kind, np.int32(120 - j), np.int32(0), np.int32(window)
+                            kind, np.int32(120 - j), np.int32(0), np.int32(window), np.int32(0)
                         )
                         for j in range(nb)
                     )
