@@ -191,7 +191,11 @@ async def main_cpp():
             break
         await asyncio.sleep(0.5)
     eng.close_session(wsid)
-    await asyncio.sleep(0.5)
+    # wait for the warmup worker to drain and FREE its stream/ring slots —
+    # at n_sessions == table width the timed run needs every slot back
+    deadline = time.monotonic() + 120
+    while eng._sessions and time.monotonic() < deadline:
+        await asyncio.sleep(0.2)
     print(f"# warmup done ({len(warm_events)} events)", file=sys.stderr, flush=True)
 
     # -- timed run: N co-paced sessions, latencies from replay frame cadence
