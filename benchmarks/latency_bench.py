@@ -161,7 +161,8 @@ async def main_cpp():
     seconds = float(os.environ.get("SK_LAT_SECONDS", "30"))
     final_mode = os.environ.get("SK_LAT_FINAL", "stream")
     os.environ.setdefault("SK_STREAM_PAD", str(n_sessions))
-    os.environ.setdefault("SK_STREAM_GATHER_MS", "30")
+    # SK_STREAM_GATHER_MS: leave the engine default (0.8x block period) —
+    # `expected` coalescing fires full batches instantly when healthy
     os.environ.setdefault("SK_STREAM_SLOTS", str(max(64, n_sessions)))
     os.environ.setdefault("SK_RING_SLOTS", str(max(128, n_sessions + 8)))
     os.environ.setdefault("SK_STT_PAD_TO", str(n_sessions))

@@ -68,6 +68,16 @@ class BatchKind:
     # (engine stream/ring kinds registered once at startup) never are
     transient: bool = False
     last_used: float = field(default_factory=time.monotonic)
+    # co-paced coalescing target: when the caller knows how many sessions
+    # submit per cadence period (the dense STT engine does), a partial
+    # batch reaching `expected` fires IMMEDIATELY — the gather window then
+    # only bounds the wait for stragglers instead of being the trigger.
+    # Without it, a window shorter than the arrival spread under load
+    # splits each period into several partial calls and the call rate
+    # multiplies (measured: 32 paced sessions -> mean batch 14, 2x calls,
+    # p50 4 s — PERF_NOTES round-3 chip campaign). None = size-triggered
+    # dispatch at pad_to/max_batch as before.
+    expected: Optional[int] = None
 
 
 @dataclass
@@ -130,6 +140,13 @@ class DeviceBatcher:
     def is_registered(self, name: str) -> bool:
         return name in self._kinds
 
+    def set_expected(self, name: str, n: Optional[int]) -> None:
+        """Update a kind's co-paced coalescing target (see BatchKind.expected).
+        0/None clears it. Safe to call every cadence period."""
+        kind = self._kinds.get(name)
+        if kind is not None:
+            kind.expected = n or None
+
     # -- lifecycle --------------------------------------------------------------
     def start(self) -> None:
         if self._task is None or self._task.done():
@@ -154,7 +171,8 @@ class DeviceBatcher:
         fut = asyncio.get_running_loop().create_future()
         group = self._pending[key]
         group.append(_Item(tuple(np.asarray(x) for x in inputs), fut))
-        if len(group) >= self._kinds[kind].max_batch:
+        k = self._kinds[kind]
+        if len(group) >= min(k.max_batch, k.expected or k.max_batch):
             self._wake.set()
         return await fut
 
@@ -186,6 +204,8 @@ class DeviceBatcher:
             for key, items in batches.items():
                 kind = self._kinds[key[0]]
                 full = kind.pad_to or kind.max_batch
+                if kind.expected is not None:
+                    full = min(full, kind.expected)
                 if (
                     kind.gather_ms > 0
                     and len(items) < full

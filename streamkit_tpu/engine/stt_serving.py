@@ -256,11 +256,19 @@ class SttServingEngine:
             return probs[perm], tok_rows[perm], n_rows[perm], pos_new[perm]
 
         stream_pad = int(os.environ.get("SK_STREAM_PAD", str(min(64, self._tbl.max_slots))))
+        # gather window defaults to 0.8x the block period: with `expected`
+        # coalescing (below) a healthy co-paced period fires the moment all
+        # active sessions' blocks are in, so the window only bounds how long
+        # stragglers can hold the batch — a wide window caps the call rate
+        # at ~1/period under phase drift instead of letting partial
+        # dispatches multiply it (PERF_NOTES round-3 chip campaign: 30 ms
+        # window at 32 paced sessions -> mean batch 14, 2x calls, p50 4 s).
+        block_ms = self.block_samples * 1000.0 / _SR
         self.batcher.register(
             self._sstep_kind,
             batched_sstep,
             pad_to=stream_pad,
-            gather_ms=float(os.environ.get("SK_STREAM_GATHER_MS", "30")),
+            gather_ms=float(os.environ.get("SK_STREAM_GATHER_MS", str(0.8 * block_ms))),
             host_inputs=True,
         )
 
@@ -368,14 +376,28 @@ class SttServingEngine:
     async def _drain_loop(self) -> None:
         loop = asyncio.get_running_loop()
         pool = self.pool
+        # active-session estimate for co-paced coalescing: a session counts
+        # as active while it produced a block within the last 2 periods.
+        # Feeds BatchKind.expected so the fused step fires the instant every
+        # active session's block is in (idle/paused sessions only cost the
+        # gather-window bound, never a permanent stall).
+        last_seen: Dict[int, float] = {}
+        period = self.block_samples / _SR
         while self._running:
             ids, arrivals, blocks = await loop.run_in_executor(
                 None, pool.drain, None, 20_000
             )
+            now = time.monotonic()
             for i in range(len(ids)):
                 s = self._sessions.get(int(ids[i]))
                 if s is not None:
+                    last_seen[int(ids[i])] = now
                     s.q.put_nowait((int(arrivals[i]), blocks[i]))
+            if len(ids):
+                horizon = now - 2.0 * period
+                for sid in [k for k, t in last_seen.items() if t < horizon]:
+                    del last_seen[sid]
+                self.batcher.set_expected(self._sstep_kind, len(last_seen))
 
     async def _session_worker(self, s: _Session) -> None:
         try:

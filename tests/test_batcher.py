@@ -205,3 +205,39 @@ steps:
     kind = "resample:48000:16000:960:1"
     table, _ = _RESAMPLER_TABLES[kind]
     assert table.in_use == 0  # slot released at node completion
+
+
+def test_expected_coalescing_fires_at_expected_not_window():
+    """With a wide gather window and `expected` set, a batch of exactly
+    `expected` items dispatches immediately (no window wait); fewer items
+    wait out the window (straggler bound), not forever."""
+
+    async def main():
+        b = DeviceBatcher(tick_ms=2.0)
+        b.register("sq", lambda x: x * x, pad_to=16, gather_ms=400.0)
+        b.set_expected("sq", 4)
+        b.start()
+        t0 = asyncio.get_event_loop().time()
+        outs = await asyncio.gather(
+            *(b.submit("sq", np.float32(i)) for i in range(4))
+        )
+        t_full = asyncio.get_event_loop().time() - t0
+        # a partial group (below expected) must still dispatch at the window
+        t0 = asyncio.get_event_loop().time()
+        part = await b.submit("sq", np.float32(9))
+        t_part = asyncio.get_event_loop().time() - t0
+        b.stop()
+        return outs, t_full, part, t_part, b.stats()
+
+    outs, t_full, part, t_part, stats = asyncio.run(main())
+    np.testing.assert_allclose([float(o) for o in outs], [0, 1, 4, 9])
+    assert float(part) == 81.0
+    assert t_full < 0.25, f"full batch waited the window: {t_full}"
+    assert 0.35 <= t_part < 2.0, f"straggler not window-bounded: {t_part}"
+    assert stats["device_calls"] == 2
+    # clearing expected restores size-triggered dispatch
+    b2 = DeviceBatcher()
+    b2.register("k", lambda x: x, pad_to=8)
+    b2.set_expected("k", 3)
+    b2.set_expected("k", 0)
+    assert b2._kinds["k"].expected is None
