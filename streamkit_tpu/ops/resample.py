@@ -70,7 +70,21 @@ def resample_chunk(
     idx0c = jnp.clip(idx0, 0, frames - 1)
     s0 = jnp.take_along_axis(src, idx0c[..., None], axis=-2)
     s1 = jnp.take_along_axis(src, (idx0c + 1)[..., None], axis=-2)
-    out = s0 + (s1 - s0) * frac[..., None]  # f32 lerp — reference interp_lin form
+    # f32 lerp — reference interp_lin form. The reference (rustc, no
+    # fast-math) and the numpy host path round the product BEFORE the add;
+    # XLA contracts `s0 + d*f` into a single-rounded FMA (1-ulp drift vs
+    # both), and it folds away every explicit-rounding construct
+    # (optimization_barrier, bitcasts, reduce_precision) before codegen.
+    # Fix: add a runtime-opaque -0.0 to the product. `x + (-0.0) == x` for
+    # every float including -0.0, and if the backend contracts it the result
+    # is fma(d, f, -0.0) == round(d*f) — the separately-rounded product
+    # either way. Deriving the -0.0 from runtime data (phase_num is always
+    # >= 0 here) keeps the compiler from constant-folding the add.
+    neg_zero = jnp.where(
+        phase_num >= 0, jnp.float32(-0.0), jnp.float32(0.0)
+    )[..., None, None]
+    delta = (s1 - s0) * frac[..., None] + neg_zero
+    out = s0 + delta
     out = jnp.where(valid[..., None], out, 0.0)
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
     new_phase_num = phase_num + n_valid * jnp.int32(src_num) - jnp.int32(frames * dst_num)
@@ -81,6 +95,16 @@ def resample_chunk(
 @dataclass
 class LinearResampler:
     """Host-side stateful wrapper for single-stream use (nodes/tests).
+
+    **Pure numpy — zero device dispatches.** This is the ``backend: "host"``
+    path of ``audio::resampler``: live 20 ms streams at high session counts
+    must never pay a per-chunk device round trip (on a remote/tunneled TPU a
+    single fetch costs ~24 ms, more than the audio itself). The math is the
+    exact same gather+lerp as the jitted :func:`resample_chunk` the device
+    slot-table path runs, with matched f32 accumulation order, so the two
+    backends stay byte-identical
+    (tests/test_batcher.py::test_resampler_slot_table_matches_host_path and
+    tests/test_ops_dsp.py::test_host_path_is_pure_numpy).
 
     The dynamic engine calls :func:`resample_chunk` directly with batched
     per-session state rows instead.
@@ -100,18 +124,28 @@ class LinearResampler:
         if (self.dst_num + self.max_out * self.src_num) >= 2**31:
             raise ValueError("sample-rate ratio too extreme for int32 phase tracking")
         # first output at source position 1.0 (= first real sample; index 0 is history)
-        self._phase_num = jnp.asarray(self.dst_num, dtype=jnp.int32)
-        self._history = jnp.zeros((self.channels,), dtype=jnp.float32)
+        self._phase_num = self.dst_num
+        self._history = np.zeros((self.channels,), dtype=np.float32)
 
     def process(self, chunk_interleaved: np.ndarray) -> np.ndarray:
         """Resample exactly ``chunk_frames`` interleaved samples; returns the
-        valid interleaved output samples."""
+        valid interleaved output samples. Host-resident: numpy only."""
         frames = chunk_interleaved.shape[0] // self.channels
         if frames != self.chunk_frames:
             raise ValueError(f"expected {self.chunk_frames} frames, got {frames}")
-        chunk = jnp.asarray(chunk_interleaved, dtype=jnp.float32).reshape(frames, self.channels)
-        out, n_valid, self._phase_num, self._history = resample_chunk(
-            self._history, chunk, self._phase_num, self.src_num, self.dst_num, self.max_out
-        )
-        n = int(n_valid)
-        return np.asarray(out)[:n].reshape(-1)
+        chunk = np.asarray(chunk_interleaved, dtype=np.float32).reshape(frames, self.channels)
+        src = np.concatenate([self._history[None, :], chunk], axis=0)  # frames+1 samples
+        phase = self._phase_num
+        # output k valid while idx0 = (phase + k*src_num) // dst_num < frames
+        n = (frames * self.dst_num - 1 - phase) // self.src_num + 1
+        n = max(0, min(int(n), self.max_out))
+        k = np.arange(n, dtype=np.int64)
+        pos_num = phase + k * self.src_num
+        idx0 = pos_num // self.dst_num
+        frac = (pos_num % self.dst_num).astype(np.float32) * np.float32(1.0 / self.dst_num)
+        s0 = src[idx0]
+        s1 = src[idx0 + 1]
+        out = s0 + (s1 - s0) * frac[:, None]  # f32 lerp — reference interp_lin form
+        self._phase_num = phase + n * self.src_num - frames * self.dst_num
+        self._history = chunk[-1].copy()
+        return np.ascontiguousarray(out, dtype=np.float32).reshape(-1)

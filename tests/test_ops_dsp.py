@@ -122,6 +122,50 @@ def test_resample_no_phase_drift_irrational_ratio():
     assert abs(total_out - expected) <= 1
 
 
+def test_host_path_is_pure_numpy(monkeypatch):
+    """Regression for the round-3 chip-bench stall: the "host" backend must
+    never dispatch to a JAX device (on a remote TPU each fetch costs ~24 ms
+    RTT, serialized on the event loop — 128 sessions x 50 chunks/s = total
+    stall). Patch every JAX entry point the module could reach to raise."""
+    import streamkit_tpu.ops.resample as rs
+
+    def _boom(*a, **k):
+        raise AssertionError("host resampler path dispatched to JAX")
+
+    monkeypatch.setattr(rs, "resample_chunk", _boom)
+    monkeypatch.setattr(rs.jnp, "asarray", _boom)
+    monkeypatch.setattr(rs.jnp, "zeros", _boom)
+    monkeypatch.setattr(rs.jnp, "concatenate", _boom)
+    r = rs.LinearResampler(48000, 16000, 960, 2)
+    x = np.random.RandomState(7).randn(1920).astype(np.float32)
+    y1 = r.process(x)
+    y2 = r.process(x)
+    assert isinstance(y1, np.ndarray) and y1.dtype == np.float32
+    assert len(y1) + len(y2) > 0
+    assert isinstance(r._phase_num, int)
+
+
+def test_host_path_matches_device_kernel():
+    """Byte-identity between the numpy host path and the jitted device
+    kernel, multi-chunk, stereo, at an irrational-ish ratio."""
+    rng = np.random.RandomState(11)
+    src_rate, dst_rate, chunk, ch = 44100, 16000, 960, 2
+    r = LinearResampler(src_rate, dst_rate, chunk, ch)
+    g = np.gcd(src_rate, dst_rate)
+    src_num, dst_num = src_rate // g, dst_rate // g
+    hist = jnp.zeros((ch,), dtype=jnp.float32)
+    phase = jnp.asarray(dst_num, dtype=jnp.int32)
+    for _ in range(5):
+        x = rng.randn(chunk * ch).astype(np.float32)
+        host_out = r.process(x)
+        dev = jnp.asarray(x).reshape(chunk, ch)
+        out, n_valid, phase, hist = resample_chunk(
+            hist, dev, phase, src_num, dst_num, r.max_out
+        )
+        dev_out = np.asarray(out)[: int(n_valid)].reshape(-1)
+        np.testing.assert_array_equal(host_out, dev_out)
+
+
 def test_resample_chunk_batched():
     """Batched kernel: 4 independent sessions in one call."""
     chunk = jnp.asarray(np.random.RandomState(0).randn(4, 960, 1).astype(np.float32))
