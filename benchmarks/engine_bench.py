@@ -228,47 +228,12 @@ async def amain() -> dict:
     await run_session(9999, model_size, session_audio(10.0, 777), batcher, warm_counts, use_opus)
     print(f"# warmup session done ({warm_counts} finals)", file=sys.stderr, flush=True)
 
-    vad_block = int(os.environ.get("SK_ENG_VAD_BLOCK", 16))
-    from streamkit_tpu.ops.vad import VAD_FRAME
+    from streamkit_tpu.nodes.ml.whisper_node import warmup_batched_kinds
 
-    pad_stt = int(os.environ.get("SK_STT_PAD_TO", "0"))
-    pad_vad = int(os.environ.get("SK_VAD_PAD_TO", "0"))
-
-    def warm_sizes(pad):
-        if pad:
-            return [pad]
-        sizes = [nb for nb in (1, 2, 4, 8, 16, 32, 64) if nb <= max(n_sessions, 1)]
-        return sizes or [1]
-
-    for kind in list(batcher._kinds):
-        if kind.startswith("whisper_ring:"):
-            window = int(kind.rsplit(":", 1)[1])
-            for nb in warm_sizes(pad_stt):
-                await asyncio.gather(
-                    *(
-                        # 4th arg = per-row language index (added with
-                        # language auto-detection; 0 = the pinned default)
-                        batcher.submit(
-                            kind, np.int32(120 - j), np.int32(0), np.int32(window), np.int32(0)
-                        )
-                        for j in range(nb)
-                    )
-                )
-                print(f"# warmed {kind} batch={nb}", file=sys.stderr, flush=True)
-        elif kind.startswith("vad_ring:"):
-            for nb in warm_sizes(pad_vad):
-                await asyncio.gather(
-                    *(
-                        batcher.submit(
-                            kind,
-                            np.int32(120 - j),
-                            np.int32(0),
-                            np.zeros((vad_block, VAD_FRAME), np.float32),
-                        )
-                        for j in range(nb)
-                    )
-                )
-                print(f"# warmed {kind} batch={nb}", file=sys.stderr, flush=True)
+    await warmup_batched_kinds(
+        batcher, sweep_to=n_sessions,
+        log=lambda m: print(m, file=sys.stderr, flush=True),
+    )
     print("# compile warmup done", file=sys.stderr, flush=True)
 
     audios = [session_audio(seconds, i) for i in range(n_sessions)]

@@ -299,65 +299,13 @@ async def main():
     # pre-compile every (kind, padded-batch) combo the timed phase can hit —
     # a mid-run XLA compile stalls a batch for ~30-60 s and poisons the
     # latency distribution. With SK_STT_PAD_TO/SK_VAD_PAD_TO set this is one
-    # program per kind. Warmup uses distinct HIGH slots (sessions allocate
-    # from the low end; VAD state resets on alloc, ring reads mask by length).
-    vad_block = int(os.environ.get("SK_LAT_VAD_BLOCK", 8))
-    from streamkit_tpu.ops.vad import VAD_FRAME
+    # program per kind. The helper owns the kind-name formats + slot recipe.
+    from streamkit_tpu.nodes.ml.whisper_node import warmup_batched_kinds
 
-    pad_stt = int(os.environ.get("SK_STT_PAD_TO", "0"))
-    pad_vad = int(os.environ.get("SK_VAD_PAD_TO", "0"))
-
-    def warm_sizes(pad):
-        if pad:
-            return [pad]
-        return [nb for nb in (1, 2, 4, 8, 16) if nb <= max(n_sessions, 1)]
-
-    pad_stream = int(os.environ.get("SK_STREAM_PAD", "8"))
-    for kind in list(batcher._kinds):
-        if kind.startswith("stream_step:"):
-            # fused per-block step: warm on HIGH ring/stream slots (sessions
-            # allocate from the low end) — a first-call compile inside a live
-            # segment outlasts the segment and the partial never lands.
-            # n_req/do_dec are traced args: one program covers every value.
-            await asyncio.gather(
-                *(
-                    batcher.submit(
-                        kind,
-                        np.asarray([120, 7, 0, 0, 0, 1, 0, 0, 0, 0, 0], np.int32),
-                        np.zeros((vad_block, VAD_FRAME), np.float32),
-                    )
-                    for _ in range(pad_stream)
-                )
-            )
-            print(f"# warmed {kind} batch={pad_stream}", file=sys.stderr, flush=True)
-        elif kind.startswith("whisper_ring:"):
-            window = int(kind.rsplit(":", 1)[1])
-            for nb in warm_sizes(pad_stt):
-                await asyncio.gather(
-                    *(
-                        # 4th arg = per-row language index (added with
-                        # language auto-detection; 0 = the pinned default)
-                        batcher.submit(
-                            kind, np.int32(120 - j), np.int32(0), np.int32(window), np.int32(0)
-                        )
-                        for j in range(nb)
-                    )
-                )
-                print(f"# warmed {kind} batch={nb}", file=sys.stderr, flush=True)
-        elif kind.startswith("vad_ring:"):
-            for nb in warm_sizes(pad_vad):
-                await asyncio.gather(
-                    *(
-                        batcher.submit(
-                            kind,
-                            np.int32(120 - j),
-                            np.int32(0),
-                            np.zeros((vad_block, VAD_FRAME), np.float32),
-                        )
-                        for j in range(nb)
-                    )
-                )
-                print(f"# warmed {kind} batch={nb}", file=sys.stderr, flush=True)
+    await warmup_batched_kinds(
+        batcher, sweep_to=min(n_sessions, 16),
+        log=lambda m: print(m, file=sys.stderr, flush=True),
+    )
     print("# compile warmup done", file=sys.stderr, flush=True)
 
     t0 = time.monotonic()

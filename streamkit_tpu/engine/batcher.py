@@ -140,6 +140,11 @@ class DeviceBatcher:
     def is_registered(self, name: str) -> bool:
         return name in self._kinds
 
+    def registered_kinds(self) -> Dict[str, BatchKind]:
+        """Snapshot of registered kinds (read-only use: warmup drivers and
+        observability — benches must not reach into ``_kinds``)."""
+        return dict(self._kinds)
+
     def set_expected(self, name: str, n: Optional[int]) -> None:
         """Update a kind's co-paced coalescing target (see BatchKind.expected).
         0/None clears it. Safe to call every cadence period."""

@@ -62,6 +62,78 @@ from .vad_node import SpeechSegmenter
 _SR = 16_000
 
 
+async def warmup_batched_kinds(batcher, *, sweep_to: int = 0, log=None) -> list:
+    """Compile-warm every whisper-owned batcher kind at its serving shape.
+
+    This module registers four kind families (``vad_ring:…``,
+    ``whisper_ring:…``, ``whisper_detect:…``, ``stream_step:…``) and owns
+    their name formats — benches and serving hosts must call this instead of
+    parsing kind strings themselves (the format changed twice in two rounds
+    and silently broke a chip bench each time).
+
+    A mid-run XLA compile stalls a batch for 30-60 s on a remote device, so
+    every (kind, padded-batch) program the serving phase can hit must be
+    compiled up front. Kinds registered with ``pad_to`` warm at exactly that
+    size; un-padded kinds sweep powers of two up to ``sweep_to``. Warmups use
+    HIGH slot ids (sessions allocate from the low end; VAD state resets on
+    alloc, ring reads mask by length) so live sessions are untouched.
+
+    Returns the list of ``(kind, batch_size)`` pairs warmed.
+    """
+    warmed = []
+
+    def sizes(pad: Optional[int]) -> list:
+        if pad:
+            return [pad]
+        out = [nb for nb in (1, 2, 4, 8, 16, 32, 64) if nb <= max(sweep_to, 1)]
+        return out or [1]
+
+    for name, kind in sorted(batcher.registered_kinds().items()):
+        fields = name.split(":")
+        if fields[0] == "vad_ring":
+            block = int(fields[1])
+            args = lambda j, block=block: (  # noqa: E731
+                np.int32(120 - j), np.int32(0),
+                np.zeros((block, VAD_FRAME), np.float32),
+            )
+        elif fields[0] == "whisper_ring":
+            window = int(fields[-1])
+            args = lambda j, window=window: (  # noqa: E731
+                np.int32(120 - j), np.int32(0), np.int32(window), np.int32(0),
+            )
+        elif fields[0] == "whisper_detect":
+            # rare path (first segment of auto-language sessions): warm the
+            # single-row program only — sweeping batch sizes would spend
+            # minutes of remote compiles on a kind most runs never call
+            window = int(fields[-1])
+            args = lambda j, window=window: (  # noqa: E731
+                np.int32(120 - j), np.int32(0), np.int32(min(window, VAD_FRAME)),
+            )
+            for nb in sizes(kind.pad_to)[:1] if kind.pad_to else [1]:
+                await asyncio.gather(*(batcher.submit(name, *args(j)) for j in range(nb)))
+                warmed.append((name, nb))
+                if log is not None:
+                    log(f"# warmed {name} batch={nb}")
+            continue
+        elif fields[0] == "stream_step":
+            block = int(fields[-1])
+            # meta layout: streaming.META_COLS (slot, stream, wpos, cstart,
+            # n_req, do_dec, do_reset) + 4-token prefix. n_req/do_dec are
+            # traced, so one warm call covers every runtime value.
+            args = lambda j, block=block: (  # noqa: E731
+                np.asarray([120, 7, 0, 0, 0, 1, 0, 0, 0, 0, 0], np.int32),
+                np.zeros((block, VAD_FRAME), np.float32),
+            )
+        else:
+            continue
+        for nb in sizes(kind.pad_to):
+            await asyncio.gather(*(batcher.submit(name, *args(j)) for j in range(nb)))
+            warmed.append((name, nb))
+            if log is not None:
+                log(f"# warmed {name} batch={nb}")
+    return warmed
+
+
 class WhisperNode(ProcessorNode):
     """Speech-to-text (``plugin::native::whisper``)."""
 
