@@ -195,8 +195,15 @@ async def main_cpp():
     # wait for the warmup worker to drain and FREE its stream/ring slots —
     # at n_sessions == table width the timed run needs every slot back
     deadline = time.monotonic() + 120
-    while eng._sessions and time.monotonic() < deadline:
+    while not eng.idle() and time.monotonic() < deadline:
         await asyncio.sleep(0.2)
+    if not eng.idle():
+        # proceeding with held slots reproduces the table-full failure this
+        # drain exists to prevent — abort loudly instead of measuring garbage
+        raise RuntimeError(
+            "warmup session failed to drain within 120 s; stream/ring slots "
+            "still held — aborting the timed run"
+        )
     print(f"# warmup done ({len(warm_events)} events)", file=sys.stderr, flush=True)
 
     # -- timed run: N co-paced sessions, latencies from replay frame cadence

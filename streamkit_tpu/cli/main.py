@@ -69,8 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("shell", help="interactive session shell")
     _add_server_arg(p)
 
-    p = sub.add_parser("config", help="show effective server config")
+    p = sub.add_parser("config", help="show effective/default config or schema")
     _add_server_arg(p)
+    p.add_argument(
+        "what", nargs="?", default="effective",
+        choices=["effective", "default", "schema"],
+        help="effective = fetch from the server; default = print the default "
+        "TOML; schema = print the config JSON schema (reference cli.rs:117-150)",
+    )
 
     p = sub.add_parser("plugins", help="manage plugins")
     _add_server_arg(p)
@@ -167,7 +173,16 @@ async def _run(args) -> int:
             async for ev in client.events():
                 print(json.dumps(ev))
         elif cmd == "config":
-            print(json.dumps(await client.get_config(), indent=2))
+            if args.what == "default":
+                from ..server.__main__ import _default_toml
+
+                print(_default_toml())
+            elif args.what == "schema":
+                from ..server.__main__ import _config_schema
+
+                print(json.dumps(_config_schema(), indent=2))
+            else:
+                print(json.dumps(await client.get_config(), indent=2))
         elif cmd == "plugins":
             if args.action == "list":
                 print(json.dumps(await client.list_plugins(), indent=2))

@@ -110,6 +110,9 @@ class NodeContext:
     params: Optional[dict] = None  # resolved node params (for mirrors/UI)
     resources: Any = None  # shared ResourceManager
     batcher: Any = None  # process-wide DeviceBatcher (continuous batching)
+    # lazily-created, REUSED cancellation waiter (see recv_with_cancellation)
+    _cancel_task: Any = None
+    _cancel_task_refs: int = 0
 
     # -- convenience -----------------------------------------------------------
     def emit_state(self, state: NodeState) -> None:
@@ -127,19 +130,70 @@ class NodeContext:
             return None
         if self.cancellation is None:
             return await ch.recv_optional()
+        if self.cancellation.is_set():
+            self._drop_cancel_task()
+            return None
+        # fast path: data already queued — no task machinery at all
+        try:
+            return ch.try_recv()
+        except ChannelClosed:
+            self._drop_cancel_task()
+            return None
+        except ChannelFull:  # empty, would block
+            pass
+        # the cancellation waiter is created ONCE per context and reused:
+        # two fresh tasks per packet (the naive select) measurably dominated
+        # the per-packet cost of the whole data plane at 128 sessions
+        cancel_task = self._cancel_task
+        if cancel_task is None or cancel_task.done():
+            cancel_task = asyncio.ensure_future(self.cancellation.wait())
+            self._cancel_task = cancel_task
         recv_task = asyncio.ensure_future(ch.recv_optional())
-        cancel_task = asyncio.ensure_future(self.cancellation.wait())
+        self._cancel_task_refs += 1
         try:
             done, _ = await asyncio.wait(
                 {recv_task, cancel_task}, return_when=asyncio.FIRST_COMPLETED
             )
-            if recv_task in done:
-                return recv_task.result()
-            return None
         finally:
-            for t in (recv_task, cancel_task):
-                if not t.done():
-                    t.cancel()
+            self._cancel_task_refs -= 1
+        if recv_task in done:
+            result = recv_task.result()
+            if result is None:  # EOF: this recv loop is over
+                self._drop_cancel_task()
+            return result
+        recv_task.cancel()
+        self._drop_cancel_task()
+        return None
+
+    def _drop_cancel_task(self) -> None:
+        # refcounted: a multi-pin node (mixer) may have concurrent recvs
+        # awaiting the SAME waiter — cancelling it under them would read as
+        # a spurious engine cancellation on the other pins
+        if self._cancel_task is not None and self._cancel_task_refs == 0:
+            self._cancel_task.cancel()
+            self._cancel_task = None
+
+    def release(self) -> None:
+        """Engine hook: reclaim context resources after ``node.run`` returns
+        (today: the reused cancellation waiter)."""
+        if self._cancel_task is not None:
+            self._cancel_task.cancel()
+            self._cancel_task = None
+
+    async def recv_batch(
+        self, pin: str = "in", max_batch: int = 32
+    ) -> Optional[List[Packet]]:
+        """Await one packet, then greedily drain up to ``max_batch`` queued
+        ones without further awaits (reference ``helpers.rs:69-118``).
+        Returns None on EOF/cancellation. Hot nodes use this to amortize
+        per-packet event-loop wakeups at high session counts."""
+        first = await self.recv_with_cancellation(pin)
+        if first is None:
+            return None
+        ch = self.inputs.get(pin)
+        from .helpers import batch_packets_greedy
+
+        return batch_packets_greedy(ch, first, max_batch)
 
     def poll_control(self) -> Optional[NodeControlMessage]:
         """Non-blocking control-channel read."""

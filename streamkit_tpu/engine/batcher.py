@@ -25,6 +25,7 @@ jit-of-vmappable functions; tested for whisper in test_whisper_model.py).
 from __future__ import annotations
 
 import asyncio
+import logging
 import time
 from collections import defaultdict
 from dataclasses import dataclass, field
@@ -33,6 +34,8 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["DeviceBatcher", "BatchKind"]
 
@@ -101,6 +104,8 @@ class DeviceBatcher:
         self._last_purge = time.monotonic()
         self._kinds: Dict[str, BatchKind] = {}
         self._pending: Dict[Tuple, List[_Item]] = defaultdict(list)
+        self._shape_groups: Dict[str, set] = {}
+        self.shape_group_warn_threshold = 12
         self._wake = asyncio.Event()
         self._task: Optional[asyncio.Task] = None
         self._running = False
@@ -173,6 +178,22 @@ class DeviceBatcher:
         self.submissions += 1
         self._kinds[kind].last_used = time.monotonic()
         key = (kind,) + tuple(np.asarray(x).shape for x in inputs)
+        # shape-group hygiene: every distinct input-shape tuple is its own
+        # XLA program (30-60 s compile each on a remote device) AND its own
+        # coalescing group. A kind accumulating many groups is a node
+        # submitting un-bucketed variable shapes — warn once so it gets
+        # pad_to/bucketing treatment instead of a silent compile storm.
+        groups = self._shape_groups.setdefault(kind, set())
+        if key not in groups:
+            groups.add(key)
+            if len(groups) == self.shape_group_warn_threshold:
+                logger.warning(
+                    "batch kind %r has accumulated %d distinct input-shape "
+                    "groups — submissions are un-bucketed (each group is a "
+                    "separate XLA program and batches separately); pad or "
+                    "bucket this kind's inputs",
+                    kind, len(groups),
+                )
         fut = asyncio.get_running_loop().create_future()
         group = self._pending[key]
         group.append(_Item(tuple(np.asarray(x) for x in inputs), fut))

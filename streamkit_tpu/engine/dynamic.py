@@ -367,6 +367,7 @@ class DynamicEngine:
             entry.state = NodeState.failed(f"{type(e).__name__}: {e}")
             self._fanout(self._state_subs, NodeStateUpdate(name, entry.state))
         finally:
+            entry.ctx.release()
             for dist in entry.distributors.values():
                 dist.stop()
 

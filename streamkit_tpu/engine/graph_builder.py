@@ -339,6 +339,7 @@ async def _run_node(node: ProcessorNode, ctx: NodeContext) -> None:
         emit_state(ctx.state_tx, ctx.node_name, NodeState.failed(f"{type(e).__name__}: {e}"))
         raise
     finally:
+        ctx.release()
         # EOF propagation: downstream sees closed inputs and drains out
         if ctx.output is not None:
             ctx.output.close()

@@ -86,6 +86,9 @@ class _Session:
     st_last_tok: Optional[tuple] = None
     pending_reset: bool = False
     seq: int = 0
+    # True while the worker is blocked awaiting an exact-final ring decode —
+    # it submits no stream steps then and must not count toward `expected`
+    awaiting_final: bool = False
 
 
 class SttServingEngine:
@@ -366,6 +369,11 @@ class SttServingEngine:
         self.pool.close_session(sid)
         s.q.put_nowait(None)
 
+    def idle(self) -> bool:
+        """True when no session workers are live (all slots freed) — the
+        public form of "drained" for benches/tests awaiting slot reuse."""
+        return not self._sessions
+
     def push(self, sid: int, pcm: np.ndarray) -> None:
         self.pool.push(sid, pcm)
 
@@ -393,11 +401,25 @@ class SttServingEngine:
                 if s is not None:
                     last_seen[int(ids[i])] = now
                     s.q.put_nowait((int(arrivals[i]), blocks[i]))
-            if len(ids):
-                horizon = now - 2.0 * period
-                for sid in [k for k, t in last_seen.items() if t < horizon]:
-                    del last_seen[sid]
-                self.batcher.set_expected(self._sstep_kind, len(last_seen))
+            # prune + refresh on EVERY drain (including empty ones): a stale
+            # nonzero `expected` after ingest goes idle would otherwise
+            # persist indefinitely (ADVICE r3)
+            horizon = now - 2.0 * period
+            for sid in [
+                k for k, t in last_seen.items()
+                if t < horizon or k not in self._sessions
+            ]:
+                del last_seen[sid]
+            # sessions blocked awaiting an exact-final ring decode submit no
+            # stream steps; counting them active would make every fused
+            # batch wait the full straggler window while a final is in
+            # flight (ADVICE r3)
+            expected = 0
+            for k in last_seen:
+                s = self._sessions.get(k)
+                if s is not None and not s.awaiting_final:
+                    expected += 1
+            self.batcher.set_expected(self._sstep_kind, expected)
 
     async def _session_worker(self, s: _Session) -> None:
         try:
@@ -516,12 +538,16 @@ class SttServingEngine:
             int(self.window_buckets[-1] * _SR),
         )
         rs = self._ring.ring_samples
-        tokens, length = await self.batcher.submit(
-            f"{self._stt_kind}:{window}",
-            np.int32(s.vad_slot),
-            np.int32((start_f * VAD_FRAME) % rs),
-            np.int32(n),
-        )
+        s.awaiting_final = True
+        try:
+            tokens, length = await self.batcher.submit(
+                f"{self._stt_kind}:{window}",
+                np.int32(s.vad_slot),
+                np.int32((start_f * VAD_FRAME) % rs),
+                np.int32(n),
+            )
+        finally:
+            s.awaiting_final = False
         self._emit(s, "final", self._detok.decode(tokens[: int(length)]), start_f, end_f)
 
     def _emit(self, s: _Session, typ: str, text: str, start_f: int, end_f: int) -> None:

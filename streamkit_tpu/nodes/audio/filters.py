@@ -104,9 +104,19 @@ class GainNode(ProcessorNode):
                     stats.packet_discarded()
                     continue
                 if ctx.batcher is not None:
-                    out = await ctx.batcher.submit(
-                        "audio::gain", pkt.audio.samples, np.float32(self.gain)
-                    )
+                    # pow-2 length bucketing: raw per-packet lengths would
+                    # make every distinct size its own (kind, shape) group —
+                    # its own XLA program AND its own coalescing group — a
+                    # compile storm under mixed-length traffic. Padded tail
+                    # is sliced off after the call (gain is elementwise).
+                    n = pkt.audio.samples.size
+                    bucket = max(128, 1 << (n - 1).bit_length())
+                    buf = pkt.audio.samples
+                    if bucket != n:
+                        buf = np.zeros(bucket, dtype=np.float32)
+                        buf[:n] = pkt.audio.samples
+                    out = await ctx.batcher.submit("audio::gain", buf, np.float32(self.gain))
+                    out = np.asarray(out)[:n]
                 else:
                     out = np.asarray(apply_gain(jnp.asarray(pkt.audio.samples), self.gain))
                 frame = AudioFrame(out, pkt.audio.format)
@@ -207,45 +217,62 @@ class ResamplerNode(ProcessorNode):
 
         try:
             while True:
-                pkt = await ctx.recv_with_cancellation("in")
-                if pkt is None:
+                batch = await ctx.recv_batch("in")
+                if batch is None:
                     break
-                stats.packet_received()
-                if pkt.audio is None:
-                    stats.packet_discarded()
-                    continue
-                fmt = pkt.audio.format
-                if in_fmt is None:
-                    in_fmt = fmt
-                    out_fmt = AudioFormat(self.target_rate, fmt.channels)
-                    resampler = LinearResampler(
-                        fmt.sample_rate, self.target_rate, self.chunk_frames, fmt.channels
-                    )
-                    if ctx.batcher is not None and self.backend == "device":
-                        # per-session phase/history live in a device slot
-                        # table; chunks from all sessions batch per config
-                        batched = _resampler_slot_kind(
-                            ctx.batcher, fmt.sample_rate, self.target_rate,
-                            self.chunk_frames, fmt.channels,
+                new_samples = []
+                for pkt in batch:
+                    stats.packet_received()
+                    if pkt.audio is None:
+                        stats.packet_discarded()
+                        continue
+                    fmt = pkt.audio.format
+                    if in_fmt is None:
+                        in_fmt = fmt
+                        out_fmt = AudioFormat(self.target_rate, fmt.channels)
+                        resampler = LinearResampler(
+                            fmt.sample_rate, self.target_rate, self.chunk_frames, fmt.channels
                         )
-                elif fmt != in_fmt:
-                    raise RuntimeNodeError(
-                        f"mid-stream format change: {in_fmt} -> {fmt} (not supported)"
-                    )
-                in_buf = np.concatenate([in_buf, pkt.audio.samples])
+                        if ctx.batcher is not None and self.backend == "device":
+                            # per-session phase/history live in a device slot
+                            # table; chunks from all sessions batch per config
+                            batched = _resampler_slot_kind(
+                                ctx.batcher, fmt.sample_rate, self.target_rate,
+                                self.chunk_frames, fmt.channels,
+                            )
+                    elif fmt != in_fmt:
+                        raise RuntimeNodeError(
+                            f"mid-stream format change: {in_fmt} -> {fmt} (not supported)"
+                        )
+                    new_samples.append(pkt.audio.samples)
+                if not new_samples:
+                    continue
+                new_samples.insert(0, in_buf)
+                in_buf = np.concatenate(new_samples)
                 chunk_samples = self.chunk_frames * in_fmt.channels
-                while len(in_buf) >= chunk_samples:
-                    chunk, in_buf = in_buf[:chunk_samples], in_buf[chunk_samples:]
-                    if batched is not None:
+                if batched is not None:
+                    # fixed-shape device chunks (slot-table program)
+                    while len(in_buf) >= chunk_samples:
+                        chunk, in_buf = in_buf[:chunk_samples], in_buf[chunk_samples:]
                         kind, table, slot = batched
                         deint = chunk.reshape(self.chunk_frames, in_fmt.channels)
                         out_block, n_valid = await ctx.batcher.submit(
                             kind, np.int32(slot), deint
                         )
                         out = np.asarray(out_block)[: int(n_valid)].reshape(-1)
-                    else:
-                        out = resampler.process(chunk)
-                    total_in_frames += self.chunk_frames
+                        total_in_frames += self.chunk_frames
+                        total_out_frames += len(out) // in_fmt.channels
+                        out_buf = np.concatenate([out_buf, out])
+                        await emit_frames(final=False)
+                elif len(in_buf) >= chunk_samples:
+                    # host path is length-agnostic: resample EVERYTHING
+                    # buffered in ONE numpy call (per-chunk calls dominated
+                    # ingress cost at 128 sessions)
+                    n_chunks = len(in_buf) // chunk_samples
+                    take = n_chunks * chunk_samples
+                    chunk, in_buf = in_buf[:take], in_buf[take:]
+                    out = resampler.process(chunk)
+                    total_in_frames += n_chunks * self.chunk_frames
                     total_out_frames += len(out) // in_fmt.channels
                     out_buf = np.concatenate([out_buf, out])
                     await emit_frames(final=False)

@@ -169,24 +169,41 @@ class OpusDecoderNode(ProcessorNode):
         decoder = OpusDecoder(48000, self.channels)
         loop = asyncio.get_running_loop()
         fmt = AudioFormat(48000, self.channels)
+
+        def decode_batch(packets):
+            # ONE executor round trip for the whole greedy batch: a per-20 ms
+            # -packet hop costs more event-loop time than the decode itself
+            # (the libopus call is ~30 µs; the spawn_blocking parity is kept
+            # — decode never runs on the event loop — but amortized, like the
+            # reference's batch_packets_greedy ingestion)
+            return [decoder.decode(p) for p in packets]
+
         try:
             while True:
-                pkt = await ctx.recv_with_cancellation("in")
-                if pkt is None:
+                batch = await ctx.recv_batch("in")
+                if batch is None:
                     break
-                stats.packet_received()
-                if pkt.binary is None:
-                    stats.packet_discarded()
+                payloads = []
+                metas = []
+                for pkt in batch:
+                    stats.packet_received()
+                    if pkt.binary is None:
+                        stats.packet_discarded()
+                        continue
+                    payloads.append(pkt.binary)
+                    metas.append(pkt.metadata)
+                if not payloads:
                     continue
-                pcm = await loop.run_in_executor(None, decoder.decode, pkt.binary)
-                frame = AudioFrame(pcm, fmt)
-                meta = PacketMetadata(
-                    timestamp_us=pkt.metadata.timestamp_us if pkt.metadata else None,
-                    duration_us=frame.duration_us(),
-                    sequence=pkt.metadata.sequence if pkt.metadata else None,
-                )
-                await ctx.output.send("out", Packet.new_audio(frame, meta))
-                stats.packet_sent()
+                pcms = await loop.run_in_executor(None, decode_batch, payloads)
+                for pcm, in_meta in zip(pcms, metas):
+                    frame = AudioFrame(pcm, fmt)
+                    meta = PacketMetadata(
+                        timestamp_us=in_meta.timestamp_us if in_meta else None,
+                        duration_us=frame.duration_us(),
+                        sequence=in_meta.sequence if in_meta else None,
+                    )
+                    await ctx.output.send("out", Packet.new_audio(frame, meta))
+                    stats.packet_sent()
         except ChannelClosed:
             ctx.emit_state(NodeState.stopped(StopReason.OUTPUT_CLOSED))
             stats.flush()

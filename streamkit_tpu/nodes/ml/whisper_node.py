@@ -587,21 +587,26 @@ class WhisperNode(ProcessorNode):
         emit_task = asyncio.ensure_future(emit_worker())
         try:
             while True:
-                pkt = await ctx.recv_with_cancellation("in")
-                if pkt is None:
+                batch = await ctx.recv_batch("in")
+                if batch is None:
                     break
-                stats.packet_received()
-                if pkt.audio is None:
-                    stats.packet_discarded()
+                pieces = [buf]
+                for pkt in batch:
+                    stats.packet_received()
+                    if pkt.audio is None:
+                        stats.packet_discarded()
+                        continue
+                    if pkt.audio.format.sample_rate != _SR:
+                        raise ConfigurationError(
+                            f"whisper requires 16kHz input, got {pkt.audio.format.sample_rate}"
+                        )
+                    samples = pkt.audio.samples
+                    if pkt.audio.format.channels > 1:  # downmix
+                        samples = samples.reshape(-1, pkt.audio.format.channels).mean(axis=1)
+                    pieces.append(samples)
+                if len(pieces) == 1:
                     continue
-                if pkt.audio.format.sample_rate != _SR:
-                    raise ConfigurationError(
-                        f"whisper requires 16kHz input, got {pkt.audio.format.sample_rate}"
-                    )
-                samples = pkt.audio.samples
-                if pkt.audio.format.channels > 1:  # downmix
-                    samples = samples.reshape(-1, pkt.audio.format.channels).mean(axis=1)
-                buf = np.concatenate([buf, samples])
+                buf = np.concatenate(pieces)
                 if len(buf) // VAD_FRAME < self.vad_block:
                     continue
                 # score in EXACT vad_block-sized calls: a single static shape

@@ -128,17 +128,22 @@ class LinearResampler:
         self._history = np.zeros((self.channels,), dtype=np.float32)
 
     def process(self, chunk_interleaved: np.ndarray) -> np.ndarray:
-        """Resample exactly ``chunk_frames`` interleaved samples; returns the
-        valid interleaved output samples. Host-resident: numpy only."""
+        """Resample any whole number of interleaved frames; returns the valid
+        interleaved output samples. Host-resident: numpy only.
+
+        Unlike the fixed-shape device kernel, the host path is
+        length-agnostic: the exact rational phase makes the output invariant
+        to chunk boundaries, so callers may coalesce many 20 ms chunks into
+        one call (the per-call numpy overhead dominated ingress at high
+        session counts)."""
         frames = chunk_interleaved.shape[0] // self.channels
-        if frames != self.chunk_frames:
-            raise ValueError(f"expected {self.chunk_frames} frames, got {frames}")
+        if frames <= 0:
+            return np.zeros(0, dtype=np.float32)
         chunk = np.asarray(chunk_interleaved, dtype=np.float32).reshape(frames, self.channels)
         src = np.concatenate([self._history[None, :], chunk], axis=0)  # frames+1 samples
         phase = self._phase_num
         # output k valid while idx0 = (phase + k*src_num) // dst_num < frames
-        n = (frames * self.dst_num - 1 - phase) // self.src_num + 1
-        n = max(0, min(int(n), self.max_out))
+        n = max(0, (frames * self.dst_num - 1 - phase) // self.src_num + 1)
         k = np.arange(n, dtype=np.int64)
         pos_num = phase + k * self.src_num
         idx0 = pos_num // self.dst_num

@@ -207,6 +207,61 @@ steps:
     assert table.in_use == 0  # slot released at node completion
 
 
+def test_gain_mixed_lengths_bucketed():
+    """audio::gain under mixed frame sizes compiles at most one program per
+    pow-2 bucket (not one per distinct length), with exact output."""
+    from streamkit_tpu.core import (
+        AudioFormat,
+        AudioFrame,
+        Channel,
+        NodeContext,
+        OutputSender,
+        Packet,
+    )
+    from streamkit_tpu.nodes.audio.filters import GainNode
+
+    lengths = [960, 961, 950, 948, 320, 319, 1920, 1900, 640, 1000]
+    rng = np.random.RandomState(0)
+    frames = [rng.randn(n).astype(np.float32) for n in lengths]
+    fmt = AudioFormat(48000, 1)
+
+    async def main():
+        b = DeviceBatcher(tick_ms=5.0)
+        b.start()
+        in_ch = Channel(64)
+        out_ch = Channel(64)
+        node = GainNode({"gain": 2.0})
+        ctx = NodeContext(
+            node_name="g", inputs={"in": in_ch},
+            output=OutputSender("g", direct={"out": out_ch}), batcher=b,
+        )
+        task = asyncio.ensure_future(node.run(ctx))
+        for f in frames:
+            await in_ch.send(Packet.new_audio(AudioFrame(f, fmt)))
+        in_ch.close()
+        await task
+        out_ch.close()
+        outs = []
+        while True:
+            pkt = await out_ch.recv_optional()
+            if pkt is None:
+                break
+            outs.append(pkt.audio.samples)
+        b.stop()
+        return outs, dict(b._shape_groups)
+
+    outs, groups = asyncio.run(main())
+    assert len(outs) == len(frames)
+    for got, f in zip(outs, frames):
+        assert got.shape == f.shape
+        np.testing.assert_array_equal(got, f * np.float32(2.0))
+    # distinct buckets for these lengths: 1024 (960/961/950/948/640/1000),
+    # 512 (320), 319->512? no: 1<<(319-1).bit_length()=512, 320->512,
+    # 1920/1900 -> 2048 — so <= 3 shape groups, vs 10 distinct raw lengths
+    n_groups = len(groups.get("audio::gain", ()))
+    assert 0 < n_groups <= 3, f"gain fragmented into {n_groups} shape groups"
+
+
 def test_expected_coalescing_fires_at_expected_not_window():
     """With a wide gather window and `expected` set, a batch of exactly
     `expected` items dispatches immediately (no window wait); fewer items
@@ -232,8 +287,11 @@ def test_expected_coalescing_fires_at_expected_not_window():
     outs, t_full, part, t_part, stats = asyncio.run(main())
     np.testing.assert_allclose([float(o) for o in outs], [0, 1, 4, 9])
     assert float(part) == 81.0
-    assert t_full < 0.25, f"full batch waited the window: {t_full}"
-    assert 0.35 <= t_part < 2.0, f"straggler not window-bounded: {t_part}"
+    # generous margins vs the 400 ms window: a loaded CI host can delay
+    # event-loop scheduling by tens of ms (ADVICE r3) — the invariant is
+    # "full batch well under the window; straggler at/after it"
+    assert t_full < 0.2 + 0.2, f"full batch waited the window: {t_full}"
+    assert 0.3 <= t_part < 5.0, f"straggler not window-bounded: {t_part}"
     assert stats["device_calls"] == 2
     # clearing expected restores size-triggered dispatch
     b2 = DeviceBatcher()
