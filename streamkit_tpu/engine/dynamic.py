@@ -356,8 +356,21 @@ class DynamicEngine:
 
     async def _run_node(self, entry: _NodeEntry) -> None:
         name = entry.ctx.node_name
+        from ..utils.tracing import get_tracer
+
+        # reference: info_span!("node_run", ...) around every node task
+        # (dynamic_actor.rs:485-490)
+        span = get_tracer().span(
+            "node_run",
+            {
+                "node.name": name,
+                "node.kind": getattr(entry.node, "KIND", type(entry.node).__name__),
+                "session.id": entry.ctx.session_id or "",
+            },
+        )
         try:
-            await entry.node.run(entry.ctx)
+            with span:
+                await entry.node.run(entry.ctx)
             if entry.state.kind not in (NodeStateKind.STOPPED, NodeStateKind.FAILED):
                 entry.state = NodeState.stopped(StopReason.COMPLETED)
         except asyncio.CancelledError:

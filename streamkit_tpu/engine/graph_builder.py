@@ -325,8 +325,21 @@ async def wire_and_spawn_graph(
 
 async def _run_node(node: ProcessorNode, ctx: NodeContext) -> None:
     """Run a node task with final-state reporting and EOF propagation."""
+    from ..utils.tracing import get_tracer
+
+    # reference: info_span!("node_run", node.name, node.kind)
+    # (graph_builder.rs:421)
+    span = get_tracer().span(
+        "node_run",
+        {
+            "node.name": ctx.node_name,
+            "node.kind": getattr(node, "KIND", type(node).__name__),
+            "session.id": ctx.session_id or "",
+        },
+    )
     try:
-        await node.run(ctx)
+        with span:
+            await node.run(ctx)
     except asyncio.CancelledError:
         emit_state(ctx.state_tx, ctx.node_name, NodeState.stopped(StopReason.SHUTDOWN))
         raise

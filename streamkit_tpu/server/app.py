@@ -246,6 +246,12 @@ async def process_oneshot(request: web.Request) -> web.StreamResponse:
     sem = state._oneshot_sem
     if sem is not None:
         await sem.acquire()
+    from ..utils.tracing import get_tracer
+
+    oneshot_span = get_tracer().span(
+        "oneshot_request", {"pipeline.name": pipeline.name or ""}
+    )
+    oneshot_span.__enter__()
     try:
         try:
             result = await run_oneshot_pipeline(
@@ -291,6 +297,7 @@ async def process_oneshot(request: web.Request) -> web.StreamResponse:
                 raise
         return response
     finally:
+        oneshot_span.__exit__(None, None, None)
         if sem is not None:
             sem.release()
 

@@ -172,6 +172,7 @@ class OtlpPusher:
                     log.warning("OTLP export failed: %s", e)
 
     async def flush(self, session: aiohttp.ClientSession) -> None:
+        from ..utils.tracing import encode_spans, get_tracer
         from .observability import collect_metrics
 
         payload = encode_metrics(
@@ -189,6 +190,13 @@ class OtlpPusher:
                 headers=self.headers, timeout=aiohttp.ClientTimeout(total=10),
             ) as resp:
                 resp.raise_for_status()
+        spans = get_tracer().drain()
+        if spans:
+            async with session.post(
+                f"{self.endpoint}/v1/traces", json=encode_spans(spans),
+                headers=self.headers, timeout=aiohttp.ClientTimeout(total=10),
+            ) as resp:
+                resp.raise_for_status()
         self.exports += 1
 
 
@@ -201,6 +209,11 @@ def pusher_from_config(config, state) -> Optional[OtlpPusher]:
     )
     if not endpoint:
         return None
+    # traces are collected only while an exporter exists (node-run spans on
+    # hot paths stay no-ops otherwise)
+    from ..utils.tracing import get_tracer
+
+    get_tracer().enable()
     headers = dict(getattr(config, "otlp_headers", None) or {})
     env_headers = os.environ.get("OTEL_EXPORTER_OTLP_HEADERS", "")
     for pair in env_headers.split(",") if env_headers else []:

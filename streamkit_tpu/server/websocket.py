@@ -37,12 +37,22 @@ class WsDispatcher:
         handler = getattr(self, f"_h_{action}", None)
         if handler is None:
             return {"action": "error", "message": f"unknown action {action!r}"}
-        try:
-            return await handler(payload, role, perms)
-        except PermissionDenied as e:
-            return {"action": "error", "message": str(e)}
-        except Exception as e:  # noqa: BLE001 — errors become API responses
-            return {"action": "error", "message": str(e)}
+        from ..utils.tracing import get_tracer
+
+        # per-request span (reference wraps each WS request; telemetry.rs)
+        with get_tracer().span(
+            "ws_request",
+            {"request.action": action,
+             "session.id": str(payload.get("session_id", "")), "role": role},
+        ) as span:
+            try:
+                return await handler(payload, role, perms)
+            except PermissionDenied as e:
+                span.set_attribute("error", str(e))
+                return {"action": "error", "message": str(e)}
+            except Exception as e:  # noqa: BLE001 — errors become API responses
+                span.set_attribute("error", str(e))
+                return {"action": "error", "message": str(e)}
 
     # -- session management ------------------------------------------------
     async def _h_createsession(self, p, role, perms):
