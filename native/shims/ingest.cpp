@@ -262,3 +262,97 @@ long long skingest_dropped(void* pool) {
 long long skingest_now_ns(void) { return now_ns(); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched Opus decode (dlopen libopus, no headers needed).
+//
+// Why here: the opus decoder node's hot loop is one libopus call per 20 ms
+// packet; through Python ctypes each call costs ~2x the decode itself in
+// argument marshalling, and at 128 realtime sessions that overhead alone is
+// seconds of wall per minute of audio (round-4 ingress profile). One C call
+// decodes a whole greedy batch: packets arrive concatenated with an offsets
+// table, PCM returns in one contiguous [n, max_frame*channels] buffer.
+// Reference parity: crates/nodes/src/audio/codecs/opus.rs:102-140 does the
+// same work on a spawn_blocking thread; natively threaded that is cheap.
+#include <dlfcn.h>
+
+namespace {
+
+typedef void* (*opus_create_fn)(int32_t, int, int*);
+typedef int (*opus_decode_float_fn)(void*, const unsigned char*, int32_t, float*, int, int);
+typedef void (*opus_destroy_fn)(void*);
+
+struct OpusApi {
+    opus_create_fn create = nullptr;
+    opus_decode_float_fn decode_float = nullptr;
+    opus_destroy_fn destroy = nullptr;
+    bool ok = false;
+};
+
+OpusApi& opus_api() {
+    static OpusApi api = [] {
+        OpusApi a;
+        void* h = dlopen("libopus.so.0", RTLD_NOW | RTLD_GLOBAL);
+        if (!h) h = dlopen("libopus.so", RTLD_NOW | RTLD_GLOBAL);
+        if (h) {
+            a.create = reinterpret_cast<opus_create_fn>(dlsym(h, "opus_decoder_create"));
+            a.decode_float =
+                reinterpret_cast<opus_decode_float_fn>(dlsym(h, "opus_decode_float"));
+            a.destroy = reinterpret_cast<opus_destroy_fn>(dlsym(h, "opus_decoder_destroy"));
+            a.ok = a.create && a.decode_float && a.destroy;
+        }
+        return a;
+    }();
+    return api;
+}
+
+struct OpusBatchCtx {
+    void* dec = nullptr;
+    int channels = 1;
+};
+
+}  // namespace
+
+extern "C" {
+
+// returns nullptr when libopus is unavailable or creation fails
+void* skopus_batch_create(int sample_rate, int channels) {
+    OpusApi& api = opus_api();
+    if (!api.ok) return nullptr;
+    int err = 0;
+    void* dec = api.create(sample_rate, channels, &err);
+    if (err != 0 || !dec) return nullptr;
+    auto* ctx = new OpusBatchCtx();
+    ctx->dec = dec;
+    ctx->channels = channels;
+    return ctx;
+}
+
+void skopus_batch_destroy(void* p) {
+    if (!p) return;
+    auto* ctx = static_cast<OpusBatchCtx*>(p);
+    if (ctx->dec) opus_api().destroy(ctx->dec);
+    delete ctx;
+}
+
+// Decode n packets in one call. data = concatenated packet bytes;
+// offsets[n+1] delimits packets; out is a [n, max_frame*channels] f32
+// buffer; out_lens[i] receives samples-per-channel (or the negative libopus
+// error code). Returns the number of successfully decoded packets.
+int skopus_batch_decode(void* p, const unsigned char* data, const int32_t* offsets,
+                        int n, float* out, int max_frame, int32_t* out_lens) {
+    auto* ctx = static_cast<OpusBatchCtx*>(p);
+    OpusApi& api = opus_api();
+    int ok = 0;
+    const int row = max_frame * ctx->channels;
+    for (int i = 0; i < n; i++) {
+        const unsigned char* pkt = data + offsets[i];
+        const int32_t len = offsets[i + 1] - offsets[i];
+        const int r = api.decode_float(ctx->dec, pkt, len, out + i * row, max_frame, 0);
+        out_lens[i] = r;
+        if (r >= 0) ok++;
+    }
+    return ok;
+}
+
+}  // extern "C"

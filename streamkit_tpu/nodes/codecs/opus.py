@@ -82,6 +82,38 @@ class OpusLib:
         return cls._lib
 
 
+_BATCH_SHIM = None  # False = probed and unavailable
+
+
+def _batch_shim():
+    """ctypes handle to the native batched-decode shim (ingest.cpp), or None."""
+    global _BATCH_SHIM
+    if _BATCH_SHIM is None:
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))),
+            "native", "build", "libskit_ingest.so",
+        )
+        try:
+            lib = ctypes.CDLL(path)
+            lib.skopus_batch_create.restype = ctypes.c_void_p
+            lib.skopus_batch_create.argtypes = [ctypes.c_int, ctypes.c_int]
+            lib.skopus_batch_destroy.argtypes = [ctypes.c_void_p]
+            lib.skopus_batch_decode.restype = ctypes.c_int
+            lib.skopus_batch_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            _BATCH_SHIM = lib
+        except OSError:
+            _BATCH_SHIM = False
+    return _BATCH_SHIM or None
+
+
 class OpusDecoder:
     def __init__(self, sample_rate: int = 48000, channels: int = 2) -> None:
         lib = OpusLib.get()
@@ -102,7 +134,58 @@ class OpusDecoder:
             raise RuntimeNodeError(f"opus_decode_float error {n}")
         return np.ctypeslib.as_array(self._buf)[: n * self.channels].copy()
 
+    def decode_batch(self, packets) -> list:
+        """Decode many packets in ONE native call when the ingest shim is
+        present (one ctypes round trip per batch instead of per 20 ms
+        packet — the marshalling cost of per-packet calls measurably
+        dominated ingress at 128 realtime sessions). Falls back to the
+        per-packet path when the shim isn't built."""
+        if not packets:
+            return []
+        ctx = self._batch_ctx()
+        if ctx is None:
+            return [self.decode(p) for p in packets]
+        shim = _batch_shim()
+        n = len(packets)
+        data = b"".join(packets)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum([len(p) for p in packets], out=offsets[1:])
+        out = np.empty((n, _MAX_FRAME_SAMPLES * self.channels), dtype=np.float32)
+        lens = np.zeros(n, dtype=np.int32)
+        shim.skopus_batch_decode(
+            ctx, data,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            _MAX_FRAME_SAMPLES,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        results = []
+        for i in range(n):
+            if lens[i] < 0:
+                raise RuntimeNodeError(f"opus_decode_float error {int(lens[i])}")
+            results.append(out[i, : int(lens[i]) * self.channels].copy())
+        return results
+
+    def _batch_ctx(self):
+        """Lazily create the native batch-decoder context (None = no shim)."""
+        ctx = getattr(self, "_bctx", None)
+        if ctx is not None:
+            return ctx if ctx else None
+        shim = _batch_shim()
+        if shim is None:
+            self._bctx = False
+            return None
+        ctx = shim.skopus_batch_create(self.sample_rate, self.channels)
+        self._bctx = ctx if ctx else False
+        return ctx if ctx else None
+
     def __del__(self):
+        if getattr(self, "_bctx", None):
+            try:
+                _batch_shim().skopus_batch_destroy(self._bctx)
+            except Exception:
+                pass
+            self._bctx = False
         if getattr(self, "_dec", None):
             try:
                 OpusLib.get().opus_decoder_destroy(self._dec)
@@ -175,8 +258,9 @@ class OpusDecoderNode(ProcessorNode):
             # -packet hop costs more event-loop time than the decode itself
             # (the libopus call is ~30 µs; the spawn_blocking parity is kept
             # — decode never runs on the event loop — but amortized, like the
-            # reference's batch_packets_greedy ingestion)
-            return [decoder.decode(p) for p in packets]
+            # reference's batch_packets_greedy ingestion). Inside, the whole
+            # batch is ONE native call when the ingest shim is built.
+            return decoder.decode_batch(packets)
 
         try:
             while True:

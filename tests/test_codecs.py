@@ -150,3 +150,30 @@ nodes:
     # ~2 minutes of speech at 16k
     assert len(y) > 100 * 16000
     assert 0.01 < np.abs(y).max() <= 1.0
+
+
+def test_opus_batch_decode_matches_single():
+    """The native batched decode path must produce the same PCM as the
+    per-packet ctypes path for the same packet stream (separate decoder
+    instances: Opus decode is stateful, so each path owns its stream)."""
+    from streamkit_tpu.nodes.codecs.opus import OpusDecoder, OpusEncoder, _batch_shim
+
+    sr, ch = 48000, 1
+    enc = OpusEncoder(sr, ch, 64000)
+    t = np.arange(sr) / sr
+    audio = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    packets = [enc.encode(audio[i * 960 : (i + 1) * 960]) for i in range(40)]
+
+    d_single = OpusDecoder(sr, ch)
+    singles = [d_single.decode(p) for p in packets]
+
+    d_batch = OpusDecoder(sr, ch)
+    batched = []
+    for i in range(0, len(packets), 7):  # uneven batches exercise offsets
+        batched.extend(d_batch.decode_batch(packets[i : i + 7]))
+
+    assert len(batched) == len(singles)
+    for a, b in zip(singles, batched):
+        np.testing.assert_array_equal(a, b)
+    if _batch_shim() is None:
+        pytest.skip("native batch shim not built — fallback path verified only")
