@@ -93,6 +93,12 @@ def s16le_to_f32(samples: jax.Array) -> jax.Array:
 
 @jax.jit
 def f32_to_s16le(samples: jax.Array) -> jax.Array:
-    """float32 → int16 PCM with clamp + round-half-away-from-zero."""
+    """float32 → int16 PCM with clamp + round-half-away-from-zero.
+
+    Half-away matches Rust ``f32::round`` (the reference's conversion
+    convention); ``jnp.round`` would be IEEE half-to-even and differ by
+    1 LSB on exact-half inputs (tested against the reference-golden
+    fixtures in tests/test_golden_dsp.py)."""
     x = jnp.clip(samples * jnp.float32(32768.0), -32768.0, 32767.0)
-    return jnp.round(x).astype(jnp.int16)
+    rounded = jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+    return rounded.astype(jnp.int16)
