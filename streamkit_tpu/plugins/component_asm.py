@@ -148,7 +148,7 @@ class ComponentBuilder:
         return bytes(out)
 
 
-def build_plugin_component(core_module: bytes) -> bytes:
+def build_plugin_component(core_module: bytes, post_returns: tuple = ()) -> bytes:
     """Wrap a core module implementing the ``streamkit:plugin/node`` world
     exports into a component binary.
 
@@ -156,6 +156,16 @@ def build_plugin_component(core_module: bytes) -> bytes:
     mangled node functions (``{NODE_IFACE}#metadata`` etc.), and may import
     ``{HOST_IFACE}.send-output/.log`` plus the canon resource builtins from
     ``{EXPORT_SHIM}``.
+
+    ``post_returns``: node-func names whose lifts carry a post-return
+    (canonopt 0x05) pointing at the core export
+    ``cabi_post_{NODE_IFACE}#{name}`` — the structure wit-bindgen emits for
+    every result-returning export (see the reference's generated bindings,
+    ``sdks/plugin-sdk/wasm/rust/src/generated/plugin.rs`` export_name
+    attributes). A real ``cargo component`` guest binary cannot be vendored
+    in this environment (no Rust toolchain, no network egress), so the
+    fixture replicates wit-bindgen's emitted structure instead: interface-
+    qualified export names, ``cabi_realloc``, and ``cabi_post_*``.
     """
     world = wit_plugin_world()
     enc = _TypeEncoder()
@@ -231,18 +241,28 @@ def build_plugin_component(core_module: bytes) -> bytes:
     ci += _name(EXPORT_SHIM) + bytes([0x12]) + leb(1)
     b.section(2, bytes(ci))
     # S6 core alias: memory + cabi_realloc + lifted exports from instance 2
-    #   core funcs: cabi_realloc -> cf5, node funcs -> cf6..cf10
-    alias = bytearray(leb(2 + len(node_funcs)))
+    #   core funcs: cabi_realloc -> cf5, node funcs -> cf6..cf10,
+    #   post-returns -> cf11...
+    alias = bytearray(leb(2 + len(node_funcs) + len(post_returns)))
     alias += bytes([0x00, 0x02, 0x01]) + leb(2) + _name("memory")  # core mem 0
     alias += bytes([0x00, 0x00, 0x01]) + leb(2) + _name("cabi_realloc")
     for n in node_funcs:
         alias += bytes([0x00, 0x00, 0x01]) + leb(2) + _name(f"{NODE_IFACE}#{n}")
+    post_cf = {}
+    for j, n in enumerate(post_returns):
+        alias += bytes([0x00, 0x00, 0x01]) + leb(2) + _name(
+            f"cabi_post_{NODE_IFACE}#{n}"
+        )
+        post_cf[n] = 6 + len(node_funcs) + j
     b.section(6, bytes(alias))
-    # S8 canon lift node funcs (opts: utf8, memory 0, realloc cf5)
-    #                                                   -> funcs[2]..funcs[6]
-    opts = leb(3) + bytes([0x00]) + bytes([0x03]) + leb(0) + bytes([0x04]) + leb(5)
+    # S8 canon lift node funcs (opts: utf8, memory 0, realloc cf5,
+    # post-return cf where the guest exports one)  -> funcs[2]..funcs[6]
     canon = bytearray(leb(len(node_funcs)))
     for i, n in enumerate(node_funcs):
+        n_opts = 3 + (1 if n in post_cf else 0)
+        opts = leb(n_opts) + bytes([0x00]) + bytes([0x03]) + leb(0) + bytes([0x04]) + leb(5)
+        if n in post_cf:
+            opts += bytes([0x05]) + leb(post_cf[n])
         canon += bytes([0x00, 0x00]) + leb(6 + i) + opts + leb(ftidx[n])
     b.section(8, bytes(canon))
     # S5 instance: inline-export the lifted funcs        -> instances[1]
@@ -575,6 +595,21 @@ def build_gain_component(pin_out: str = "out") -> bytes:
     # ---- cleanup(self-handle) -> () -----------------------------------------
     f_clean = m.add_func([I32], [], bytes([END]))
 
+    # ---- post-returns (wit-bindgen structure) -------------------------------
+    # Invoked by the host AFTER lifting a call's results (canonopt 0x05) to
+    # reclaim the return area. process/update-params POISON the shared
+    # RESULT_AREA discriminant (0xEE = invalid variant case): a host that
+    # lifts after post-return deterministically fails instead of silently
+    # reading freed memory. metadata's blob is static -> genuine no-op.
+    poison = (
+        bytes([I32_CONST]) + sleb(RESULT_AREA)
+        + bytes([I32_CONST]) + sleb(0xEE)
+        + bytes([I32_STORE8]) + memarg(0, 0)
+        + bytes([END])
+    )
+    f_post_rr = m.add_func([I32], [], poison)
+    f_post_meta = m.add_func([I32], [], bytes([END]))
+
     m.export_memory("memory")
     m.export_func("cabi_realloc", f_realloc)
     m.export_func(f"{NODE_IFACE}#metadata", f_meta)
@@ -582,4 +617,16 @@ def build_gain_component(pin_out: str = "out") -> bytes:
     m.export_func(f"{NODE_IFACE}#[method]node-instance.process", f_proc)
     m.export_func(f"{NODE_IFACE}#[method]node-instance.update-params", f_upd)
     m.export_func(f"{NODE_IFACE}#[method]node-instance.cleanup", f_clean)
-    return build_plugin_component(m.build())
+    m.export_func(f"cabi_post_{NODE_IFACE}#metadata", f_post_meta)
+    m.export_func(f"cabi_post_{NODE_IFACE}#[method]node-instance.process", f_post_rr)
+    m.export_func(
+        f"cabi_post_{NODE_IFACE}#[method]node-instance.update-params", f_post_rr
+    )
+    return build_plugin_component(
+        m.build(),
+        post_returns=(
+            "metadata",
+            "[method]node-instance.process",
+            "[method]node-instance.update-params",
+        ),
+    )

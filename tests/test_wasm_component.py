@@ -363,3 +363,56 @@ def test_component_parser_fuzz_never_crashes():
             parse_component(bytes(comp[:cut]))
         except (ComponentError, UnicodeDecodeError):
             pass
+
+
+@needs_rt
+def test_post_returns_invoked_after_lift():
+    """wit-bindgen structural parity: the fixture guest exports
+    ``cabi_post_*`` post-returns (as the reference's generated bindings do
+    — plugin.rs export_name attributes), the component's canon lifts carry
+    canonopt 0x05, and the host invokes the post AFTER lifting each call's
+    results. The guest's post poisons the result area (0xEE discriminant),
+    so a host that lifted after post-return would fail deterministically —
+    repeated calls below double as the ordering proof."""
+    comp = build_gain_component()
+    pc = parse_component(comp)
+    funcs = pc.export_instance_funcs(NODE_IFACE)
+    # the lifts carry post-return options
+    posted = [n for n, f in funcs.items()
+              if f[0] == "lift" and "post-return" in f[2]]
+    assert set(posted) >= {"metadata", "[method]node-instance.process",
+                           "[method]node-instance.update-params"}
+
+    inst = ComponentInstance(
+        pc,
+        host_funcs={(HOST_IFACE, "send-output"): lambda pin, pkt: ("ok", None)},
+    )
+    calls = []
+    orig = inst.call_core
+
+    def spy(name, *a, **k):
+        calls.append(name)
+        return orig(name, *a, **k)
+
+    inst.call_core = spy
+    inst.call_lifted(funcs["metadata"])
+    h = inst.call_lifted(funcs["[constructor]node-instance"], "2")
+    for _ in range(3):
+        res = inst.call_lifted(
+            funcs["[method]node-instance.process"], h, "in",
+            ("audio", {"sample-rate": 16000, "channels": 1, "samples": [1.0]}),
+        )
+        assert res == ("ok", None)  # poison from the PREVIOUS post never leaks
+    post_meta = [c for c in calls if c == f"cabi_post_{NODE_IFACE}#metadata"]
+    post_proc = [
+        c for c in calls
+        if c == f"cabi_post_{NODE_IFACE}#[method]node-instance.process"
+    ]
+    assert len(post_meta) == 1
+    assert len(post_proc) == 3
+    # ordering: the post for each process call comes after its main call
+    main_i = [i for i, c in enumerate(calls)
+              if c == f"{NODE_IFACE}#[method]node-instance.process"]
+    post_i = [i for i, c in enumerate(calls)
+              if c == f"cabi_post_{NODE_IFACE}#[method]node-instance.process"]
+    assert all(p > m for m, p in zip(main_i, post_i))
