@@ -21,6 +21,8 @@ import wave
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from e2e.harness import HeadlessBrowser, ServerThread  # noqa: E402
@@ -281,6 +283,89 @@ def test_stream_view_create_session_and_events(browser):
     assert browser.pump_until(
         lambda: "sessioncreated" in browser.by_id("stream-events")._get_text(), 10
     ), browser.by_id("stream-events")._get_text()[:200]
+    # cleanup
+    for el in browser.by_id("stream-sessions").iter_tree():
+        if el.tag == "button" and el._get_text() == "destroy":
+            el.dispatch("click")
+            break
+    browser.pump(1.0)
+
+
+def test_staged_changes_validate_and_apply_batch(browser, wav_path):
+    """Reference stagingStore.ts workflow: queue 3 edits against a LIVE
+    session, validate-batch (0 errors), apply-batch, and observe the new
+    nodes land in the monitor graph (NodeAdded events refresh it)."""
+    browser.by_id("sample-name")["value"] = "e2e-stage"
+    browser.by_id("design-yaml")["value"] = (
+        "mode: dynamic\nnodes:\n"
+        "  src:\n    kind: core::file_reader\n"
+        f'    params: {{path: "{wav_path}"}}\n'
+        "  out:\n    kind: core::sink\n    needs: src\n"
+    )
+    browser.by_id("btn-design-session").dispatch("click")
+    assert browser.pump_until(
+        lambda: "session created" in browser.by_id("design-result")._get_text(), 15
+    )
+    assert browser.pump_until(
+        lambda: "e2e-stage" in browser.by_id("mon-sessions")._get_text(), 10
+    )
+    card = None
+    for el in browser.by_id("mon-sessions").element_children():
+        if "e2e-stage" in el._get_text():
+            card = el
+            break
+    card.dispatch("click")
+    assert browser.pump_until(
+        lambda: len(browser.by_id("mon-pipeline").query_selector_all("g[data-node]")) == 2, 10
+    )
+
+    # stage 3 edits: passthrough node, sink node, connect them
+    assert browser.pump_until(
+        lambda: len(browser.by_id("stage-kind").element_children()) > 5, 10
+    ), "stage kind picker never populated"
+    browser.by_id("stage-kind")["value"] = "core::passthrough"
+    browser.by_id("stage-node-id")["value"] = "tap"
+    browser.by_id("btn-stage-add").dispatch("click")
+    browser.by_id("stage-kind")["value"] = "core::sink"
+    browser.by_id("stage-node-id")["value"] = "tap_sink"
+    browser.by_id("btn-stage-add").dispatch("click")
+    browser.by_id("stage-from")["value"] = "tap"
+    browser.by_id("stage-to")["value"] = "tap_sink"
+    browser.by_id("btn-stage-connect").dispatch("click")
+    ops_text = browser.by_id("stage-ops")._get_text()
+    assert "add tap" in ops_text and "add tap_sink" in ops_text and "connect tap.out" in ops_text
+
+    # validate-batch: all three ops valid
+    browser.by_id("btn-stage-validate").dispatch("click")
+    assert browser.pump_until(
+        lambda: "3 operation(s) valid" in browser.by_id("stage-status")._get_text(), 10
+    ), browser.by_id("stage-status")._get_text()
+
+    # apply-batch: ops land atomically, staging list clears, graph grows
+    browser.by_id("btn-stage-apply").dispatch("click")
+    assert browser.pump_until(
+        lambda: "applied 3" in browser.by_id("stage-status")._get_text(), 10
+    ), browser.by_id("stage-status")._get_text()
+    assert "no staged operations" in browser.by_id("stage-ops")._get_text()
+    assert browser.pump_until(
+        lambda: len(browser.by_id("mon-pipeline").query_selector_all("g[data-node]")) == 4, 10
+    ), browser.by_id("mon-pipeline")._get_text()[:300]
+    graph_text = browser.by_id("mon-pipeline")._get_text()
+    assert "tap" in graph_text and "tap_sink" in graph_text
+
+    # an invalid batch is rejected by validate
+    browser.by_id("stage-kind")["value"] = "core::passthrough"
+    browser.by_id("stage-node-id")["value"] = "x"
+    browser.by_id("btn-stage-add").dispatch("click")
+    browser.by_id("stage-from")["value"] = "ghost"
+    browser.by_id("stage-to")["value"] = "x"
+    browser.by_id("btn-stage-connect").dispatch("click")
+    browser.by_id("btn-stage-validate").dispatch("click")
+    assert browser.pump_until(
+        lambda: "✗" in browser.by_id("stage-status")._get_text(), 10
+    )
+    browser.by_id("btn-stage-clear").dispatch("click")
+
     # cleanup
     for el in browser.by_id("stream-sessions").iter_tree():
         if el.tag == "button" and el._get_text() == "destroy":
