@@ -21,13 +21,14 @@ train-vad:         ## retrain the bundled learned VAD on synthesized data
 docs:              ## regenerate docs/nodes.md + docs/api.md from the registry
 	$(PY) tools/gen_docs.py
 
-test:              ## full suite on the virtual 8-device CPU mesh
+test:              ## full suite, parallel (xdist) on the virtual CPU mesh
+	$(PY) -m pytest tests/ -q -n auto
+
+test-serial:       ## full suite, one process (debugging)
 	$(PY) -m pytest tests/ -q
 
-test-fast:         ## skip the slow model-parity suites
-	$(PY) -m pytest tests/ -q --ignore=tests/test_vits_parity.py \
-	  --ignore=tests/test_whisper_model.py --ignore=tests/test_nllb_model.py \
-	  --ignore=tests/test_ml_pipeline_nodes.py
+test-fast:         ## skip the slow model/parity/e2e suites (marker-based)
+	$(PY) -m pytest tests/ -q -m "not slow" -n auto
 
 serve:             ## run the server (loopback, default config)
 	$(PY) -m streamkit_tpu.server serve --address 127.0.0.1 --port 8080

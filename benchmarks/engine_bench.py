@@ -210,6 +210,12 @@ async def amain() -> dict:
     # 32.4 -> 57.3 sessions/chip); oversize batches split into pad-24 calls.
     os.environ.setdefault("SK_STT_PAD_TO", str(min(24, n_sessions)))
     os.environ.setdefault("SK_VAD_PAD_TO", str(n_sessions))
+    # gather windows: a padded decode call computes pad_to rows whether the
+    # batch is full or not — without a gather the mean decode batch measured
+    # 10.4 against pad 24 (2.3x padded-row waste). Finals tolerate 150 ms of
+    # coalescing; VAD blocks arrive half-staggered under full-speed feed.
+    os.environ.setdefault("SK_STT_GATHER_MS", "150")
+    os.environ.setdefault("SK_VAD_GATHER_MS", "25")
 
     batcher = DeviceBatcher(tick_ms=float(os.environ.get("SK_ENG_TICK_MS", 10)))
     batcher.start()

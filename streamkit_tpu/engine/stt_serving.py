@@ -354,7 +354,10 @@ class SttServingEngine:
             vad_slot=vad_slot,
             stream_id=stream_id,
             on_event=on_event,
-            seg=SpeechSegmenter(self.vad_threshold, self.min_silence_ms, self.max_segment_secs),
+            seg=SpeechSegmenter(
+                self.vad_threshold, self.min_silence_ms, self.max_segment_secs,
+                store_samples=False,  # finals decode from the device ring
+            ),
         )
         s.worker = asyncio.ensure_future(self._session_worker(s))
         self._workers.add(s.worker)

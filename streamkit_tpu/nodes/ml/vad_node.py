@@ -52,14 +52,20 @@ class SpeechSegmenter:
         min_silence_ms: float = 700.0,
         max_segment_secs: float = 30.0,
         pre_roll_frames: int = 2,
+        store_samples: bool = True,
     ) -> None:
         self.threshold = threshold
         self.min_silence_frames = int(min_silence_ms / 1000.0 * _SR / VAD_FRAME)
         self.max_segment_frames = int(max_segment_secs * _SR / VAD_FRAME)
         self.pre_roll_frames = pre_roll_frames
+        # serving engines decode from the device-resident audio ring and only
+        # consume (start_frame, end_frame) — buffering every frame plus a
+        # segment-sized concatenate per close is pure host waste there
+        self.store_samples = store_samples
         self.in_speech = False
         self._silence_run = 0
         self._segment: List[np.ndarray] = []
+        self._segment_frames = 0
         self._pre_roll: List[np.ndarray] = []
         self._segment_start_frame = 0
         self._frame_idx = 0
@@ -72,36 +78,58 @@ class SpeechSegmenter:
             if prob >= self.threshold:
                 self.in_speech = True
                 self._silence_run = 0
-                self._segment = list(self._pre_roll) + [frame]
-                self._segment_start_frame = self._frame_idx - 1 - len(self._pre_roll)
+                pre = (
+                    len(self._pre_roll)
+                    if self.store_samples
+                    else getattr(self, "_pre_roll_len", 0)
+                )
+                if self.store_samples:
+                    self._segment = list(self._pre_roll) + [frame]
+                self._pre_roll_len = 0
+                self._segment_frames = pre + 1
+                self._segment_start_frame = self._frame_idx - self._segment_frames
                 events.append(("speech_start", None, self._segment_start_frame, None))
-            else:
+            elif self.store_samples:
                 self._pre_roll.append(frame)
                 if len(self._pre_roll) > self.pre_roll_frames:
                     self._pre_roll.pop(0)
+            else:
+                # frame data isn't kept; only the pre-roll LENGTH matters for
+                # start-frame accounting
+                self._pre_roll_len = min(
+                    getattr(self, "_pre_roll_len", 0) + 1, self.pre_roll_frames
+                )
         else:
-            self._segment.append(frame)
+            if self.store_samples:
+                self._segment.append(frame)
+            self._segment_frames += 1
             if prob < self.threshold:
                 self._silence_run += 1
             else:
                 self._silence_run = 0
             if (
                 self._silence_run >= self.min_silence_frames
-                or len(self._segment) >= self.max_segment_frames
+                or self._segment_frames >= self.max_segment_frames
             ):
                 events.append(self._close_segment())
         return events
 
     def flush(self):
-        return [self._close_segment()] if self.in_speech and self._segment else []
+        return [self._close_segment()] if self.in_speech and self._segment_frames else []
 
     def _close_segment(self):
-        samples = np.concatenate(self._segment) if self._segment else np.zeros(0, np.float32)
+        samples = (
+            np.concatenate(self._segment)
+            if self._segment
+            else np.zeros(0, np.float32)
+        )
         start = self._segment_start_frame
         end = self._frame_idx
         self.in_speech = False
         self._segment = []
+        self._segment_frames = 0
         self._pre_roll = []
+        self._pre_roll_len = 0
         self._silence_run = 0
         return ("speech_end", samples, start, end)
 

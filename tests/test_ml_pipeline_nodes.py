@@ -8,6 +8,8 @@ import struct
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from streamkit_tpu.api import compile_yaml
 from streamkit_tpu.core import NodeRegistry, ResourceManager
 from streamkit_tpu.engine import run_oneshot_pipeline

@@ -7,6 +7,8 @@ import asyncio
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from streamkit_tpu.moq import MoqRelay, init_moq_relay
 
 

@@ -26,6 +26,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 MARIAN = os.environ.get("SK_MARIAN_WEIGHTS", "")
 NLLB = os.environ.get("SK_NLLB_WEIGHTS", "")
 VITS = os.environ.get("SK_VITS_WEIGHTS", "")

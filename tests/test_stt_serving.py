@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from streamkit_tpu.engine.ingest import ingest_available
 
 needs_lib = pytest.mark.skipif(not ingest_available(), reason="libskit_ingest.so not built")

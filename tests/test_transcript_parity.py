@@ -17,6 +17,8 @@ import wave
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 WEIGHTS = os.environ.get("SK_WHISPER_WEIGHTS", "")
 AUDIO = os.environ.get(
     "SK_PARITY_AUDIO",

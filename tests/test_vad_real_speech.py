@@ -17,6 +17,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _SAMPLE = "/root/reference/samples/audio/system/speech_2m.opus"
 
 

@@ -7,6 +7,8 @@ with all noise sources zeroed (deterministic synthesis)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 torch = pytest.importorskip("torch")

@@ -5,6 +5,8 @@ weights, no network), KV-cache decode consistency, greedy decode mechanics."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -6,6 +6,8 @@ continuation invariance."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
