@@ -161,7 +161,13 @@ async def main_cpp():
     seconds = float(os.environ.get("SK_LAT_SECONDS", "30"))
     final_mode = os.environ.get("SK_LAT_FINAL", "stream")
     os.environ.setdefault("SK_STREAM_PAD", str(n_sessions))
-    # SK_STREAM_GATHER_MS: leave the engine default (0.8x block period) —
+    # measured A/B at 64 sessions, large-v3, real v5e (round 4): gather
+    # 240 ms (~1 block period — cohorts re-merge instead of alternating)
+    # + 2 decode steps/tick beat the 205 ms/3-step default 399.5 -> 322 ms
+    # p50. steps=1 stalls decode progress entirely (no transcripts).
+    os.environ.setdefault("SK_STREAM_GATHER_MS", "240")
+    os.environ.setdefault("SK_STREAM_STEPS", "2")
+    # (engine default would be 0.8x block period) —
     # `expected` coalescing fires full batches instantly when healthy
     os.environ.setdefault("SK_STREAM_SLOTS", str(max(64, n_sessions)))
     os.environ.setdefault("SK_RING_SLOTS", str(max(128, n_sessions + 8)))
