@@ -102,15 +102,43 @@ async def metrics_handler(request: web.Request) -> web.Response:
 
 
 async def profile_cpu(request: web.Request) -> web.Response:
+    """CPU profile. ``format`` selects the profiler and rendering:
+
+    * ``collapsed`` (default) — sampling profiler over ALL threads
+      (executors included), collapsed-stack flamegraph lines
+      (reference parity: profiling.rs serves flamegraphs);
+    * ``pprof`` — same samples as gzipped pprof protobuf
+      (``go tool pprof``-readable);
+    * ``pstats`` — legacy cProfile over the event-loop thread only
+      (deterministic tracing; keeps the round-1 behavior reachable).
+    """
     duration = min(60.0, float(request.query.get("duration_secs", 5)))
-    profiler = cProfile.Profile()
-    profiler.enable()
-    await asyncio.sleep(duration)
-    profiler.disable()
-    buf = io.StringIO()
-    stats = pstats.Stats(profiler, stream=buf)
-    stats.sort_stats("cumulative").print_stats(50)
-    return web.Response(text=buf.getvalue(), content_type="text/plain")
+    fmt = request.query.get("format", "collapsed")
+    if fmt == "pstats":
+        profiler = cProfile.Profile()
+        profiler.enable()
+        await asyncio.sleep(duration)
+        profiler.disable()
+        buf = io.StringIO()
+        stats = pstats.Stats(profiler, stream=buf)
+        stats.sort_stats("cumulative").print_stats(50)
+        return web.Response(text=buf.getvalue(), content_type="text/plain")
+    if fmt not in ("collapsed", "pprof"):
+        raise web.HTTPBadRequest(text="format must be collapsed|pprof|pstats")
+    from .profiling import sample_stacks, to_collapsed, to_pprof
+
+    hz = min(1000.0, float(request.query.get("hz", 100)))
+    loop = asyncio.get_running_loop()
+    counts, n, period = await loop.run_in_executor(
+        None, sample_stacks, duration, hz
+    )
+    if fmt == "pprof":
+        return web.Response(
+            body=to_pprof(counts, n, period),
+            content_type="application/octet-stream",
+            headers={"Content-Disposition": "attachment; filename=profile.pb.gz"},
+        )
+    return web.Response(text=to_collapsed(counts), content_type="text/plain")
 
 
 async def profile_device(request: web.Request) -> web.Response:
