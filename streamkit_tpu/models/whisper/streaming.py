@@ -324,17 +324,48 @@ def _write_chunks(cache, cands, ids, pos, commit, n_chunks: int, sorted_rows: bo
     rows = jnp.broadcast_to(ids[:, None], (b, n_chunks))
     cols = (pos[:, None] + j * CHUNK_POS) % T
     if sorted_rows and b == S:
-        # identity mode (row b IS slot b): one-hot select merge — no
-        # scatter at all (see _select_merge_chunks for the profile)
+        # identity mode (row b IS slot b): no scatter at all. On TPU the
+        # write is a Pallas 2×128-column read-modify-write per row
+        # (ops/cache_write.py — ~20× less traffic than the select merge);
+        # elsewhere (CPU tests, sharded meshes) the one-hot select merge
+        # (_select_merge_chunks) executes the identical semantics.
+        from ...ops import cache_write
+
         upd_c = jnp.concatenate(
             [upd[:, jj] for jj in range(n_chunks)], axis=-1
         )  # [B, L, H, hd, c] time-minor candidate columns
-        new_arr = _select_merge_chunks(arr, upd_c, pos, commit, n_chunks)
+        c_cols = upd_c.shape[-1]
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("SK_PALLAS_WRITES", "1") == "1"
+            and cache_write.supports(T, c_cols)
+        )
+        lim = (
+            jnp.full((S,), c_cols, jnp.int32)
+            if commit is None
+            else jnp.minimum(CHUNK_POS * commit, c_cols)
+        )
+        if use_pallas:
+            new_arr = cache_write.windowed_write(
+                arr.reshape(S, L * H * hd, T),
+                upd_c.reshape(S, L * H * hd, c_cols),
+                pos, lim,
+            ).reshape(S, L, H, hd, T)
+        else:
+            new_arr = _select_merge_chunks(arr, upd_c, pos, commit, n_chunks)
         if not quant:
             return new_arr
         cs = jnp.stack([c[1] for c in cands])  # [L,B,H,c]
         supd = jnp.transpose(cs, (1, 0, 2, 3))  # [B, L, H, c]
-        new_sc = _select_merge_scales(cache[1], supd, pos, commit, n_chunks)
+        if use_pallas:
+            sc = cache[1]
+            new_sc = cache_write.windowed_write(
+                sc.reshape(S, L * H, T),
+                supd.reshape(S, L * H, c_cols),
+                pos, lim, fb=L * H,
+            ).reshape(S, L, H, T)
+        else:
+            new_sc = _select_merge_scales(cache[1], supd, pos, commit, n_chunks)
         return new_arr, new_sc
     if commit is not None:
         flat = jnp.arange(b * n_chunks, dtype=jnp.int32).reshape(b, n_chunks)
