@@ -5,7 +5,7 @@
 PY ?= python
 CPU_ENV = JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 
-.PHONY: all test test-fast native fixtures docs serve bench bench-model latency lt e2e clean
+.PHONY: all test test-fast native fixtures docs serve bench bench-model latency lt e2e licenses clean
 
 all: native fixtures
 
@@ -47,6 +47,9 @@ lt:                ## quick load-test preset against a local server
 
 e2e:               ## browser e2e (needs playwright + chromium)
 	$(PY) e2e/run.py
+
+licenses:          ## third-party license inventory + policy gate (cargo-deny analog)
+	$(PY) tools/licenses.py
 
 clean:
 	$(MAKE) -C native clean
