@@ -422,7 +422,16 @@ class SttServingEngine:
                 s = self._sessions.get(k)
                 if s is not None and not s.awaiting_final:
                     expected += 1
-            self.batcher.set_expected(self._sstep_kind, expected)
+            # SK_STREAM_COHORTS=n splits each block period's fused batch
+            # into n deliberate cohorts: the batch fires at ceil(active/n)
+            # instead of waiting for every co-paced session, trading batch
+            # fullness for gather wait (the device call is ~batch-size-
+            # insensitive, so 2 phase-locked half-calls per period can beat
+            # 1 full call + stragglers — measured A/B, PERF_NOTES round 4)
+            cohorts = max(1, int(os.environ.get("SK_STREAM_COHORTS", "1")))
+            self.batcher.set_expected(
+                self._sstep_kind, -(-expected // cohorts) if expected else 0
+            )
 
     async def _session_worker(self, s: _Session) -> None:
         try:

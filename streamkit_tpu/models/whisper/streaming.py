@@ -530,6 +530,43 @@ def _encode_core(
     return ek, ev, xkr, xvr, pos_rows + adv
 
 
+def _fold_cols(cache5, delta5, pos, count):
+    """Fold per-step delta columns into a cache: ``cache[b, ...,
+    pos[b]+i] = delta[b, ..., i]`` for ``i < count[b]``. One Pallas
+    windowed write on TPU; the equivalent one-hot select merge elsewhere
+    (same semantics as :func:`_select_merge_chunks`, generic column
+    count)."""
+    from ...ops import cache_write
+
+    B = cache5.shape[0]
+    F = int(np.prod(cache5.shape[1:-1]))
+    T = cache5.shape[-1]
+    c = delta5.shape[-1]
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("SK_PALLAS_WRITES", "1") == "1"
+        and cache_write.supports(T, c)
+    ):
+        return cache_write.windowed_write(
+            cache5.reshape(B, F, T), delta5.reshape(B, F, c),
+            pos, count, fb=min(F, 8192),
+        ).reshape(cache5.shape)
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    delta = (t_idx[None, :] - pos[:, None]) % T  # [B, T]
+    write = delta < jnp.minimum(count, c)[:, None]
+    onehot = (
+        delta[:, None, :] == jnp.arange(c, dtype=jnp.int32)[None, :, None]
+    ).astype(jnp.float32)  # [B, c, T]
+    cand = jnp.einsum(
+        "bxc,bct->bxt",
+        delta5.reshape(B, F, c).astype(jnp.float32),
+        onehot,
+        preferred_element_type=jnp.float32,
+    ).astype(cache5.dtype)
+    bcast = write.reshape((B,) + (1,) * (cache5.ndim - 2) + (T,))
+    return jnp.where(bcast, cand.reshape(cache5.shape), cache5)
+
+
 def _decode_core(
     params: Params,
     cfg: WhisperConfig,
@@ -559,10 +596,15 @@ def _decode_core(
     (scan-variant reads are unavoidable — each new token attends again),
     so the read must be free of gathers/transposes: identity mode slices
     the canonical cache directly into the score matmul. Decoder self K/V
-    rows ride the scan carry as b-major working copies (the table itself
-    in identity mode — no gather, no write-back); per-step appends are one
-    windowed scatter per kind (inactive rows point their column out of
-    bounds and drop)."""
+    history is a LOOP INVARIANT: per-step writes go to a tiny delta
+    buffer ``[B, Ld, H, hd, max_steps]`` at the UNIFORM column = step
+    index (one cheap dynamic_update_slice — every active row's write
+    column advances in lockstep: feed_idx == feed0 + step), and the
+    deltas fold into the big cache ONCE after the scan at each row's
+    start column. The previous form carried the full caches through the
+    scan and select-appended per step — a full read+write of both
+    multi-GB buffers per step (4 ms/step at 64 slots, v5e) plus 4×2 ms
+    carry relayout copies in/out of the loop."""
     d = params["dec"]
     dtype = params["enc"]["pos"].dtype
     eot = jnp.int32(cfg.token_eot)
@@ -591,21 +633,31 @@ def _decode_core(
     ).astype(jnp.float32)[:, None, None, :]
     dcol = jnp.arange(dec_t, dtype=jnp.int32)
 
+    # every active row's feed column advances in lockstep from feed0 (the
+    # append logic increments fed exactly once per active step), so the
+    # in-call writes live at delta columns 0..max_steps-1 — uniform across
+    # rows — and the big caches stay loop-invariant
+    feed0 = jnp.maximum(jnp.minimum(fed_r, n_r - 1), 0)
+    smask0 = jnp.where(
+        dcol[None, :] < feed0[:, None], 0.0, -jnp.inf
+    ).astype(jnp.float32)[:, None, None, :]
+    kd0 = jnp.zeros((b, Ld, Ht, hd, max_steps), dtype)
+    vd0 = jnp.zeros((b, Ld, Ht, hd, max_steps), dtype)
+    scol = jnp.arange(max_steps, dtype=jnp.int32)
+
     def step(carry, _):
-        dkl, dvl, tok, fed_r, n_r, done = carry
+        i, kd, vd, tok, fed_r, n_r, done, fold_n = carry
         active = jnp.logical_and(~done, jnp.logical_and(n_r > 0, ep > 0))
-        feed_idx = jnp.minimum(fed_r, n_r - 1)
-        feed_idx = jnp.maximum(feed_idx, 0)
+        fold_n = fold_n + active.astype(jnp.int32)
+        feed_idx = jnp.minimum(feed0 + i, dec_t - 1)
         cur = tok[bi, feed_idx]
         x = d["tok_emb"][cur][:, None, :] + d["pos_emb"][feed_idx][:, None, :]
         x = x.astype(dtype)
-        dk5 = dkl
-        dv5 = dvl
-        # split self-attention: history (local rows, col < feed_idx) +
-        # the current token's fresh K/V — no cache copies, no reads-back
-        smask = jnp.where(
-            dcol[None, :] < feed_idx[:, None], 0.0, -jnp.inf
-        ).astype(jnp.float32)[:, None, None, :]
+        # deltas valid for an active row at step i: exactly cols < i
+        # (done-ness is sticky, so an active row was active at every j < i)
+        dmask = jnp.where(scol < i, 0.0, -jnp.inf).astype(jnp.float32).reshape(
+            1, 1, 1, max_steps
+        )
         kcols, vcols = [], []
         for li, layer in enumerate(d["layers"]):
             h = _layernorm(x, layer["ln1"])
@@ -617,13 +669,21 @@ def _decode_core(
             kcols.append(kcol)
             vcols.append(vcol)
             qs = q * scale
-            scores_h = jnp.matmul(qs, dk5[:, li] * scale, preferred_element_type=jnp.float32)
+            # split self-attention: invariant history (col < feed0) +
+            # this call's deltas (col < i) + the current token's fresh K/V
+            scores_h = jnp.matmul(qs, dkl[:, li] * scale, preferred_element_type=jnp.float32)
+            scores_d = jnp.matmul(qs, kd[:, li] * scale, preferred_element_type=jnp.float32)
             scores_c = jnp.matmul(qs, kcol * scale, preferred_element_type=jnp.float32)
-            scores = jnp.concatenate([scores_h + smask, scores_c], axis=-1)
+            scores = jnp.concatenate(
+                [scores_h + smask0, scores_d + dmask, scores_c], axis=-1
+            )
             probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-            p_h, p_c = probs[..., :dec_t], probs[..., dec_t:]
+            p_h = probs[..., :dec_t]
+            p_d = probs[..., dec_t : dec_t + max_steps]
+            p_c = probs[..., dec_t + max_steps :]
             attn = (
-                jnp.einsum("bhqt,bhdt->bhqd", p_h, dv5[:, li], preferred_element_type=jnp.float32)
+                jnp.einsum("bhqt,bhdt->bhqd", p_h, dvl[:, li], preferred_element_type=jnp.float32)
+                + jnp.einsum("bhqt,bhdt->bhqd", p_d, vd[:, li], preferred_element_type=jnp.float32)
                 + jnp.einsum("bhqt,bhdt->bhqd", p_c, vcol, preferred_element_type=jnp.float32)
             ).astype(dtype)
             x = x + _dense(_merge_heads(attn), layer["attn"]["o"])
@@ -639,20 +699,13 @@ def _decode_core(
             xa = _attend_rows(xp, xv_li, dtype).astype(dtype)
             x = x + _dense(_merge_heads(xa), layer["xattn"]["o"])
             x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
-        # deferred self-K/V append: ONE windowed scatter per kind, window
-        # [Ld, H, hd, 1] spanning all layers (B index pairs); inactive rows
-        # point their column out of bounds → dropped
+        # delta append: ONE uniform-column dynamic_update_slice per kind
+        # (column = step index; inactive rows write dead lanes that the
+        # fold's per-row count skips)
         kstk = jnp.stack(kcols, axis=1)  # [B, Ld, H, hd, 1]
         vstk = jnp.stack(vcols, axis=1)
-        # single-column append as a masked select (broadcast over T): the
-        # scatter form serialized into a 64-iteration while-loop per step
-        # per kind on TPU (10.8 ms each, profiled; 65 ms/call at steps=3);
-        # the select is one fused read+write pass of the dec cache
-        wmask = jnp.logical_and(
-            active[:, None], dcol[None, :] == feed_idx[:, None]
-        )[:, None, None, None, :]  # [B,1,1,1,dec_t]
-        dkl = jnp.where(wmask, kstk, dkl)
-        dvl = jnp.where(wmask, vstk, dvl)
+        kd = jax.lax.dynamic_update_slice_in_dim(kd, kstk, i, axis=4)
+        vd = jax.lax.dynamic_update_slice_in_dim(vd, vstk, i, axis=4)
         xfin = _layernorm(x, d["ln"])
         logits = jnp.matmul(
             xfin[:, 0], d["tok_emb"].T.astype(dtype), preferred_element_type=jnp.float32
@@ -674,12 +727,24 @@ def _decode_core(
         n_new = n_r + append.astype(jnp.int32)
         done = jnp.logical_or(done, jnp.logical_and(proposing, ~append))
         done = jnp.logical_or(done, ~active)
-        return (dkl, dvl, tok, fed_new, n_new, done), None
+        return (i + 1, kd, vd, tok, fed_new, n_new, done, fold_n), None
 
     done0 = ~active0
-    (dkl, dvl, tok, fed_r, n_r, _), _ = jax.lax.scan(
-        step, (dkl, dvl, tok, fed_r, n_r, done0), None, length=max_steps
+    (_, kd, vd, tok, fed_r, n_r, _, fold_n), _ = jax.lax.scan(
+        step,
+        (
+            jnp.int32(0), kd0, vd0, tok, fed_r, n_r, done0,
+            jnp.zeros((b,), jnp.int32),
+        ),
+        None,
+        length=max_steps,
     )
+    # fold the per-step delta columns into the big caches ONCE, at each
+    # row's start column. fold_n counts ACTIVE steps per row — a row that
+    # never stepped folds nothing (its fed/feed0 gap says nothing: a row
+    # entering caught-up-and-done has fed == n > feed0)
+    dkl = _fold_cols(dkl, kd, feed0, fold_n)
+    dvl = _fold_cols(dvl, vd, feed0, fold_n)
     if identity:
         dk, dv = dkl, dvl
     else:
