@@ -372,3 +372,59 @@ def test_staged_changes_validate_and_apply_batch(browser, wav_path):
             el.dispatch("click")
             break
     browser.pump(1.0)
+
+
+def test_wire_drag_type_compatibility_highlighting(browser):
+    """While a wire is dragged from an output port, compatible input ports
+    glow and incompatible ones dim (reference packetTypeRegistry UX) —
+    resolved client-side incl. passthrough chains."""
+    from streamkit_tpu.utils.mjs import JSObject
+
+    browser.eval("ed.nodes = []; ed.edges = []; ed.sel = null; ed.render()")
+    svg = browser.by_id("editor")
+
+    def drop(kind, x, y):
+        dt = JSObject()
+        dt["getData"] = lambda *_a: kind
+        svg.dispatch("drop", {"offsetX": x, "offsetY": y, "dataTransfer": dt})
+
+    drop("audio::gain", 60, 40)       # produces passthrough (unresolved)
+    drop("audio::resampler", 60, 160)  # accepts raw_audio
+    drop("core::text_chunker", 220, 160)  # accepts text/transcription/binary
+    browser.pump(0.2)
+
+    # direct unit probes of the client-side resolver
+    assert browser.eval(
+        "ed.typesConnect({type:'raw_audio'}, {type:'raw_audio'})"
+    ) is True
+    assert browser.eval(
+        "ed.typesConnect({type:'raw_audio'}, {type:'text'})"
+    ) is False
+    assert browser.eval(
+        "ed.typesConnect({type:'raw_audio', format:{sample_rate:48000, channels:0, sample_format:'f32'}},"
+        " {type:'raw_audio', format:{sample_rate:16000, channels:0, sample_format:'f32'}})"
+    ) is False
+    assert browser.eval(
+        "ed.typesConnect({type:'custom', type_id:'a/b@1'}, {type:'custom', type_id:'a/*'})"
+    ) is True
+    assert browser.eval("ed.typesConnect({type:'any'}, {type:'text'})") is True
+
+    # drag a wire from the resampler's raw_audio output: text_chunker's
+    # input (text/transcription/binary) must dim, gain's raw_audio glows
+    rs = browser.eval("ed.nodes.find((n) => n.kind === 'audio::resampler').id")
+    browser.eval(
+        f"ed.wire = {{from: '{rs}', fromPin: 'out', x: 0, y: 0}}; ed.render()"
+    )
+    good = browser.eval(
+        "ed.wireAccepts(ed.nodes.find((n) => n.kind === 'audio::gain'), 'in')"
+    )
+    bad = browser.eval(
+        "ed.wireAccepts(ed.nodes.find((n) => n.kind === 'core::text_chunker'), 'in')"
+    )
+    assert good is True and bad is False
+    # and the rendered ports reflect it (dimmed port has reduced opacity)
+    ports = browser.by_id("editor").query_selector_all("[data-inport]")
+    dimmed = [p for p in ports if p.attrs.get("opacity") == "0.45"]
+    glowing = [p for p in ports if p.attrs.get("stroke") == "#7fd1b9"]
+    assert dimmed and glowing
+    browser.eval("ed.wire = null; ed.render()")
