@@ -239,6 +239,33 @@ async def main_cpp():
     batcher_stats = eng.batcher.stats()
     await eng.stop()
 
+    if eng.trace_blocks:
+        # stage decomposition (SK_STT_TRACE=1): where a block's latency
+        # actually goes — worker-queue wait, gather wait, call, fan-out
+        tb = np.asarray(eng.trace_blocks, np.float64)  # sid, arr, deq, sub, ret
+        tc = np.asarray(eng.trace_calls, np.float64)  # t_in, batch, t_fetch, t_end
+
+        def pct(x):
+            x = np.sort(x)
+            return [round(float(x[int(len(x) * q)]) * 1000, 1) for q in (0.5, 0.9)]
+
+        stages = {
+            "arr_to_dequeue": pct(tb[:, 2] - tb[:, 1]),
+            "dequeue_to_submit": pct(tb[:, 3] - tb[:, 2]),
+            "submit_to_return": pct(tb[:, 4] - tb[:, 3]),
+            "call_repack_plus_step": pct(tc[:, 2] - tc[:, 0]),
+            "call_fetch": pct(tc[:, 3] - tc[:, 2]),
+            "call_total": pct(tc[:, 3] - tc[:, 0]),
+        }
+        print(
+            "# trace stages ms [p50, p90]: "
+            + json.dumps(stages)
+            + f" calls={len(tc)} mean_rows={tc[:, 1].mean():.1f}",
+            file=sys.stderr, flush=True,
+        )
+        np.save("/tmp/stt_trace_blocks.npy", tb)
+        np.save("/tmp/stt_trace_calls.npy", tc)
+
     lat_partial: list = []
     lat_final: list = []
     for i, evs in events.items():

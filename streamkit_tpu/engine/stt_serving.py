@@ -153,6 +153,17 @@ class SttServingEngine:
         self._sstep_kind = None
         self._stt_kind = None
         self._stream_steps = int(os.environ.get("SK_STREAM_STEPS", "3"))
+        # SK_STT_TRACE=1: per-block stage timestamps (arrival→dequeue→
+        # submit→return) + per-fused-call (start, batch, end) — the
+        # latency-debug instrument behind the <300 ms north star. Rows:
+        # blocks: (sid, arrival_mono, t_dequeue, t_submit, t_return)
+        # calls:  (t_start, batch_rows, t_end)
+        self.trace_blocks: Optional[list] = (
+            [] if os.environ.get("SK_STT_TRACE") == "1" else None
+        )
+        self.trace_calls: Optional[list] = (
+            [] if os.environ.get("SK_STT_TRACE") == "1" else None
+        )
 
     # -- lifecycle -----------------------------------------------------------
     async def start(self) -> None:
@@ -233,6 +244,8 @@ class SttServingEngine:
         trash = self._trash_slot
         n_slots = tbl.max_slots
 
+        trace_calls = self.trace_calls
+
         def batched_sstep(meta, frames):
             # meta [b, 11] HOST arrays (host_inputs kind): scatter rows into
             # slot order so the fused step runs in IDENTITY mode — batch row
@@ -242,6 +255,7 @@ class SttServingEngine:
             # absent sessions' state is untouched (commit-guarded writes).
             from .audio_ring import pcm_to_wire
 
+            t_in = time.monotonic() if trace_calls is not None else 0.0
             perm = meta[:, 1].astype(np.int64)
             meta_s = np.zeros((n_slots, meta.shape[1]), np.int32)
             meta_s[:, 0] = trash
@@ -255,7 +269,10 @@ class SttServingEngine:
                 frames_s, self._stream_steps,
             )
             # ONE fetch, then map rows back to submission order on the host
+            t_fetch = time.monotonic() if trace_calls is not None else 0.0
             probs, tok_rows, n_rows, pos_new = jax.device_get(out)
+            if trace_calls is not None:
+                trace_calls.append((t_in, meta.shape[0], t_fetch, time.monotonic()))
             return probs[perm], tok_rows[perm], n_rows[perm], pos_new[perm]
 
         stream_pad = int(os.environ.get("SK_STREAM_PAD", str(min(64, self._tbl.max_slots))))
@@ -439,8 +456,8 @@ class SttServingEngine:
                 item = await s.q.get()
                 if item is None:
                     break
-                _arrival_ns, block = item
-                await self._handle_block(s, block)
+                arrival_ns, block = item
+                await self._handle_block(s, block, arrival_ns)
             # stream flush: close any open segment
             for ev in s.seg.flush():
                 await self._segment_closed(s, ev[2], ev[3], flush=True)
@@ -449,7 +466,8 @@ class SttServingEngine:
             self._ring.free(s.vad_slot)
             self._sessions.pop(s.sid, None)
 
-    async def _handle_block(self, s: _Session, block: np.ndarray) -> None:
+    async def _handle_block(self, s: _Session, block: np.ndarray, arrival_ns: int = 0) -> None:
+        t_deq = time.monotonic() if self.trace_blocks is not None else 0.0
         block2 = block.reshape(self.vad_block, VAD_FRAME)
         # plan the fused step (same cursor math as the whisper node)
         if s.seg.in_speech and s.st_ready:
@@ -485,9 +503,14 @@ class SttServingEngine:
                 self._prefix,
             ]
         )
+        t_sub = time.monotonic() if self.trace_blocks is not None else 0.0
         probs, tok_row, ntk, _ = await self.batcher.submit(
             self._sstep_kind, meta_row, block2
         )
+        if self.trace_blocks is not None:
+            self.trace_blocks.append(
+                (s.sid, arrival_ns / 1e9, t_deq, t_sub, time.monotonic())
+            )
         s.written += block.size
         s.st_tip += n_req * CHUNK_SAMPLES
         s.st_pos += n_req * 8
