@@ -116,23 +116,40 @@ async def run_session(idx: int, model_size: str, audio, batcher, counts: list, o
         return ctx
 
     if opus:
-        from streamkit_tpu.nodes.audio.filters import ResamplerNode
         from streamkit_tpu.nodes.codecs.opus import OpusDecoderNode
 
         in_ch = Channel(256)
-        dec_out = Channel(64)
-        rs_out = Channel(64)
-        chans = [in_ch, dec_out, rs_out]
-        spawn(OpusDecoderNode({"channels": 1}), f"dec{idx}", in_ch, dec_out)
-        spawn(
-            # host backend: 20 ms live chunks at high session counts must not
-            # pay a per-chunk device dispatch (see ResamplerNode docstring)
-            ResamplerNode(
-                {"target_sample_rate": 16000, "output_frame_size": 0, "backend": "host"}
-            ),
-            f"rs{idx}", dec_out, rs_out,
-        )
-        stt_ctx = spawn(node, f"stt{idx}", rs_out, out_ch)
+        fused = os.environ.get("SK_ENG_FUSE", "1") == "1"
+        if fused:
+            # the compiled form: the YAML compiler's fuse-decode-resample
+            # pass rewrites decoder(48k) -> resampler(16k, frame_size 0)
+            # into ONE decoder natively synthesizing 16 kHz
+            # (yaml_compiler.py _fuse_decode_resample; exercised by
+            # test_yaml_compiler.py) — the bench spawns what the compiler
+            # emits for the reference STT chain
+            dec_out = Channel(64)
+            chans = [in_ch, dec_out]
+            spawn(
+                OpusDecoderNode({"channels": 1, "sample_rate": 16000}),
+                f"dec{idx}", in_ch, dec_out,
+            )
+            stt_ctx = spawn(node, f"stt{idx}", dec_out, out_ch)
+        else:
+            from streamkit_tpu.nodes.audio.filters import ResamplerNode
+
+            dec_out = Channel(64)
+            rs_out = Channel(64)
+            chans = [in_ch, dec_out, rs_out]
+            spawn(OpusDecoderNode({"channels": 1}), f"dec{idx}", in_ch, dec_out)
+            spawn(
+                # host backend: 20 ms live chunks at high session counts must
+                # not pay a per-chunk device dispatch (ResamplerNode docstring)
+                ResamplerNode(
+                    {"target_sample_rate": 16000, "output_frame_size": 0, "backend": "host"}
+                ),
+                f"rs{idx}", dec_out, rs_out,
+            )
+            stt_ctx = spawn(node, f"stt{idx}", rs_out, out_ch)
 
         async def feeder():
             for i, pkt in enumerate(audio):
@@ -277,7 +294,14 @@ async def amain() -> dict:
         file=sys.stderr,
         flush=True,
     )
-    ingress = "opus-in (decode 48k + resample 16k)" if use_opus else "pcm-in"
+    if use_opus:
+        ingress = (
+            "opus-in (fused native 16k decode, compiler fuse pass)"
+            if os.environ.get("SK_ENG_FUSE", "1") == "1"
+            else "opus-in (decode 48k + resample 16k)"
+        )
+    else:
+        ingress = "pcm-in"
     return {
         "metric": f"sustained realtime whisper-{model_size} sessions/chip through the "
         f"dynamic engine ({ingress} -> finals-out, 20ms packets, VAD rings + "

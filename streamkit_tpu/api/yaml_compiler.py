@@ -53,8 +53,69 @@ def compile_pipeline_dict(doc: dict) -> Pipeline:
         raise ConfigurationError("pipeline must have exactly one of 'steps' or 'nodes'")
 
     if has_steps:
-        return _compile_steps(name, description, mode, doc["steps"])
-    return _compile_dag(name, description, mode, doc["nodes"])
+        p = _compile_steps(name, description, mode, doc["steps"])
+    else:
+        p = _compile_dag(name, description, mode, doc["nodes"])
+    # operator fusion (the TPU-framework move applied to the host data
+    # plane): `optimize: false` keeps the literal graph
+    if doc.get("optimize", True):
+        _fuse_decode_resample(p)
+    return p
+
+
+# opus decoders natively synthesize at these rates (RFC 6716 §2) — see
+# OpusDecoderNode.sample_rate
+_OPUS_NATIVE_RATES = (8000, 12000, 16000, 24000, 48000)
+
+
+def _fuse_decode_resample(p: Pipeline) -> None:
+    """Fuse ``audio::opus::decoder → audio::resampler`` into one decoder
+    running natively at the resampler's target rate.
+
+    Valid only when the pair is exclusively wired out→in, the target is an
+    Opus-native rate, the decoder is at its default 48 kHz, and the
+    resampler does no frame-size regularization (``output_frame_size: 0``
+    — with the default 960 it re-chunks the stream, which the decoder's
+    per-packet output would not preserve). Saves the resample stage and a
+    per-packet channel hop per session — measured as a material share of
+    the 1-core ingress budget at 128 live sessions (PERF_NOTES round 4)."""
+    while True:
+        fused = False
+        for c in list(p.connections):
+            a = p.nodes.get(c.from_node)
+            b = p.nodes.get(c.to_node)
+            if (
+                a is None or b is None
+                or a.kind != "audio::opus::decoder"
+                or b.kind != "audio::resampler"
+                or c.from_pin != "out" or c.to_pin != "in"
+            ):
+                continue
+            ap = a.params or {}
+            bp = b.params or {}
+            target = bp.get("target_sample_rate")
+            if (
+                target not in _OPUS_NATIVE_RATES
+                or int(ap.get("sample_rate", 48000)) != 48000
+                or int(bp.get("output_frame_size", 960)) != 0
+            ):
+                continue
+            # exclusivity: decoder.out feeds only this resampler; the
+            # resampler has no other inputs
+            outs = [x for x in p.connections if x.from_node == c.from_node]
+            ins = [x for x in p.connections if x.to_node == c.to_node]
+            if len(outs) != 1 or len(ins) != 1:
+                continue
+            a.params = dict(ap, sample_rate=int(target))
+            p.connections.remove(c)
+            for x in p.connections:
+                if x.from_node == c.to_node:
+                    x.from_node = c.from_node
+            del p.nodes[c.to_node]
+            fused = True
+            break
+        if not fused:
+            return
 
 
 # ---------------------------------------------------------------------------

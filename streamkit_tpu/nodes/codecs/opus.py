@@ -232,26 +232,47 @@ class OpusEncoder:
 
 
 class OpusDecoderNode(ProcessorNode):
-    """OpusAudio → RawAudio 48 kHz f32 (``audio::opus::decoder``)."""
+    """OpusAudio → RawAudio f32 (``audio::opus::decoder``).
+
+    ``sample_rate`` (default 48000) selects the DECODE output rate: Opus
+    decoders natively synthesize at any of 8/12/16/24/48 kHz regardless of
+    the encode rate (RFC 6716 §2), so a decoder followed by a resampler to
+    one of those rates collapses into one node — the YAML compiler's
+    fuse-decode-resample pass does exactly that (yaml_compiler.py), saving
+    the resample stage AND the per-packet channel hop, and the low-rate
+    synthesis itself is cheaper than 48 kHz. The reference's decoder is
+    fixed at 48 kHz (``audio/codecs/opus.rs:102-140``); this exceeds it."""
 
     KIND = "audio::opus::decoder"
 
+    NATIVE_RATES = (8000, 12000, 16000, 24000, 48000)
+
     def __init__(self, params: Optional[dict]) -> None:
-        cfg = parse_config_optional(params, {"channels": 1})
+        cfg = parse_config_optional(params, {"channels": 1, "sample_rate": 48000})
         self.channels = int(cfg["channels"])
+        self.sample_rate = int(cfg["sample_rate"])
+        if self.sample_rate not in self.NATIVE_RATES:
+            raise ConfigurationError(
+                f"opus cannot decode at {self.sample_rate} Hz "
+                f"(native rates: {self.NATIVE_RATES})"
+            )
 
     def input_pins(self) -> List[InputPin]:
         return [InputPin("in", [PacketType.opus_audio()])]
 
     def output_pins(self) -> List[OutputPin]:
-        return [OutputPin("out", PacketType.raw_audio(AudioFormat(48000, self.channels)))]
+        return [
+            OutputPin(
+                "out", PacketType.raw_audio(AudioFormat(self.sample_rate, self.channels))
+            )
+        ]
 
     async def run(self, ctx: NodeContext) -> None:
         ctx.emit_state(NodeState.running())
         stats = NodeStatsTracker(ctx.node_name, ctx.stats_tx)
-        decoder = OpusDecoder(48000, self.channels)
+        decoder = OpusDecoder(self.sample_rate, self.channels)
         loop = asyncio.get_running_loop()
-        fmt = AudioFormat(48000, self.channels)
+        fmt = AudioFormat(self.sample_rate, self.channels)
 
         def decode_batch(packets):
             # ONE executor round trip for the whole greedy batch: a per-20 ms

@@ -177,3 +177,42 @@ def test_opus_batch_decode_matches_single():
         np.testing.assert_array_equal(a, b)
     if _batch_shim() is None:
         pytest.skip("native batch shim not built — fallback path verified only")
+
+
+def test_opus_native_rate_decode():
+    """The decoder node's sample_rate param decodes natively at 16 kHz
+    (RFC 6716: any of 8/12/16/24/48 k regardless of encode rate) — the
+    basis of the compiler's fuse-decode-resample pass."""
+    import numpy as np
+
+    from streamkit_tpu.core.errors import ConfigurationError
+    from streamkit_tpu.nodes.codecs.opus import (
+        OpusDecoder,
+        OpusDecoderNode,
+        OpusEncoder,
+    )
+
+    sr, f0 = 48000, 440.0
+    t = np.arange(sr, dtype=np.float32) / sr
+    pcm = (0.4 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    enc = OpusEncoder(sr, 1)
+    packets = [enc.encode(pcm[i : i + 960]) for i in range(0, sr - 960, 960)]
+
+    dec16 = OpusDecoder(16000, 1)
+    out = np.concatenate([dec16.decode(p) for p in packets])
+    # 20 ms packets -> 320 samples each at 16 kHz
+    assert len(out) == len(packets) * 320
+    # the 440 Hz tone survives: dominant DFT bin within 2 bins of 440
+    tail = out[len(out) // 2 :]
+    spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
+    peak_hz = np.argmax(spec[1:]) + 1
+    peak_hz = peak_hz * 16000 / len(tail)
+    assert abs(peak_hz - f0) < 15.0, peak_hz
+
+    node = OpusDecoderNode({"channels": 1, "sample_rate": 16000})
+    assert node.output_pins()[0].produces_type.audio_format.sample_rate == 16000
+    try:
+        OpusDecoderNode({"sample_rate": 22050})
+        raise AssertionError("22050 must be rejected")
+    except ConfigurationError:
+        pass

@@ -146,3 +146,44 @@ def test_reference_sample_pipelines_compile(path):
     assert p.nodes
     for c in p.connections:
         assert c.from_node in p.nodes and c.to_node in p.nodes
+
+
+FUSABLE_YAML = """
+mode: dynamic
+nodes:
+  src: {kind: "transport::http::fetcher", params: {url: "http://x/a.opus"}}
+  dec: {kind: "audio::opus::decoder", params: {channels: 1}, needs: src}
+  rs:
+    kind: "audio::resampler"
+    params: {target_sample_rate: 16000, output_frame_size: 0}
+    needs: dec
+  stt: {kind: "core::sink", needs: rs}
+"""
+
+
+def test_fuse_decode_resample():
+    """decoder -> resampler(16k, no frame regularization) fuses into one
+    decoder running natively at 16 kHz (Opus decodes at any RFC 6716
+    rate), rewiring downstream consumers."""
+    p = compile_yaml(FUSABLE_YAML)
+    assert "rs" not in p.nodes
+    assert p.nodes["dec"].params["sample_rate"] == 16000
+    edges = {(c.from_node, c.to_node) for c in p.connections}
+    assert ("dec", "stt") in edges and not any(x == "rs" for e in edges for x in e)
+
+
+def test_fuse_skipped_when_disabled_or_invalid():
+    # optimize: false keeps the literal graph
+    p = compile_yaml("optimize: false\n" + FUSABLE_YAML.strip())
+    assert "rs" in p.nodes
+    # frame-size regularization (default 960) blocks fusion
+    p = compile_yaml(FUSABLE_YAML.replace(", output_frame_size: 0", ""))
+    assert "rs" in p.nodes
+    # non-native target rate blocks fusion
+    p = compile_yaml(FUSABLE_YAML.replace("16000", "22050"))
+    assert "rs" in p.nodes
+    # fan-out from the decoder blocks fusion (exclusive pair only)
+    p = compile_yaml(
+        FUSABLE_YAML + '  tap: {kind: "core::sink", needs: dec}\n'
+    )
+    assert "rs" in p.nodes
