@@ -231,8 +231,12 @@ async def amain() -> dict:
     # batch is full or not — without a gather the mean decode batch measured
     # 10.4 against pad 24 (2.3x padded-row waste). Finals tolerate 150 ms of
     # coalescing; VAD blocks arrive half-staggered under full-speed feed.
-    os.environ.setdefault("SK_STT_GATHER_MS", "150")
-    os.environ.setdefault("SK_VAD_GATHER_MS", "25")
+    # throughput posture: finals tolerate queueing — a wide gather fills the
+    # padded decode batches (measured r4: 150 ms -> fullness 6.6/24 and 80
+    # ring calls once fused ingress sped arrivals; 600 ms -> 11.8/24, 45
+    # calls, 116 -> 130.6 sessions/chip)
+    os.environ.setdefault("SK_STT_GATHER_MS", "600")
+    os.environ.setdefault("SK_VAD_GATHER_MS", "45")
 
     batcher = DeviceBatcher(tick_ms=float(os.environ.get("SK_ENG_TICK_MS", 10)))
     batcher.start()
