@@ -52,7 +52,7 @@ the quality-sensitive cache). Quantization happens at append time, and
 attention *reads the quantized values* (XLA fuses the dequant into the
 matmul operand load, so HBM traffic per decode step is int8 — the
 bandwidth win is why this can also be slightly faster, not just smaller).
-Caches are **canonical matmul-native buffers** ``[S, L, H, hd, T]`` read
+Caches are **canonical matmul-native buffers** ``[L, S, H, hd, T]`` read
 by strided slice (identity mode) or row gather and written by ONE
 windowed scatter per kind (see the cache-representation note above
 :func:`_read_layer` for the on-chip measurements that force this).
@@ -179,25 +179,33 @@ def _attend_rows(probs, rows, dtype):
 
 # Cache representation: canonical matmul-native buffers,
 #
-#     data  ``[S, L, H, hd, T]``  (int8 or model dtype; time minor)
-#     scale ``[S, L, H, T]`` f32  (int8 kinds only; per-column)
+#     data  ``[L, S, H, hd, T]``  (int8 or model dtype; time minor)
+#     scale ``[L, S, H, T]`` f32  (int8 kinds only; per-column)
 #
-# slot-major so dp-sharding over slots is a contiguous axis-0 split and
-# tp-sharding splits the head axis (see parallel/serving.py). History READS
+# LAYER-major: the hot consumer is the per-layer slice (every layer of
+# every call reads its own K/V rows), and with L as the major axis that
+# slice — ``cache[li]`` — is contiguous in the default row-major layout,
+# so XLA never has to relayout the buffer. The round-4 slot-major form
+# ``[S, L, ...]`` was semantically identical but XLA's layout assignment
+# chose {4,3,2,0,1} (L-major) for the slice consumers while the Pallas
+# write kernel pinned the default {4,3,2,1,0} — ~19 ms/call of relayout
+# copies shuttling the multi-GB tables between the two (xplane profile,
+# tools/xplane_top.py). dp-sharding over slots is now an axis-1 split and
+# tp still splits the head axis (see parallel/serving.py). History READS
 # dominate — the fused step reads every cache once (encode) to 3+ times
 # (decode steps) per call but writes each chunk exactly once — so the
 # layout makes a layer's rows a direct matmul operand:
 #
 # * identity mode (serving: batch row b IS stream slot b, B = S): a layer's
-#   K/V is ``cache[:, li]`` — a strided static slice, zero gathers — and
+#   K/V is ``cache[li]`` — a contiguous static slice, zero gathers — and
 #   scores are ``q [B,H,q,hd] @ k [B,H,hd,T]`` with no transposes. Measured
 #   at the HBM floor (~2 ms per 1.34 GB kind sweep at B=64, large-v3, vs
 #   76 ms for round-3's flat chunk-row layout whose reads each paid an
 #   84 MB/layer transpose to feed the einsum).
 # * general mode (tests/tools, arbitrary ids): one row gather per layer
-#   through the flat ``[S·L, ...]`` view — per-layer so temp lifetimes stay
-#   one layer (a stacked all-layer gather of K and V held ~2.7 GB live and
-#   OOM'd at 64 slots).
+#   (``cache[li, ids]``) — per-layer so temp lifetimes stay one layer (a
+#   stacked all-layer gather of K and V held ~2.7 GB live and OOM'd at 64
+#   slots).
 #
 # WRITES are ONE windowed ``lax.scatter`` per kind per call with a
 # ``[L, H, hd, 8]`` window per committed chunk — the window spans ALL
@@ -220,27 +228,25 @@ def _read_layer(cache, L: int, li: int, ids):
     (+ scale ``[B, H, T]`` for int8 kinds).
 
     ``ids=None`` is identity mode — batch row b IS table slot b (B = S):
-    the layer is a strided static slice, no gather (see the
-    cache-representation note)."""
+    the layer is a contiguous static slice of the layer-major buffer, no
+    gather (see the cache-representation note)."""
     quant = isinstance(cache, tuple)
     arr = cache[0] if quant else cache
     if ids is None:
         if quant:
-            return arr[:, li], cache[1][:, li]
-        return arr[:, li]
-    flat = arr.reshape(arr.shape[0] * L, *arr.shape[2:])
-    rows = flat[ids * L + li]
+            return arr[li], cache[1][li]
+        return arr[li]
+    rows = arr[li, ids]
     if quant:
-        sc = cache[1]
-        return rows, sc.reshape(sc.shape[0] * L, *sc.shape[2:])[ids * L + li]
+        return rows, cache[1][li, ids]
     return rows
 
 
 def _select_merge_chunks(cache_arr, upd, pos, commit, n_chunks: int):
     """Identity-mode chunk write as a full-buffer select merge.
 
-    ``upd [S, L, H, hd, c]`` (c = 8*n_chunks candidate columns, time minor)
-    lands at columns ``pos[s] + j (mod T)`` of ``cache[s]`` for
+    ``upd [L, S, H, hd, c]`` (c = 8*n_chunks candidate columns, time minor)
+    lands at columns ``pos[s] + j (mod T)`` of ``cache[:, s]`` for
     ``j < 8*commit[s]``.
 
     Why not ``lax.scatter``: XLA TPU lowers windowed scatters to a SERIAL
@@ -255,7 +261,7 @@ def _select_merge_chunks(cache_arr, upd, pos, commit, n_chunks: int):
     aliasing-friendly, and bit-exact (one nonzero f32 product per output
     column; int8/bf16 -> f32 -> back roundtrips exactly).
     """
-    S, L, H, hd, T = cache_arr.shape
+    L, S, H, hd, T = cache_arr.shape
     c = upd.shape[-1]
     t_idx = jnp.arange(T, dtype=jnp.int32)
     delta = (t_idx[None, :] - pos[:, None]) % T  # [S, T]
@@ -264,18 +270,18 @@ def _select_merge_chunks(cache_arr, upd, pos, commit, n_chunks: int):
     onehot = (delta[:, None, :] == jnp.arange(c, dtype=jnp.int32)[None, :, None])
     onehot = onehot.astype(jnp.float32)  # [S, c, T]
     cand = jnp.einsum(
-        "sxc,sct->sxt",
-        upd.reshape(S, L * H * hd, c).astype(jnp.float32),
+        "lsxc,sct->lsxt",
+        upd.reshape(L, S, H * hd, c).astype(jnp.float32),
         onehot,
         preferred_element_type=jnp.float32,
-    ).reshape(S, L, H, hd, T).astype(cache_arr.dtype)
-    return jnp.where(write[:, None, None, None, :], cand, cache_arr)
+    ).reshape(L, S, H, hd, T).astype(cache_arr.dtype)
+    return jnp.where(write[None, :, None, None, :], cand, cache_arr)
 
 
 def _select_merge_scales(scale_arr, upd, pos, commit, n_chunks: int):
     """Scale-cache variant of :func:`_select_merge_chunks`:
-    ``upd [S, L, H, c]`` -> ``scale [S, L, H, T]``."""
-    S, L, H, T = scale_arr.shape
+    ``upd [L, S, H, c]`` -> ``scale [L, S, H, T]``."""
+    L, S, H, T = scale_arr.shape
     c = upd.shape[-1]
     t_idx = jnp.arange(T, dtype=jnp.int32)
     delta = (t_idx[None, :] - pos[:, None]) % T
@@ -284,12 +290,12 @@ def _select_merge_scales(scale_arr, upd, pos, commit, n_chunks: int):
     onehot = (delta[:, None, :] == jnp.arange(c, dtype=jnp.int32)[None, :, None])
     onehot = onehot.astype(jnp.float32)
     cand = jnp.einsum(
-        "sxc,sct->sxt",
-        upd.reshape(S, L * H, c).astype(jnp.float32),
+        "lsxc,sct->lsxt",
+        upd.reshape(L, S, H, c).astype(jnp.float32),
         onehot,
         preferred_element_type=jnp.float32,
-    ).reshape(S, L, H, T).astype(scale_arr.dtype)
-    return jnp.where(write[:, None, None, :], cand, scale_arr)
+    ).reshape(L, S, H, T).astype(scale_arr.dtype)
+    return jnp.where(write[None, :, None, :], cand, scale_arr)
 
 
 def _write_chunks(cache, cands, ids, pos, commit, n_chunks: int, sorted_rows: bool = False):
@@ -313,28 +319,23 @@ def _write_chunks(cache, cands, ids, pos, commit, n_chunks: int, sorted_rows: bo
     ``indices_are_sorted`` can kick in as well."""
     quant = isinstance(cache, tuple)
     arr = cache[0] if quant else cache
-    S, L, H, hd, T = arr.shape
+    L, S, H, hd, T = arr.shape
     b = ids.shape[0]
     cq = jnp.stack([c[0] if quant else c for c in cands])  # [L,B,H,hd,c]
-    # chunk windows [B,nc,L,H,hd,8] (c = nc·8, time minor → pure reshape)
-    upd = jnp.transpose(
-        cq.reshape(L, b, H, hd, n_chunks, CHUNK_POS), (1, 4, 0, 2, 3, 5)
-    )
     j = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
     rows = jnp.broadcast_to(ids[:, None], (b, n_chunks))
     cols = (pos[:, None] + j * CHUNK_POS) % T
     if sorted_rows and b == S:
         # identity mode (row b IS slot b): no scatter at all. On TPU the
-        # write is a Pallas 2×128-column read-modify-write per row
-        # (ops/cache_write.py — ~20× less traffic than the select merge);
-        # elsewhere (CPU tests, sharded meshes) the one-hot select merge
-        # (_select_merge_chunks) executes the identical semantics.
+        # write is a Pallas 2×128-column read-modify-write per (slot,
+        # layer-group) — ops/cache_write.py windowed_write_groups, ~20×
+        # less traffic than the select merge; elsewhere (CPU tests,
+        # sharded meshes) the one-hot select merge (_select_merge_chunks)
+        # executes the identical semantics. The candidate stack [L,B,H,hd,c]
+        # is already layer-major — no transpose on the hot path.
         from ...ops import cache_write
 
-        upd_c = jnp.concatenate(
-            [upd[:, jj] for jj in range(n_chunks)], axis=-1
-        )  # [B, L, H, hd, c] time-minor candidate columns
-        c_cols = upd_c.shape[-1]
+        c_cols = cq.shape[-1]
         use_pallas = (
             jax.default_backend() == "tpu"
             and os.environ.get("SK_PALLAS_WRITES", "1") == "1"
@@ -346,35 +347,38 @@ def _write_chunks(cache, cands, ids, pos, commit, n_chunks: int, sorted_rows: bo
             else jnp.minimum(CHUNK_POS * commit, c_cols)
         )
         if use_pallas:
-            new_arr = cache_write.windowed_write(
-                arr.reshape(S, L * H * hd, T),
-                upd_c.reshape(S, L * H * hd, c_cols),
+            new_arr = cache_write.windowed_write_groups(
+                arr.reshape(L, S, H * hd, T),
+                cq.reshape(L, S, H * hd, c_cols),
                 pos, lim,
-            ).reshape(S, L, H, hd, T)
+            ).reshape(L, S, H, hd, T)
         else:
-            new_arr = _select_merge_chunks(arr, upd_c, pos, commit, n_chunks)
+            new_arr = _select_merge_chunks(arr, cq, pos, commit, n_chunks)
         if not quant:
             return new_arr
-        cs = jnp.stack([c[1] for c in cands])  # [L,B,H,c]
-        supd = jnp.transpose(cs, (1, 0, 2, 3))  # [B, L, H, c]
+        supd = jnp.stack([c[1] for c in cands])  # [L,B,H,c]
         if use_pallas:
-            sc = cache[1]
-            new_sc = cache_write.windowed_write(
-                sc.reshape(S, L * H, T),
-                supd.reshape(S, L * H, c_cols),
-                pos, lim, fb=L * H,
-            ).reshape(S, L, H, T)
+            new_sc = cache_write.windowed_write_groups(
+                cache[1], supd, pos, lim,
+            )
         else:
             new_sc = _select_merge_scales(cache[1], supd, pos, commit, n_chunks)
         return new_arr, new_sc
+    # general mode: chunk windows [B,nc,L,H,hd,8] (c = nc·8, time minor →
+    # pure reshape of the [L,B,...] stack)
+    upd = jnp.transpose(
+        cq.reshape(L, b, H, hd, n_chunks, CHUNK_POS), (1, 4, 0, 2, 3, 5)
+    )
     if commit is not None:
         flat = jnp.arange(b * n_chunks, dtype=jnp.int32).reshape(b, n_chunks)
         rows = jnp.where(j < commit[:, None], rows, S + flat)
     idx = jnp.stack([rows.reshape(-1), cols.reshape(-1)], axis=-1)
+    # operand is layer-major [L,S,H,hd,T]: the scatter indexes (slot, col)
+    # = operand dims (1, 4); each update window spans ALL layers [L,H,hd,8]
     dn = jax.lax.ScatterDimensionNumbers(
         update_window_dims=(1, 2, 3, 4),
-        inserted_window_dims=(0,),
-        scatter_dims_to_operand_dims=(0, 4),
+        inserted_window_dims=(1,),
+        scatter_dims_to_operand_dims=(1, 4),
     )
     new_arr = jax.lax.scatter(
         arr, idx, upd.reshape(b * n_chunks, L, H, hd, CHUNK_POS), dn,
@@ -389,8 +393,8 @@ def _write_chunks(cache, cands, ids, pos, commit, n_chunks: int, sorted_rows: bo
     )  # [B,nc,L,H,8]
     sdn = jax.lax.ScatterDimensionNumbers(
         update_window_dims=(1, 2, 3),
-        inserted_window_dims=(0,),
-        scatter_dims_to_operand_dims=(0, 3),
+        inserted_window_dims=(1,),
+        scatter_dims_to_operand_dims=(1, 3),
     )
     new_sc = jax.lax.scatter(
         cache[1], idx, supd.reshape(b * n_chunks, L, H, CHUNK_POS), sdn,
@@ -531,15 +535,15 @@ def _encode_core(
 
 
 def _fold_cols(cache5, delta5, pos, count):
-    """Fold per-step delta columns into a cache: ``cache[b, ...,
-    pos[b]+i] = delta[b, ..., i]`` for ``i < count[b]``. One Pallas
-    windowed write on TPU; the equivalent one-hot select merge elsewhere
-    (same semantics as :func:`_select_merge_chunks`, generic column
-    count)."""
+    """Fold per-step delta columns into a layer-major cache
+    ``[L, B, ..., T]``: ``cache[:, b, ..., pos[b]+i] = delta[:, b, ..., i]``
+    for ``i < count[b]``. One Pallas grouped windowed write on TPU; the
+    equivalent one-hot select merge elsewhere (same semantics as
+    :func:`_select_merge_chunks`, generic column count)."""
     from ...ops import cache_write
 
-    B = cache5.shape[0]
-    F = int(np.prod(cache5.shape[1:-1]))
+    L, B = cache5.shape[0], cache5.shape[1]
+    F = int(np.prod(cache5.shape[2:-1]))
     T = cache5.shape[-1]
     c = delta5.shape[-1]
     if (
@@ -547,9 +551,9 @@ def _fold_cols(cache5, delta5, pos, count):
         and os.environ.get("SK_PALLAS_WRITES", "1") == "1"
         and cache_write.supports(T, c)
     ):
-        return cache_write.windowed_write(
-            cache5.reshape(B, F, T), delta5.reshape(B, F, c),
-            pos, count, fb=min(F, 8192),
+        return cache_write.windowed_write_groups(
+            cache5.reshape(L, B, F, T), delta5.reshape(L, B, F, c),
+            pos, count,
         ).reshape(cache5.shape)
     t_idx = jnp.arange(T, dtype=jnp.int32)
     delta = (t_idx[None, :] - pos[:, None]) % T  # [B, T]
@@ -558,19 +562,19 @@ def _fold_cols(cache5, delta5, pos, count):
         delta[:, None, :] == jnp.arange(c, dtype=jnp.int32)[None, :, None]
     ).astype(jnp.float32)  # [B, c, T]
     cand = jnp.einsum(
-        "bxc,bct->bxt",
-        delta5.reshape(B, F, c).astype(jnp.float32),
+        "lbxc,bct->lbxt",
+        delta5.reshape(L, B, F, c).astype(jnp.float32),
         onehot,
         preferred_element_type=jnp.float32,
     ).astype(cache5.dtype)
-    bcast = write.reshape((B,) + (1,) * (cache5.ndim - 2) + (T,))
+    bcast = write.reshape((1, B) + (1,) * (cache5.ndim - 3) + (T,))
     return jnp.where(bcast, cand.reshape(cache5.shape), cache5)
 
 
 def _decode_core(
     params: Params,
     cfg: WhisperConfig,
-    dk,  # [S, Ld, H, hd, DEC_T] tables (cache-representation note)
+    dk,  # [Ld, S, H, hd, DEC_T] tables (cache-representation note)
     dv,
     xkr,  # canonical [S, Ld, H, hd, ENC_T] cache pytrees
     xvr,
@@ -597,7 +601,7 @@ def _decode_core(
     so the read must be free of gathers/transposes: identity mode slices
     the canonical cache directly into the score matmul. Decoder self K/V
     history is a LOOP INVARIANT: per-step writes go to a tiny delta
-    buffer ``[B, Ld, H, hd, max_steps]`` at the UNIFORM column = step
+    buffer ``[Ld, B, H, hd, max_steps]`` at the UNIFORM column = step
     index (one cheap dynamic_update_slice — every active row's write
     column advances in lockstep: feed_idx == feed0 + step), and the
     deltas fold into the big cache ONCE after the scan at each row's
@@ -617,13 +621,13 @@ def _decode_core(
     bi = jnp.arange(b)
     hist_ids = None if identity else stream_ids
 
-    # self K/V working rows [B, Ld, H, hd, dec_t] (the table itself in
+    # self K/V working rows [Ld, B, H, hd, dec_t] (the table itself in
     # identity mode — no gather, no write-back)
     if identity:
         dkl, dvl = dk, dv
     else:
-        dkl = dk[stream_ids]
-        dvl = dv[stream_ids]
+        dkl = dk[:, stream_ids]
+        dvl = dv[:, stream_ids]
 
     xcol = jnp.arange(enc_t, dtype=jnp.int32)
     # max(ep, 1) keeps the softmax finite for not-yet-encoded rows (they are
@@ -641,8 +645,8 @@ def _decode_core(
     smask0 = jnp.where(
         dcol[None, :] < feed0[:, None], 0.0, -jnp.inf
     ).astype(jnp.float32)[:, None, None, :]
-    kd0 = jnp.zeros((b, Ld, Ht, hd, max_steps), dtype)
-    vd0 = jnp.zeros((b, Ld, Ht, hd, max_steps), dtype)
+    kd0 = jnp.zeros((Ld, b, Ht, hd, max_steps), dtype)
+    vd0 = jnp.zeros((Ld, b, Ht, hd, max_steps), dtype)
     scol = jnp.arange(max_steps, dtype=jnp.int32)
 
     def step(carry, _):
@@ -671,8 +675,8 @@ def _decode_core(
             qs = q * scale
             # split self-attention: invariant history (col < feed0) +
             # this call's deltas (col < i) + the current token's fresh K/V
-            scores_h = jnp.matmul(qs, dkl[:, li] * scale, preferred_element_type=jnp.float32)
-            scores_d = jnp.matmul(qs, kd[:, li] * scale, preferred_element_type=jnp.float32)
+            scores_h = jnp.matmul(qs, dkl[li] * scale, preferred_element_type=jnp.float32)
+            scores_d = jnp.matmul(qs, kd[li] * scale, preferred_element_type=jnp.float32)
             scores_c = jnp.matmul(qs, kcol * scale, preferred_element_type=jnp.float32)
             scores = jnp.concatenate(
                 [scores_h + smask0, scores_d + dmask, scores_c], axis=-1
@@ -682,8 +686,8 @@ def _decode_core(
             p_d = probs[..., dec_t : dec_t + max_steps]
             p_c = probs[..., dec_t + max_steps :]
             attn = (
-                jnp.einsum("bhqt,bhdt->bhqd", p_h, dvl[:, li], preferred_element_type=jnp.float32)
-                + jnp.einsum("bhqt,bhdt->bhqd", p_d, vd[:, li], preferred_element_type=jnp.float32)
+                jnp.einsum("bhqt,bhdt->bhqd", p_h, dvl[li], preferred_element_type=jnp.float32)
+                + jnp.einsum("bhqt,bhdt->bhqd", p_d, vd[li], preferred_element_type=jnp.float32)
                 + jnp.einsum("bhqt,bhdt->bhqd", p_c, vcol, preferred_element_type=jnp.float32)
             ).astype(dtype)
             x = x + _dense(_merge_heads(attn), layer["attn"]["o"])
@@ -702,8 +706,8 @@ def _decode_core(
         # delta append: ONE uniform-column dynamic_update_slice per kind
         # (column = step index; inactive rows write dead lanes that the
         # fold's per-row count skips)
-        kstk = jnp.stack(kcols, axis=1)  # [B, Ld, H, hd, 1]
-        vstk = jnp.stack(vcols, axis=1)
+        kstk = jnp.stack(kcols, axis=0)  # [Ld, B, H, hd, 1]
+        vstk = jnp.stack(vcols, axis=0)
         kd = jax.lax.dynamic_update_slice_in_dim(kd, kstk, i, axis=4)
         vd = jax.lax.dynamic_update_slice_in_dim(vd, vstk, i, axis=4)
         xfin = _layernorm(x, d["ln"])
@@ -749,8 +753,8 @@ def _decode_core(
         dk, dv = dkl, dvl
     else:
         # write the worked rows back to the big tables once
-        dk = dk.at[stream_ids].set(dkl)
-        dv = dv.at[stream_ids].set(dvl)
+        dk = dk.at[:, stream_ids].set(dkl)
+        dv = dv.at[:, stream_ids].set(dvl)
     return dk, dv, tok, fed_r, n_r
 
 
@@ -795,7 +799,7 @@ def _stream_encode(
 )
 def _stream_decode(
     params: Params,
-    dec_k: jnp.ndarray,  # [S, Ld, H, hd, DEC_T]
+    dec_k: jnp.ndarray,  # [Ld, S, H, hd, DEC_T]
     dec_v: jnp.ndarray,
     tokens: jnp.ndarray,  # [S, DEC_T] int32
     fed: jnp.ndarray,  # [S] int32 — tokens fed through the decoder
@@ -1021,21 +1025,21 @@ class StreamTable:
         ht, hdt = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
 
         def enc_cache(layers, h, hd):
-            # canonical matmul-native buffer, slot-major (see the
+            # canonical matmul-native buffer, layer-major (see the
             # cache-representation note above _read_layer)
             if self.kv_int8:
                 return (
-                    jnp.zeros((s, layers, h, hd, self.enc_t), jnp.int8),
-                    jnp.zeros((s, layers, h, self.enc_t), jnp.float32),
+                    jnp.zeros((layers, s, h, hd, self.enc_t), jnp.int8),
+                    jnp.zeros((layers, s, h, self.enc_t), jnp.float32),
                 )
-            return jnp.zeros((s, layers, h, hd, self.enc_t), dtype)
+            return jnp.zeros((layers, s, h, hd, self.enc_t), dtype)
 
         self._enc_k = enc_cache(cfg.n_audio_layer, he, hde)
         self._enc_v = enc_cache(cfg.n_audio_layer, he, hde)
         self._xk = enc_cache(cfg.n_text_layer, ht, hdt)
         self._xv = enc_cache(cfg.n_text_layer, ht, hdt)
-        self._dec_k = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
-        self._dec_v = jnp.zeros((s, cfg.n_text_layer, ht, hdt, self.dec_t), dtype)
+        self._dec_k = jnp.zeros((cfg.n_text_layer, s, ht, hdt, self.dec_t), dtype)
+        self._dec_v = jnp.zeros((cfg.n_text_layer, s, ht, hdt, self.dec_t), dtype)
         self._tokens = jnp.zeros((s, self.dec_t), jnp.int32)
         self._fed = jnp.zeros((s,), jnp.int32)
         self._n_tok = jnp.zeros((s,), jnp.int32)
@@ -1192,9 +1196,10 @@ class StreamTable:
 
     # -- canonical views (tests / tools) -------------------------------------
     def cache_view(self, which: str):
-        """Materialize a cache kind in the canonical ``[S, L, H, hd, T]``
-        layout (int8 kinds → ``(q8, scale [S, L, H, 1, T])``). The stored
-        layout is already canonical modulo the flattened (S·L) row axis."""
+        """Materialize a cache kind in the canonical external ``[S, L, H,
+        hd, T]`` view (int8 kinds → ``(q8, scale [S, L, H, 1, T])``).
+        Storage is layer-major ``[L, S, ...]`` (cache-representation note);
+        this view transposes back for tests/tools."""
         cfg = self.cfg
         if which in ("enc_k", "enc_v"):
             cache = self._enc_k if which == "enc_k" else self._enc_v
@@ -1206,14 +1211,14 @@ class StreamTable:
             hd = cfg.n_text_state // H
         else:
             cache = self._dec_k if which == "dec_k" else self._dec_v
-            return np.asarray(cache)
+            return np.asarray(cache).transpose(1, 0, 2, 3, 4)
         if isinstance(cache, tuple):
-            q8 = np.asarray(cache[0])
-            sc = np.asarray(cache[1]).reshape(
+            q8 = np.asarray(cache[0]).transpose(1, 0, 2, 3, 4)
+            sc = np.asarray(cache[1]).transpose(1, 0, 2, 3).reshape(
                 self.max_slots, L, H, 1, self.enc_t
             )
             return q8, sc
-        return np.asarray(cache)
+        return np.asarray(cache).transpose(1, 0, 2, 3, 4)
 
 
 # process-wide tables keyed by model tag (mirrors _get_audio_ring)

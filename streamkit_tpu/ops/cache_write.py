@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["windowed_write", "supports"]
+__all__ = ["windowed_write", "windowed_write_groups", "supports"]
 
 _LANE = 128
 
@@ -135,6 +135,93 @@ def windowed_write(
             flops=2 * S * nj * F * c * cb,
             bytes_accessed=2 * S * nj * F * cb * cache.dtype.itemsize
             + S * F * c * upd.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), lim.astype(jnp.int32), upd, cache)
+    return out
+
+
+def _kernel4(pos_ref, lim_ref, upd_ref, cache_ref, out_ref, *, T, c, cb, nb):
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    pos = pos_ref[s]
+    lim = lim_ref[s]
+    base = ((pos // cb + j) % nb) * cb
+    col = base + jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1)
+    delta = (col - pos) % T
+    write = delta < lim  # [1, cb]
+    onehot = (
+        delta == jax.lax.broadcasted_iota(jnp.int32, (c, cb), 0)
+    ).astype(jnp.float32) * write.astype(jnp.float32)
+    gb, _, fb, _ = upd_ref.shape
+    upd = upd_ref[:, 0].astype(jnp.float32).reshape(gb * fb, c)
+    cand = jax.lax.dot_general(
+        upd, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(gb, fb, cb).astype(out_ref.dtype)
+    out_ref[:, 0] = jnp.where(write[None], cand, cache_ref[:, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "gb"))
+def windowed_write_groups(
+    cache: jnp.ndarray,  # [G, S, F, T] (G groups share each row's window)
+    upd: jnp.ndarray,  # [G, S, F, c] candidate columns, time minor
+    pos: jnp.ndarray,  # [S] int32 start column (ring position)
+    lim: jnp.ndarray,  # [S] int32 columns to write (0 = inert row)
+    interpret: bool = False,
+    gb: int = 0,  # groups per block (0 = auto from a ~2 MB VMEM budget)
+) -> jnp.ndarray:
+    """Grouped :func:`windowed_write`: ``cache[g, s, f, (pos[s]+i) % T] =
+    upd[g, s, f, i]`` for ``i < lim[s]``, in place.
+
+    This is the layer-major cache form ``[L, S, H·hd, T]`` — every layer
+    (group) of a slot writes the same column window, so blocking ``gb``
+    groups into one VMEM block keeps the grid at ``S × 2 × G/gb`` steps
+    instead of the ``G·S × 2`` a flattened-row :func:`windowed_write` call
+    would cost (measured: grid-step overhead ≈ µs-scale — a 32× larger
+    grid of 32× smaller DMAs erases the win the layer-major layout buys).
+    """
+    G, S, F, T = cache.shape
+    c = upd.shape[-1]
+    assert supports(T, c), (T, c)
+    cb = _LANE if T % _LANE == 0 else T
+    nb = T // cb
+    nj = min(nb, 2)
+    if not gb:
+        budget = 2 * 1024 * 1024 // (F * cb * cache.dtype.itemsize)
+        gb = max(1, min(G, budget))
+    while G % gb:
+        gb -= 1
+    grid = (S, nj, G // gb)
+
+    def cache_idx(s, j, g, pos_ref, lim_ref):
+        return (g, s, 0, (pos_ref[s] // cb + j) % nb)
+
+    def upd_idx(s, j, g, pos_ref, lim_ref):
+        return (g, s, 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel4, T=T, c=c, cb=cb, nb=nb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((gb, 1, F, c), upd_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, 1, F, cb), cache_idx, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((gb, 1, F, cb), cache_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        # input index: [pos, lim, upd, cache] → cache is input 3
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * G * S * nj * F * c * cb,
+            bytes_accessed=2 * G * S * nj * F * cb * cache.dtype.itemsize
+            + G * S * F * c * upd.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,

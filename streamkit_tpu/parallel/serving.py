@@ -44,26 +44,26 @@ def _put(x, mesh: Mesh, spec: P):
 def shard_stream_table(mesh: Mesh, table) -> None:
     """Reshard a :class:`~streamkit_tpu.models.whisper.streaming.StreamTable`
     in place: slots over dp, KV heads over tp. Caches are canonical
-    ``[S, L, H, hd, T]`` buffers (streaming.py cache-representation note),
-    slot-major, so dp over axis 0 is a contiguous slot split and tp splits
+    ``[L, S, H, hd, T]`` buffers (streaming.py cache-representation note),
+    layer-major, so dp over the slot axis is an axis-1 split and tp splits
     the head axis directly (requires ``heads % tp == 0``)."""
     vec = P("dp")
 
     def put_kv(cache):
-        if isinstance(cache, tuple):  # int8: ([S,L,H,hd,T], scale [S,L,H,T])
+        if isinstance(cache, tuple):  # int8: ([L,S,H,hd,T], scale [L,S,H,T])
             return (
-                _put(cache[0], mesh, P("dp", None, "tp", None, None)),
-                _put(cache[1], mesh, P("dp", None, "tp", None)),
+                _put(cache[0], mesh, P(None, "dp", "tp", None, None)),
+                _put(cache[1], mesh, P(None, "dp", "tp", None)),
             )
-        return _put(cache, mesh, P("dp", None, "tp", None, None))
+        return _put(cache, mesh, P(None, "dp", "tp", None, None))
 
     table._enc_k = put_kv(table._enc_k)
     table._enc_v = put_kv(table._enc_v)
     table._xk = put_kv(table._xk)
     table._xv = put_kv(table._xv)
-    # decoder self K/V: [S, Ld, H, hd, DEC_T]
-    table._dec_k = _put(table._dec_k, mesh, P("dp", None, "tp", None, None))
-    table._dec_v = _put(table._dec_v, mesh, P("dp", None, "tp", None, None))
+    # decoder self K/V: [Ld, S, H, hd, DEC_T]
+    table._dec_k = _put(table._dec_k, mesh, P(None, "dp", "tp", None, None))
+    table._dec_v = _put(table._dec_v, mesh, P(None, "dp", "tp", None, None))
     table._tokens = _put(table._tokens, mesh, P("dp", None))
     table._fed = _put(table._fed, mesh, vec)
     table._n_tok = _put(table._n_tok, mesh, vec)

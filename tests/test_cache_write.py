@@ -75,3 +75,45 @@ def test_bf16_roundtrip_exact():
         np.asarray(pos), np.asarray(lim),
     )
     np.testing.assert_array_equal(np.asarray(out, np.float32), ref)
+
+
+def _oracle4(cache, upd, pos, lim):
+    ref = cache.copy()
+    G, S, _, T = cache.shape
+    for s in range(S):
+        for i in range(int(lim[s])):
+            ref[:, s, :, (pos[s] + i) % T] = upd[:, s, :, i]
+    return ref
+
+
+@pytest.mark.parametrize(
+    "G,S,F,T,c,dtype,gb",
+    [
+        (4, 3, 256, 512, 16, np.int8, 0),  # layer-major enc-cache class
+        (4, 2, 64, 512, 16, np.float32, 2),  # explicit group blocking
+        (3, 2, 128, 128, 8, np.int8, 0),  # gb auto must divide G=3 -> 3 or 1
+        (2, 2, 64, 64, 16, np.float32, 0),  # sub-lane T
+    ],
+)
+def test_windowed_write_groups_matches_oracle(G, S, F, T, c, dtype, gb):
+    from streamkit_tpu.ops.cache_write import windowed_write_groups
+
+    rng = np.random.RandomState(0)
+    if dtype == np.int8:
+        cache = rng.randint(-127, 128, (G, S, F, T)).astype(dtype)
+        upd = rng.randint(-127, 128, (G, S, F, c)).astype(dtype)
+    else:
+        cache = rng.randn(G, S, F, T).astype(dtype)
+        upd = rng.randn(G, S, F, c).astype(dtype)
+    pos = (rng.randint(0, max(T // 8, 1), (S,)) * 8 % T).astype(np.int32)
+    pos[0] = T - 8  # force wrap-around
+    lim = rng.randint(0, c + 1, (S,)).astype(np.int32)
+    lim[S - 1] = 0  # inert row round-trips bit-exactly
+    out = np.asarray(
+        windowed_write_groups(
+            jnp.asarray(cache), jnp.asarray(upd),
+            jnp.asarray(pos), jnp.asarray(lim),
+            interpret=True, gb=gb,
+        )
+    )
+    np.testing.assert_array_equal(out, _oracle4(cache, upd, pos, lim))
