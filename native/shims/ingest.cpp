@@ -30,11 +30,41 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <dlfcn.h>
 #include <mutex>
 #include <thread>
 #include <vector>
 
 namespace {
+
+// -- libopus (dlopen, no headers needed) -------------------------------------
+typedef void* (*opus_create_fn)(int32_t, int, int*);
+typedef int (*opus_decode_float_fn)(void*, const unsigned char*, int32_t, float*, int, int);
+typedef void (*opus_destroy_fn)(void*);
+
+struct OpusApi {
+    opus_create_fn create = nullptr;
+    opus_decode_float_fn decode_float = nullptr;
+    opus_destroy_fn destroy = nullptr;
+    bool ok = false;
+};
+
+OpusApi& opus_api() {
+    static OpusApi api = [] {
+        OpusApi a;
+        void* h = dlopen("libopus.so.0", RTLD_NOW | RTLD_GLOBAL);
+        if (!h) h = dlopen("libopus.so", RTLD_NOW | RTLD_GLOBAL);
+        if (h) {
+            a.create = reinterpret_cast<opus_create_fn>(dlsym(h, "opus_decoder_create"));
+            a.decode_float =
+                reinterpret_cast<opus_decode_float_fn>(dlsym(h, "opus_decode_float"));
+            a.destroy = reinterpret_cast<opus_destroy_fn>(dlsym(h, "opus_decoder_destroy"));
+            a.ok = a.create && a.decode_float && a.destroy;
+        }
+        return a;
+    }();
+    return api;
+}
 
 using Clock = std::chrono::steady_clock;
 
@@ -59,6 +89,9 @@ struct Session {
     bool close_at_end = false;
     int64_t replay_start_ns = 0;
     std::vector<float> replay_audio;
+    // opus replay: pre-encoded packets (concatenated bytes + offsets)
+    std::vector<unsigned char> replay_pkts;
+    std::vector<int32_t> replay_offs;
 };
 
 struct Pool {
@@ -125,6 +158,55 @@ void replay_thread(Pool* p, int sid, int frame_samples, int64_t frame_us,
     }
 }
 
+// Opus replay: decode pre-encoded packets natively (libopus decodes any
+// Opus stream straight to the pool's sample rate / channel count — the
+// "fused native 16k decode" the YAML compiler's decode→resample fuse pass
+// emits) and push the PCM at packet cadence. frame_us = 0 replays at full
+// speed (throughput benches); 20_000 is the realtime Opus cadence. The
+// whole ingress chain (pacing, decode, block assembly) runs on this C++
+// thread: Python only drains coalesced blocks.
+void replay_opus_thread(Pool* p, int sid, int sample_rate, int channels,
+                        int64_t frame_us, int64_t start_delay_us) {
+    Session& s = p->sessions[sid];
+    auto start = Clock::now() + std::chrono::microseconds(start_delay_us);
+    {
+        std::lock_guard<std::mutex> g(p->mu);
+        s.replay_start_ns = std::chrono::duration_cast<std::chrono::nanoseconds>(
+                                start.time_since_epoch())
+                                .count();
+    }
+    OpusApi& api = opus_api();
+    int err = 0;
+    void* dec = api.ok ? api.create(sample_rate, channels, &err) : nullptr;
+    if (!dec || err != 0) return;
+    const int max_frame = sample_rate * 120 / 1000;  // 120 ms max opus frame
+    std::vector<float> pcm(size_t(max_frame) * channels);
+    int64_t n_pkts = int64_t(s.replay_offs.size()) - 1;
+    for (int64_t i = 0; i < n_pkts; i++) {
+        if (frame_us > 0)
+            std::this_thread::sleep_until(start +
+                                          std::chrono::microseconds(i * frame_us));
+        if (s.replay_stop.load(std::memory_order_relaxed)) break;
+        const unsigned char* pkt = s.replay_pkts.data() + s.replay_offs[i];
+        const int32_t len = s.replay_offs[i + 1] - s.replay_offs[i];
+        const int n = api.decode_float(dec, pkt, len, pcm.data(), max_frame, 0);
+        if (n <= 0) continue;
+        bool notify = false;
+        {
+            std::lock_guard<std::mutex> g(p->mu);
+            size_t before = p->queue.size();
+            push_locked(p, sid, pcm.data(), int64_t(n) * channels, now_ns());
+            notify = p->queue.size() != before;
+        }
+        if (notify) p->cv.notify_all();
+    }
+    api.destroy(dec);
+    if (s.close_at_end) {
+        std::lock_guard<std::mutex> g(p->mu);
+        s.open = false;
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -168,6 +250,8 @@ void skingest_close(void* pool, int sid) {
     s.open = false;
     s.acc.clear();
     s.replay_audio.clear();
+    s.replay_pkts.clear();
+    s.replay_offs.clear();
     s.replay_stop.store(false);
 }
 
@@ -205,6 +289,32 @@ int skingest_start_replay(void* pool, int sid, const float* audio, long long n,
     }
     s.replay = std::thread(replay_thread, p, sid, frame_samples, frame_us,
                            start_delay_us);
+    return 0;
+}
+
+// start an Opus-packet replay: packets (concatenated bytes + offsets[n+1])
+// are copied; a dedicated thread decodes each natively at `sample_rate`/
+// `channels` and pushes the PCM every `frame_us` (0 = full speed). Returns
+// -2 when libopus is unavailable.
+int skingest_start_replay_opus(void* pool, int sid, const unsigned char* data,
+                               const int32_t* offsets, int n_packets,
+                               int sample_rate, int channels,
+                               long long frame_us, long long start_delay_us,
+                               int close_at_end) {
+    auto* p = static_cast<Pool*>(pool);
+    if (sid < 0 || size_t(sid) >= p->sessions.size() || n_packets < 0) return -1;
+    if (!opus_api().ok) return -2;
+    Session& s = p->sessions[sid];
+    {
+        std::lock_guard<std::mutex> g(p->mu);
+        if (!s.open || s.replay.joinable()) return -1;
+        s.replay_pkts.assign(data, data + offsets[n_packets]);
+        s.replay_offs.assign(offsets, offsets + n_packets + 1);
+        s.close_at_end = close_at_end != 0;
+        s.replay_stop.store(false);
+    }
+    s.replay = std::thread(replay_opus_thread, p, sid, sample_rate, channels,
+                           frame_us, start_delay_us);
     return 0;
 }
 
@@ -274,37 +384,7 @@ long long skingest_now_ns(void) { return now_ns(); }
 // table, PCM returns in one contiguous [n, max_frame*channels] buffer.
 // Reference parity: crates/nodes/src/audio/codecs/opus.rs:102-140 does the
 // same work on a spawn_blocking thread; natively threaded that is cheap.
-#include <dlfcn.h>
-
 namespace {
-
-typedef void* (*opus_create_fn)(int32_t, int, int*);
-typedef int (*opus_decode_float_fn)(void*, const unsigned char*, int32_t, float*, int, int);
-typedef void (*opus_destroy_fn)(void*);
-
-struct OpusApi {
-    opus_create_fn create = nullptr;
-    opus_decode_float_fn decode_float = nullptr;
-    opus_destroy_fn destroy = nullptr;
-    bool ok = false;
-};
-
-OpusApi& opus_api() {
-    static OpusApi api = [] {
-        OpusApi a;
-        void* h = dlopen("libopus.so.0", RTLD_NOW | RTLD_GLOBAL);
-        if (!h) h = dlopen("libopus.so", RTLD_NOW | RTLD_GLOBAL);
-        if (h) {
-            a.create = reinterpret_cast<opus_create_fn>(dlsym(h, "opus_decoder_create"));
-            a.decode_float =
-                reinterpret_cast<opus_decode_float_fn>(dlsym(h, "opus_decode_float"));
-            a.destroy = reinterpret_cast<opus_destroy_fn>(dlsym(h, "opus_decoder_destroy"));
-            a.ok = a.create && a.decode_float && a.destroy;
-        }
-        return a;
-    }();
-    return api;
-}
 
 struct OpusBatchCtx {
     void* dec = nullptr;

@@ -157,6 +157,21 @@ class SessionAudioRing:
         with self._alloc_lock:
             self._free.append(slot)
 
+    def trash_slot(self) -> int:
+        """Process-shared parking slot for inert rows in identity-packed
+        fused batches (duplicate writes of garbage, never read). Lazily
+        allocated once and never freed."""
+        with self._alloc_lock:
+            slot = getattr(self, "_trash", None)
+            if slot is None:
+                if not self._free:
+                    raise RuntimeError(
+                        f"audio ring table exhausted ({self.max_slots} slots)"
+                    )
+                slot = self._free.pop()
+                self._trash = slot
+            return slot
+
     @property
     def in_use(self) -> int:
         with self._alloc_lock:

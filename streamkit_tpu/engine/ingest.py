@@ -56,6 +56,13 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
             ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
         ]
+        lib.skingest_start_replay_opus.restype = ctypes.c_int
+        lib.skingest_start_replay_opus.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
+        ]
         lib.skingest_replay_start_ns.restype = ctypes.c_longlong
         lib.skingest_replay_start_ns.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.skingest_drain.restype = ctypes.c_int
@@ -143,6 +150,38 @@ class IngestPool:
             audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), audio.size,
             frame_samples, frame_us, start_delay_us, 1 if close_at_end else 0,
         )
+        if rc != 0:
+            raise RuntimeError(f"replay already running on session {sid}")
+
+    def start_replay_opus(
+        self,
+        sid: int,
+        packets: list,
+        sample_rate: int = 16_000,
+        channels: int = 1,
+        frame_us: int = 20_000,
+        start_delay_us: int = 0,
+        close_at_end: bool = True,
+    ) -> None:
+        """Replay pre-encoded Opus ``packets`` (list of bytes): a C++ thread
+        decodes each natively straight to ``sample_rate`` (libopus resamples
+        internally — the compiler's fused native-rate decode) and pushes the
+        PCM every ``frame_us`` (0 = full speed, for throughput benches). The
+        entire ingress chain — pacing, entropy decode, block assembly — runs
+        off the Python thread."""
+        data = np.frombuffer(b"".join(packets), np.uint8)
+        offs = np.zeros(len(packets) + 1, np.int32)
+        np.cumsum([len(p) for p in packets], out=offs[1:])
+        data = np.ascontiguousarray(data)
+        rc = self._lib.skingest_start_replay_opus(
+            self._pool, sid,
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(packets), sample_rate, channels,
+            frame_us, start_delay_us, 1 if close_at_end else 0,
+        )
+        if rc == -2:
+            raise RuntimeError("libopus unavailable for opus replay")
         if rc != 0:
             raise RuntimeError(f"replay already running on session {sid}")
 

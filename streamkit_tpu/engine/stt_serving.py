@@ -112,6 +112,7 @@ class SttServingEngine:
         batcher: Optional[DeviceBatcher] = None,
         resources: Optional[ResourceManager] = None,
         mesh=None,
+        ingest_queue_cap: int = 4096,
     ) -> None:
         if final_mode not in ("stream", "exact"):
             raise ValueError(f"final_mode must be stream|exact, got {final_mode}")
@@ -138,6 +139,10 @@ class SttServingEngine:
         # dp(slots)×tp(heads), audio rings dp — parallel/serving.py layout.
         # None = single chip (default; no behavior change).
         self.mesh = mesh
+        # ingest block-queue depth: realtime serving needs little (blocks
+        # drain every tick); full-speed replay benches must hold the whole
+        # backlog or the pool's drop-oldest backpressure loses blocks
+        self.ingest_queue_cap = ingest_queue_cap
         self.pool: Optional[IngestPool] = None
         self._sessions: Dict[int, _Session] = {}
         self._workers: set = set()  # all live worker tasks (for stop())
@@ -164,6 +169,10 @@ class SttServingEngine:
         self.trace_calls: Optional[list] = (
             [] if os.environ.get("SK_STT_TRACE") == "1" else None
         )
+        # finals served from the stream table vs exact-decode fallbacks
+        # (horizon froze / segment closed before any decode)
+        self.finals_stream = 0
+        self.finals_fallback = 0
 
     # -- lifecycle -----------------------------------------------------------
     async def start(self) -> None:
@@ -195,6 +204,7 @@ class SttServingEngine:
             self._cfg, self._params, self._detok = await loop.run_in_executor(None, build)
 
         lang_index = language_index(self.language)
+        self._lang_index = lang_index
         self._prefix = np.asarray(
             [
                 self._cfg.token_sot,
@@ -236,44 +246,19 @@ class SttServingEngine:
             )
         self._sstep_kind = f"stream_step:{model_tag}:{self.vad_block}"
         params, cfg, ring, tbl = self._params, self._cfg, self._ring, self._tbl
-        # inert rows in the identity-packed batch park their ring writes on a
-        # dedicated trash slot (duplicate writes of garbage, never read)
-        self._trash_slot = ring.alloc()
-        if self._trash_slot is None:
-            raise RuntimeError("audio ring full (no trash slot)")
-        trash = self._trash_slot
-        n_slots = tbl.max_slots
+        # inert rows in the identity-packed batch park their ring writes on
+        # the process-shared trash slot (duplicate writes of garbage, never
+        # read; shared with the WhisperNode stream path)
+        trash = ring.trash_slot()
 
-        trace_calls = self.trace_calls
-
-        def batched_sstep(meta, frames):
-            # meta [b, 11] HOST arrays (host_inputs kind): scatter rows into
-            # slot order so the fused step runs in IDENTITY mode — batch row
-            # p IS stream slot p, every cache read a strided slice, zero
-            # gathers (streaming.py cache-representation note). Gaps become
-            # inert rows: trash ring slot, n_req=0, do_dec=0, do_reset=0 —
-            # absent sessions' state is untouched (commit-guarded writes).
-            from .audio_ring import pcm_to_wire
-
-            t_in = time.monotonic() if trace_calls is not None else 0.0
-            perm = meta[:, 1].astype(np.int64)
-            meta_s = np.zeros((n_slots, meta.shape[1]), np.int32)
-            meta_s[:, 0] = trash
-            meta_s[:, 1] = np.arange(n_slots)  # row p IS slot p (identity)
-            # int16 wire: half the per-call host→device bytes
-            frames_s = np.zeros((n_slots,) + frames.shape[1:], np.int16)
-            meta_s[perm] = meta
-            frames_s[perm] = pcm_to_wire(frames)
-            out = tbl.step(
-                params, ring, meta_s, None, None, None, None, None,
-                frames_s, self._stream_steps,
-            )
-            # ONE fetch, then map rows back to submission order on the host
-            t_fetch = time.monotonic() if trace_calls is not None else 0.0
-            probs, tok_rows, n_rows, pos_new = jax.device_get(out)
-            if trace_calls is not None:
-                trace_calls.append((t_in, meta.shape[0], t_fetch, time.monotonic()))
-            return probs[perm], tok_rows[perm], n_rows[perm], pos_new[perm]
+        # chunk budget per fused call: sustained encode rate must cover the
+        # block rate (block_samples per call), rounded up to whole chunks —
+        # 8-frame blocks (4096 smp) need 2 chunks/call, 16-frame (8192) 4.
+        self._n_chunks = max(2, -(-self.block_samples // CHUNK_SAMPLES))
+        batched_sstep = tbl.identity_step_fn(
+            params, ring, trash, self._stream_steps,
+            n_chunks=self._n_chunks, trace_calls=self.trace_calls,
+        )
 
         stream_pad = int(os.environ.get("SK_STREAM_PAD", str(min(64, self._tbl.max_slots))))
         # gather window defaults to 0.8x the block period: with `expected`
@@ -292,33 +277,42 @@ class SttServingEngine:
             host_inputs=True,
         )
 
-        if self.final_mode == "exact":
-            from ..models.whisper.decode import transcribe_ring
+        # exact bucketed ring decode: the primary path in "exact" mode, the
+        # correctness FALLBACK in "stream" mode (a frozen stream horizon or
+        # a never-decoded segment re-decodes exactly instead of emitting an
+        # empty/stale final)
+        from ..models.whisper.decode import transcribe_ring
 
-            self._stt_kind = f"whisper_ring:{model_tag}"
-            pad_stt = int(os.environ.get("SK_STT_PAD_TO", "0")) or None
-            gather_ms = float(os.environ.get("SK_STT_GATHER_MS", "150"))
+        self._stt_kind = f"whisper_ring:{model_tag}"
+        pad_stt = int(os.environ.get("SK_STT_PAD_TO", "0")) or None
+        gather_ms = float(os.environ.get("SK_STT_GATHER_MS", "150"))
 
-            def make_ring_stt(window: int, tok_budget: int):
-                def batched_stt(slot_ids, starts, lengths):
-                    return transcribe_ring(
-                        params, cfg, ring.ring_ref(), slot_ids, starts, lengths,
-                        window_samples=window, language_index=lang_index,
-                        max_tokens=tok_budget,
-                    )
-
-                return batched_stt
-
-            for b in self.window_buckets:
-                tok_budget = min(self.max_tokens, max(12, int(b * 4) + 8))
-                self.batcher.register(
-                    f"{self._stt_kind}:{int(b * _SR)}",
-                    make_ring_stt(int(b * _SR), tok_budget),
-                    pad_to=pad_stt,
-                    gather_ms=gather_ms,
+        def make_ring_stt(window: int, tok_budget: int):
+            # (slot, start, length, lang) rows — the same signature as the
+            # WhisperNode ring kinds so warmup_batched_kinds covers both
+            def batched_stt(slot_ids, starts, lengths, lang_rows):
+                return transcribe_ring(
+                    params, cfg, ring.ring_ref(), slot_ids, starts, lengths,
+                    window_samples=window,
+                    language_index=np.asarray(lang_rows, np.int32),
+                    max_tokens=tok_budget,
                 )
 
-        self.pool = IngestPool(self.max_sessions, self.block_samples)
+            return batched_stt
+
+        for b in self.window_buckets:
+            tok_budget = min(self.max_tokens, max(12, int(b * 4) + 8))
+            self.batcher.register(
+                f"{self._stt_kind}:{int(b * _SR)}",
+                make_ring_stt(int(b * _SR), tok_budget),
+                pad_to=pad_stt,
+                gather_ms=gather_ms,
+            )
+
+        self.pool = IngestPool(
+            self.max_sessions, self.block_samples,
+            queue_cap=self.ingest_queue_cap,
+        )
         self.batcher.start()
         self._running = True
         self._drain_task = asyncio.ensure_future(self._drain_loop())
@@ -346,9 +340,6 @@ class SttServingEngine:
             self.batcher.stop()
         if self.pool is not None:
             self.pool.close()
-        if getattr(self, "_trash_slot", None) is not None:
-            self._ring.free(self._trash_slot)
-            self._trash_slot = None
 
     # -- sessions ------------------------------------------------------------
     def open_session(self, on_event: Callable[[dict], None]) -> int:
@@ -473,8 +464,8 @@ class SttServingEngine:
         if s.seg.in_speech and s.st_ready:
             avail = s.written + block.size - RIGHT_CTX - s.st_tip
             room = (self._tbl.enc_t - s.st_pos) // 8
-            n_req = max(0, min(avail // CHUNK_SAMPLES, 2))
-            if room < 2:
+            n_req = max(0, min(avail // CHUNK_SAMPLES, self._n_chunks))
+            if room < n_req:
                 n_req = 0  # horizon full: partials freeze
             now = time.monotonic()
             do_dec = s.st_pos + 8 * n_req > 0 and now - s.st_last_dec >= self.partial_interval
@@ -553,20 +544,12 @@ class SttServingEngine:
             and s.st_tip >= end_f * VAD_FRAME - 2 * CHUNK_SAMPLES
         )
         if self.final_mode == "stream" and stream_ok:
+            self.finals_stream += 1
             text = self._detok.decode(s.st_last_tok[0][len(self._prefix) : s.st_last_tok[1]])
             self._emit(s, "final", text, start_f, end_f)
             return
         # exact (or stream-fallback) final: bucketed ring re-decode
-        if self._stt_kind is None and self.final_mode == "stream":
-            # stream final unavailable (never decoded / horizon froze) and no
-            # exact path registered: emit what we have (possibly empty)
-            text = (
-                self._detok.decode(s.st_last_tok[0][len(self._prefix) : s.st_last_tok[1]])
-                if s.st_last_tok is not None and s.st_last_tok[1] > len(self._prefix)
-                else ""
-            )
-            self._emit(s, "final", text, start_f, end_f)
-            return
+        self.finals_fallback += 1
         n = min((end_f - start_f) * VAD_FRAME, int(self.window_buckets[-1] * _SR))
         window = next(
             (int(b * _SR) for b in self.window_buckets if n <= int(b * _SR)),
@@ -580,6 +563,7 @@ class SttServingEngine:
                 np.int32(s.vad_slot),
                 np.int32((start_f * VAD_FRAME) % rs),
                 np.int32(n),
+                np.int32(self._lang_index),
             )
         finally:
             s.awaiting_final = False

@@ -65,6 +65,7 @@ from __future__ import annotations
 import functools
 import os
 import threading
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -90,6 +91,21 @@ LEFT_CTX = 560
 RIGHT_CTX = 200  # mel frame t0+16 reads 200 samples past the chunk end
 GATHER = LEFT_CTX + CHUNK_SAMPLES + RIGHT_CTX  # 3320
 _N_MEL_FRAMES = 19  # t0-2 .. t0+16
+
+
+def _pallas_writes_enabled() -> bool:
+    """True when the Pallas windowed cache writes may be used.
+
+    Auto mode (default) requires a single-device TPU process: in a
+    multi-device process the stream tables may be dp/tp-sharded
+    (parallel/serving.py) and the kernel would force a gather to one
+    device — the select-merge path handles sharded operands natively.
+    SK_PALLAS_WRITES=1/0 force-overrides.
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    env = os.environ.get("SK_PALLAS_WRITES", "auto")
+    return env == "1" or (env == "auto" and jax.device_count() == 1)
 
 
 def _chunk_mel(audio: jnp.ndarray, n_mels: int, n_frames: int = _N_MEL_FRAMES) -> jnp.ndarray:
@@ -326,20 +342,21 @@ def _write_chunks(cache, cands, ids, pos, commit, n_chunks: int, sorted_rows: bo
     rows = jnp.broadcast_to(ids[:, None], (b, n_chunks))
     cols = (pos[:, None] + j * CHUNK_POS) % T
     if sorted_rows and b == S:
-        # identity mode (row b IS slot b): no scatter at all. On TPU the
-        # write is a Pallas 2×128-column read-modify-write per (slot,
-        # layer-group) — ops/cache_write.py windowed_write_groups, ~20×
-        # less traffic than the select merge; elsewhere (CPU tests,
-        # sharded meshes) the one-hot select merge (_select_merge_chunks)
-        # executes the identical semantics. The candidate stack [L,B,H,hd,c]
-        # is already layer-major — no transpose on the hot path.
+        # identity mode (row b IS slot b): no scatter at all. On a
+        # single-device TPU the write is a Pallas 2×128-column
+        # read-modify-write per (slot, layer-group) —
+        # ops/cache_write.py windowed_write_groups, ~20× less traffic than
+        # the select merge; everywhere else (CPU tests, multi-device
+        # processes where the caches may be dp/tp-sharded) the one-hot
+        # select merge (_select_merge_chunks) executes the identical
+        # semantics. SK_PALLAS_WRITES=1/0 force-overrides the auto gate.
+        # The candidate stack [L,B,H,hd,c] is already layer-major — no
+        # transpose on the hot path.
         from ...ops import cache_write
 
         c_cols = cq.shape[-1]
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and os.environ.get("SK_PALLAS_WRITES", "1") == "1"
-            and cache_write.supports(T, c_cols)
+        use_pallas = _pallas_writes_enabled() and cache_write.supports(
+            T, c_cols
         )
         lim = (
             jnp.full((S,), c_cols, jnp.int32)
@@ -546,11 +563,7 @@ def _fold_cols(cache5, delta5, pos, count):
     F = int(np.prod(cache5.shape[2:-1]))
     T = cache5.shape[-1]
     c = delta5.shape[-1]
-    if (
-        jax.default_backend() == "tpu"
-        and os.environ.get("SK_PALLAS_WRITES", "1") == "1"
-        and cache_write.supports(T, c)
-    ):
+    if _pallas_writes_enabled() and cache_write.supports(T, c):
         return cache_write.windowed_write_groups(
             cache5.reshape(L, B, F, T), delta5.reshape(L, B, F, c),
             pos, count,
@@ -576,7 +589,7 @@ def _decode_core(
     cfg: WhisperConfig,
     dk,  # [Ld, S, H, hd, DEC_T] tables (cache-representation note)
     dv,
-    xkr,  # canonical [S, Ld, H, hd, ENC_T] cache pytrees
+    xkr,  # layer-major [Ld, S, H, hd, ENC_T] cache pytrees
     xvr,
     stream_ids: jnp.ndarray,  # [B] rows into the tables
     ep: jnp.ndarray,  # [B] encoder positions (cross-attn horizon)
@@ -1118,6 +1131,7 @@ class StreamTable:
         max_steps: int,
         do_reset=None,
         prefix_b=None,
+        n_chunks: int = 2,
     ):
         """Fused per-block step (VAD + ring append + encode + decode) — ONE
         device call. Takes both tables' step locks (ring first, then stream —
@@ -1187,12 +1201,60 @@ class StreamTable:
                     frames_b,
                     self.cfg,
                     max_steps,
+                    n_chunks=n_chunks,
                     enc_t=self.enc_t,
                     identity=identity,
                     suppress_bias=self.suppress_bias,
                     begin_bias=self.begin_bias,
                 )
         return probs, tok_rows, n_rows, pos_new
+
+    def identity_step_fn(
+        self,
+        params: Params,
+        audio_ring,
+        trash_slot: int,
+        max_steps: int,
+        n_chunks: int = 2,
+        trace_calls: Optional[list] = None,
+    ):
+        """Batcher-ready fused-step closure in IDENTITY packing: submitted
+        meta rows (host arrays, ``host_inputs=True`` kinds) are scattered
+        into slot order so batch row p IS stream slot p — every cache read
+        compiles to a strided slice, zero gathers (cache-representation
+        note). Gap rows become inert: ring writes park on ``trash_slot``,
+        ``n_req=0/do_dec=0/do_reset=0`` leaves absent sessions' state
+        untouched (commit-guarded writes). Shared by the dense serving
+        engine and the WhisperNode graph path so both compile ONE program.
+        """
+        from ...engine.audio_ring import pcm_to_wire
+
+        n_slots = self.max_slots
+
+        def batched_sstep(meta, frames):
+            t_in = time.monotonic() if trace_calls is not None else 0.0
+            perm = meta[:, 1].astype(np.int64)
+            meta_s = np.zeros((n_slots, meta.shape[1]), np.int32)
+            meta_s[:, 0] = trash_slot
+            meta_s[:, 1] = np.arange(n_slots)  # row p IS slot p (identity)
+            # int16 wire: half the per-call host→device bytes
+            frames_s = np.zeros((n_slots,) + frames.shape[1:], np.int16)
+            meta_s[perm] = meta
+            frames_s[perm] = pcm_to_wire(frames)
+            out = self.step(
+                params, audio_ring, meta_s, None, None, None, None, None,
+                frames_s, max_steps, n_chunks=n_chunks,
+            )
+            # ONE fetch, then map rows back to submission order on the host
+            t_fetch = time.monotonic() if trace_calls is not None else 0.0
+            probs, tok_rows, n_rows, pos_new = jax.device_get(out)
+            if trace_calls is not None:
+                trace_calls.append(
+                    (t_in, meta.shape[0], t_fetch, time.monotonic())
+                )
+            return probs[perm], tok_rows[perm], n_rows[perm], pos_new[perm]
+
+        return batched_sstep
 
     # -- canonical views (tests / tools) -------------------------------------
     def cache_view(self, which: str):

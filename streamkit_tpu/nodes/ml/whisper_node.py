@@ -118,10 +118,13 @@ async def warmup_batched_kinds(batcher, *, sweep_to: int = 0, log=None) -> list:
         elif fields[0] == "stream_step":
             block = int(fields[-1])
             # meta layout: streaming.META_COLS (slot, stream, wpos, cstart,
-            # n_req, do_dec, do_reset) + 4-token prefix. n_req/do_dec are
-            # traced, so one warm call covers every runtime value.
+            # n_req, do_dec, do_reset) + 4-token prefix. n_req/do_dec/
+            # do_reset are traced, so one warm call covers every runtime
+            # value — the warm row is fully INERT (stream 0, no decode, no
+            # reset: the masked-row no-op) so it never perturbs live slots
+            # and stays in range for any table width.
             args = lambda j, block=block: (  # noqa: E731
-                np.asarray([120, 7, 0, 0, 0, 1, 0, 0, 0, 0, 0], np.int32),
+                np.asarray([120, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], np.int32),
                 np.zeros((block, VAD_FRAME), np.float32),
             )
         else:
@@ -393,10 +396,18 @@ class WhisperNode(ProcessorNode):
                     gather_ms=gather_ms,
                 )
 
-        # -- incremental streaming partials (models/whisper/streaming.py) ----
+        # -- incremental streaming decode (models/whisper/streaming.py) ------
+        # Used for live partials AND (``final_from_stream``) for zero-cost
+        # segment finals: the continuation decode consumes each utterance as
+        # it arrives, so at segment close its newest tokens ARE the final —
+        # no bucket re-decode on the device queue (the round-4 engine bench
+        # spent ~75% of its dispatch on whisper_ring bucket re-decodes).
         stream_tbl = None
         stream_id = None
-        if batch_kind is not None and self.partials and self.streaming_partials:
+        use_stream = self.streaming_partials and (
+            self.partials or self.final_from_stream
+        )
+        if batch_kind is not None and use_stream:
             from ...models.whisper.streaming import (
                 CHUNK_SAMPLES,
                 RIGHT_CTX,
@@ -412,27 +423,38 @@ class WhisperNode(ProcessorNode):
                 stream_tbl = None  # table exhausted: bucket-partial fallback
             else:
                 stream_pad = int(
-                    os.environ.get("SK_STREAM_PAD", str(min(8, stream_tbl.max_slots)))
+                    os.environ.get(
+                        "SK_STREAM_PAD", str(min(64, stream_tbl.max_slots))
+                    )
                 )
                 stream_steps = int(os.environ.get("SK_STREAM_STEPS", "3"))
+                # chunk budget per fused call must cover the block rate
+                # (stt_serving derivation): 8-frame blocks → 2, 16-frame → 4
+                n_chunks = max(
+                    2, -(-(self.vad_block * VAD_FRAME) // CHUNK_SAMPLES)
+                )
                 # fused per-block step: VAD + ring append + chunk encode +
                 # decode continuation in ONE device call — replaces the
                 # 3-call chain (vad, enc, dec) whose per-call Python dispatch
-                # + tunnel RTT saturated a 1-core serving host
+                # + tunnel RTT saturated a 1-core serving host. Identity
+                # packing (StreamTable.identity_step_fn): batch row p IS
+                # stream slot p, zero cache gathers.
                 sstep_kind = f"stream_step:{model_tag}:{self.vad_block}"
-
-                def batched_sstep(meta, frames):
-                    # meta [B, 11]: packed per-row scalars + prefix (ONE
-                    # transfer instead of nine — streaming.META_COLS layout)
-                    return stream_tbl.step(
-                        params, ring, meta, None, None, None,
-                        None, None, frames, stream_steps,
+                if not ctx.batcher.is_registered(sstep_kind):
+                    trash = ring.trash_slot()
+                    batched_sstep = stream_tbl.identity_step_fn(
+                        params, ring, trash, stream_steps, n_chunks=n_chunks,
                     )
-
-                sgather = float(os.environ.get("SK_STREAM_GATHER_MS", "0"))
-                ctx.batcher.register(
-                    sstep_kind, batched_sstep, pad_to=stream_pad, gather_ms=sgather,
-                )
+                    block_ms = self.vad_block * VAD_FRAME * 1000.0 / _SR
+                    sgather = float(
+                        os.environ.get(
+                            "SK_STREAM_GATHER_MS", str(0.8 * block_ms)
+                        )
+                    )
+                    ctx.batcher.register(
+                        sstep_kind, batched_sstep, pad_to=stream_pad,
+                        gather_ms=sgather, host_inputs=True,
+                    )
         def _prefix_for(idx: int) -> np.ndarray:
             return np.asarray(
                 [
@@ -634,13 +656,17 @@ class WhisperNode(ProcessorNode):
                             if seg.in_speech and st_ready:
                                 avail = written + block.size - RIGHT_CTX - st_tip
                                 room = (stream_tbl.enc_t - st_pos) // 8
-                                n_req = max(0, min(avail // CHUNK_SAMPLES, 2))
-                                if room < 2:
+                                n_req = max(0, min(avail // CHUNK_SAMPLES, n_chunks))
+                                if room < n_req:
                                     n_req = 0  # horizon full: partials freeze
                                 now = time.monotonic()
-                                do_dec = (
-                                    st_pos + 8 * n_req > 0
-                                    and now - st_last_dec >= self.partial_interval
+                                # finals-only stream mode decodes EVERY block
+                                # so the continuation stays caught up (the
+                                # final is its newest tokens); partials apply
+                                # the emission-interval cooldown
+                                do_dec = st_pos + 8 * n_req > 0 and (
+                                    not self.partials
+                                    or now - st_last_dec >= self.partial_interval
                                 )
                                 if do_dec:
                                     st_last_dec = now
@@ -755,6 +781,7 @@ class WhisperNode(ProcessorNode):
                 # supersedes it) and is dropped here
                 if (
                     partial_emit is not None
+                    and self.partials
                     and seg.in_speech
                     and st_ready
                     and partial_emit[1] > len(stream_prefix)

@@ -189,7 +189,12 @@ def windowed_write_groups(
     nb = T // cb
     nj = min(nb, 2)
     if not gb:
-        budget = 2 * 1024 * 1024 // (F * cb * cache.dtype.itemsize)
+        # Live VMEM per group per grid step: cache-in + out blocks (F·cb each)
+        # plus the upd block (F·c), all double-buffered by Mosaic.
+        per_group = 2 * (
+            2 * F * cb * cache.dtype.itemsize + F * c * upd.dtype.itemsize
+        )
+        budget = 2 * 1024 * 1024 // per_group
         gb = max(1, min(G, budget))
     while G % gb:
         gb -= 1

@@ -8,10 +8,11 @@ collectives over ICI):
 
 * **weights** — Megatron TP per :func:`..parallel.mesh.whisper_param_sharding`
   (column-parallel q/k/v/mlp1, row-parallel o/mlp2 → one psum per block),
-* **KV caches** ``[S, L, H, hd, T]`` — heads over ``tp`` (each chip holds
-  the K/V of its own attention heads: attention is embarrassingly parallel
-  over heads until the output projection's psum) and **session slots over
-  ``dp``** (each chip group owns a shard of the live sessions),
+* **KV caches** ``[L, S, H, hd, T]`` (layer-major storage) — heads over
+  ``tp`` (each chip holds the K/V of its own attention heads: attention is
+  embarrassingly parallel over heads until the output projection's psum)
+  and **session slots (axis 1) over ``dp``** (each chip group owns a shard
+  of the live sessions),
 * **audio rings / VAD state** ``[S, ...]`` — slots over ``dp``,
 * **batched step inputs** ``[B, ...]`` — rows over ``dp``.
 

@@ -99,3 +99,46 @@ def test_closed_session_rejects_push():
     # slot is reusable
     assert pool.open() == sid
     pool.close()
+
+
+@needs_lib
+def test_opus_replay_decodes_natively():
+    """Opus-packet replay: the C++ thread decodes 20 ms packets straight to
+    16 kHz mono and assembles blocks — full-speed mode (frame_us=0) delivers
+    the whole stream without pacing. Round-trip sanity: a sine encoded at
+    48 kHz must come back at 16 kHz with the right length and non-trivial
+    correlation (opus is lossy; exactness is the codec tests' job)."""
+    try:
+        from streamkit_tpu.nodes.codecs.opus import OpusEncoder
+
+        enc = OpusEncoder(48_000, 1, 64_000)
+    except Exception:
+        pytest.skip("libopus unavailable")
+    sr = 48_000
+    seconds = 2.0
+    t = np.arange(int(sr * seconds)) / sr
+    audio = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    frame = 960  # 20 ms
+    packets = [
+        enc.encode(audio[i * frame : (i + 1) * frame])
+        for i in range(len(audio) // frame)
+    ]
+
+    pool = IngestPool(2, BLOCK)
+    sid = pool.open()
+    pool.start_replay_opus(sid, packets, sample_rate=16_000, channels=1, frame_us=0)
+    got = []
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        ids, _arr, blocks = pool.drain(timeout_us=200_000)
+        got.extend(blocks[i] for i in range(len(ids)))
+        if pool.active() == 0 and pool.pending() == 0:
+            break
+    pcm = np.concatenate(got) if got else np.zeros(0, np.float32)
+    # 2 s at 16 kHz = 32000 samples = 7 full 4096-blocks (+ remainder dropped)
+    expected_blocks = int(seconds * 16_000) // BLOCK
+    assert len(got) == expected_blocks, (len(got), expected_blocks)
+    # decoded energy present (not silence), bounded amplitude
+    tail = pcm[8000:]  # skip codec warmup
+    assert 0.2 < np.sqrt(np.mean(tail**2)) < 0.6
+    pool.close()
