@@ -79,7 +79,7 @@ def main():
     f0 = jax.jit(lambda x: x + 1)
     timeit("empty jit (RTT floor)", lambda: f0(jnp.float32(1)))
 
-    def fused(active, steps, nf=8):
+    def fused(active, steps, nf=8, n_chunks=2):
         rows = list(range(tbl.max_slots))
         meta = np.stack(
             [
@@ -91,7 +91,7 @@ def main():
                                 r,
                                 0,
                                 0,
-                                2 if r < active else 0,
+                                n_chunks if r < active else 0,
                                 1 if r < active else 0,
                                 0,
                             ],
@@ -107,9 +107,19 @@ def main():
             np.random.RandomState(0).randn(tbl.max_slots, nf, VAD_FRAME).astype(np.float32) * 0.2
         )
         return lambda: tbl.step(
-            params, ring, meta, None, None, None, None, None, fb, steps
+            params, ring, meta, None, None, None, None, None, fb, steps,
+            n_chunks=n_chunks,
         )[0]
 
+    if os.environ.get("PROBE_SWEEP", "0") == "1":
+        # throughput sweep: per-call cost across (block frames, chunk budget,
+        # decode steps). Effective sessions/chip = 64 * block_audio / call.
+        for nf, nc, steps in [
+            (8, 2, 2), (16, 4, 2), (16, 4, 3), (32, 8, 3), (32, 8, 2),
+        ]:
+            name = f"fused B={tbl.max_slots} nf={nf} chunks={nc} steps={steps}"
+            timeit(name, fused(SLOTS, steps, nf=nf, n_chunks=nc))
+        return
     timeit(f"fused identity B={tbl.max_slots} steps={STEPS}", fused(SLOTS, STEPS))
     timeit(f"fused identity B={tbl.max_slots} steps=1", fused(SLOTS, 1))
     budget = 256.0

@@ -59,7 +59,12 @@ from ..models.whisper import (
     load_pretrained,
 )
 from ..models.whisper.config import language_index
-from ..models.whisper.streaming import CHUNK_SAMPLES, RIGHT_CTX, get_stream_table
+from ..models.whisper.streaming import (
+    CHUNK_POS,
+    CHUNK_SAMPLES,
+    RIGHT_CTX,
+    get_stream_table,
+)
 from ..ops import VAD_FRAME
 from .batcher import DeviceBatcher
 from .ingest import IngestPool
@@ -245,6 +250,16 @@ class SttServingEngine:
                 self.mesh, self._params, table=self._tbl, ring=self._ring
             )
         self._sstep_kind = f"stream_step:{model_tag}:{self.vad_block}"
+        # stream-final mode: force-cut segments at the stream horizon (the
+        # reference's 30 s forced cut, bounded by our encoder table) minus an
+        # 8-chunk catch-up margin — segments that outgrow the horizon freeze
+        # the tip and every such final pays an exact-decode fallback
+        # (measured: 17% fallbacks on synth speech whose short pauses chain
+        # utterances past 10.24 s; the fallback bucket decodes dominated the
+        # device). Exact mode keeps the configured cut.
+        if self.final_mode == "stream":
+            horizon_secs = (self._tbl.enc_t // CHUNK_POS - 8) * CHUNK_SAMPLES / _SR
+            self.max_segment_secs = min(self.max_segment_secs, horizon_secs)
         params, cfg, ring, tbl = self._params, self._cfg, self._ring, self._tbl
         # inert rows in the identity-packed batch park their ring writes on
         # the process-shared trash slot (duplicate writes of garbage, never

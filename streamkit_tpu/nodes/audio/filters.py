@@ -47,7 +47,12 @@ from ...core import (
 )
 from ...core.state import NodeState, StopReason
 from ...ops import apply_gain, mix_frames
-from ...ops.resample import LinearResampler, max_output_frames, resample_chunk
+from ...ops.resample import (
+    LinearResampler,
+    RubatoResampler,
+    max_output_frames,
+    resample_chunk,
+)
 
 VALID_OPUS_FRAME_SIZES = (120, 240, 480, 960, 1920, 2880)
 
@@ -151,6 +156,14 @@ class ResamplerNode(ProcessorNode):
                 # itself. Same algorithm, byte-identical output
                 # (tests/test_batcher.py::test_resampler_slot_table_matches_host_path).
                 "backend": "device",
+                # "rubato" (default): bit-exact reference parity — rubato
+                # FastFixedIn/Linear's f64 ratio accumulator semantics
+                # (resampler.rs:231-244), host-resident (sequential f64
+                # state), golden-tested bit-for-bit vs a scalar oracle.
+                # "exact": this repo's zero-drift rational-phase spec
+                # (ops/resample.py) — the TPU slot-table form; identical to
+                # rubato at integer ratios up to stream priming/offset.
+                "compat": "rubato",
             },
         )
         if params is not None:
@@ -161,6 +174,9 @@ class ResamplerNode(ProcessorNode):
         self.backend = str(cfg["backend"])
         if self.backend not in ("device", "host"):
             raise ConfigurationError("backend must be device|host")
+        self.compat = str(cfg["compat"])
+        if self.compat not in ("rubato", "exact"):
+            raise ConfigurationError("compat must be rubato|exact")
         if self.target_rate <= 0:
             raise ConfigurationError("target_sample_rate must be greater than 0")
         if self.chunk_frames <= 0:
@@ -230,10 +246,23 @@ class ResamplerNode(ProcessorNode):
                     if in_fmt is None:
                         in_fmt = fmt
                         out_fmt = AudioFormat(self.target_rate, fmt.channels)
-                        resampler = LinearResampler(
-                            fmt.sample_rate, self.target_rate, self.chunk_frames, fmt.channels
-                        )
-                        if ctx.batcher is not None and self.backend == "device":
+                        if self.compat == "rubato":
+                            # reference-parity mode: host-resident f64
+                            # accumulator (inherently sequential state) —
+                            # never the device slot table
+                            resampler = RubatoResampler(
+                                fmt.sample_rate, self.target_rate,
+                                self.chunk_frames, fmt.channels,
+                            )
+                        else:
+                            resampler = LinearResampler(
+                                fmt.sample_rate, self.target_rate, self.chunk_frames, fmt.channels
+                            )
+                        if (
+                            ctx.batcher is not None
+                            and self.backend == "device"
+                            and self.compat != "rubato"
+                        ):
                             # per-session phase/history live in a device slot
                             # table; chunks from all sessions batch per config
                             batched = _resampler_slot_kind(
@@ -276,9 +305,17 @@ class ResamplerNode(ProcessorNode):
                     total_out_frames += len(out) // in_fmt.channels
                     out_buf = np.concatenate([out_buf, out])
                     await emit_frames(final=False)
-            # EOF flush: pad the remainder to a full chunk, emit only the
-            # exact number of outputs owed (rational bookkeeping, no drift)
-            if resampler is not None and in_fmt is not None:
+            if self.compat == "rubato" and resampler is not None and in_fmt is not None:
+                # reference EOF semantics: any buffered-but-unchunked input
+                # plus the node-level remainder run through a FRESH resampler
+                # sized to the remainder (resampler.rs:558-570)
+                if len(in_buf):
+                    out_buf = np.concatenate([out_buf, resampler.process(in_buf)])
+                out_buf = np.concatenate([out_buf, resampler.flush()])
+                await emit_frames(final=True)
+            # EOF flush (exact mode): pad the remainder to a full chunk, emit
+            # only the exact number of outputs owed (rational bookkeeping)
+            elif resampler is not None and in_fmt is not None:
                 rem_frames = len(in_buf) // in_fmt.channels
                 total_in_frames += rem_frames
                 owed = -(-total_in_frames * resampler.dst_num // resampler.src_num)  # ceil

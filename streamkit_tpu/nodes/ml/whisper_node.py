@@ -422,6 +422,16 @@ class WhisperNode(ProcessorNode):
             if stream_id is None:
                 stream_tbl = None  # table exhausted: bucket-partial fallback
             else:
+                if self.final_from_stream:
+                    # force-cut segments at the stream horizon (minus an
+                    # 8-chunk catch-up margin) so stream finals never freeze
+                    # into exact-decode fallbacks (stt_serving.py rationale)
+                    horizon_frames = int(
+                        (stream_tbl.enc_t // 8 - 8) * CHUNK_SAMPLES / VAD_FRAME
+                    )
+                    seg.max_segment_frames = min(
+                        seg.max_segment_frames, max(horizon_frames, 16)
+                    )
                 stream_pad = int(
                     os.environ.get(
                         "SK_STREAM_PAD", str(min(64, stream_tbl.max_slots))

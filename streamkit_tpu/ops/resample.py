@@ -34,7 +34,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["LinearResampler", "max_output_frames", "resample_chunk"]
+__all__ = [
+    "LinearResampler",
+    "RubatoResampler",
+    "max_output_frames",
+    "resample_chunk",
+]
 
 
 def max_output_frames(chunk_frames: int, src_rate: int, dst_rate: int) -> int:
@@ -154,3 +159,113 @@ class LinearResampler:
         self._phase_num = phase + n * self.src_num - frames * self.dst_num
         self._history = chunk[-1].copy()
         return np.ascontiguousarray(out, dtype=np.float32).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# rubato-compat mode (bit-exact reference parity)
+# ---------------------------------------------------------------------------
+_PLM = 8  # rubato POLYNOMIAL_LEN_MAX: history depth and loop bound use the
+# septic maximum regardless of the active polynomial degree
+
+
+@dataclass
+class RubatoResampler:
+    """Bit-exact reimplementation of rubato 0.16 ``FastFixedIn`` with
+    ``PolynomialDegree::Linear`` at a fixed ratio — the reference resampler's
+    exact configuration (``nodes/src/audio/filters/resampler.rs:231-244``).
+
+    This is the ``compat: "rubato"`` mode of ``audio::resampler``: where
+    :class:`LinearResampler` tracks phase as an exact rational (zero drift,
+    TPU-native spec), this class reproduces rubato's **f64 ratio
+    accumulator** — ``idx += 1/ratio`` per output sample, carried across
+    chunks as ``last_index = idx - chunk_frames`` — so non-integer-ratio PCM
+    (48 k→44.1 k, 44.1 k→16 k, …) is bit-identical to the reference,
+    including the accumulator's sub-sample drift pattern. Semantics notes in
+    :func:`tools.gen_golden_dsp.oracle_resample_rubato` (the scalar oracle
+    this class is golden-tested against, bit-for-bit).
+
+    Host numpy on purpose: the accumulator is inherently sequential f64
+    state; the vectorized form below reproduces the scalar sequence exactly
+    (``np.add.accumulate`` is a strict left-to-right f64 fold) while staying
+    one numpy call per chunk. Live-stream serving uses the host backend
+    anyway (a per-chunk device dispatch costs more than the math).
+
+    Unlike :class:`LinearResampler`, input buffers internally to whole
+    ``chunk_frames`` (rubato is fixed-chunk-in); :meth:`process` accepts any
+    length and emits what completed chunks produce. :meth:`flush` mirrors
+    the reference's EOF remainder path (``resampler.rs:558-570``): the
+    leftover frames run through a FRESH resampler sized to the remainder.
+    """
+
+    src_rate: int
+    dst_rate: int
+    chunk_frames: int
+    channels: int
+
+    def __post_init__(self) -> None:
+        # rubato: resample_ratio = out/in (f64); t_ratio = 1.0/ratio
+        self._t_ratio = np.float64(1.0) / (
+            np.float64(self.dst_rate) / np.float64(self.src_rate)
+        )
+        self._last_index = -np.float64(_PLM) / 2.0
+        self._hist = np.zeros((2 * _PLM, self.channels), np.float32)
+        self._pend = np.zeros((0, self.channels), np.float32)
+        self._end_idx = np.float64(self.chunk_frames - (_PLM + 1))
+
+    def _run_chunk(self, chunk: np.ndarray, end_idx: np.float64) -> np.ndarray:
+        """One fixed chunk through the accumulator; updates carry state."""
+        frames = chunk.shape[0]
+        buf = np.concatenate([self._hist, chunk], axis=0)
+        # f64 accumulation identical to the scalar loop: acc[j] = a_j where
+        # a_0 = last_index, a_j = a_{j-1} + t (strict sequential fold)
+        n_max = int(np.ceil((end_idx - self._last_index) / self._t_ratio)) + 2
+        n_max = max(n_max, 1)
+        arr = np.full(n_max + 1, self._t_ratio, np.float64)
+        arr[0] = self._last_index
+        acc = np.add.accumulate(arr)
+        # the loop emits j while a_{j-1} < end_idx (increment BEFORE emit)
+        n = int(np.searchsorted(acc, end_idx, side="left"))
+        idxs = acc[1 : n + 1]
+        self._last_index = np.float64(
+            (idxs[-1] if n else self._last_index) - np.float64(frames)
+        )
+        self._hist = buf[frames : frames + 2 * _PLM]
+        if n == 0:
+            return np.zeros((0, self.channels), np.float32)
+        fl = np.floor(idxs)
+        start = fl.astype(np.int64) + 2 * _PLM
+        frac = (idxs - fl).astype(np.float32)[:, None]
+        p0 = buf[start]
+        p1 = buf[start + 1]
+        # f32 lerp, product rounded before the add (rustc interp_lin)
+        return p0 + frac * (p1 - p0)
+
+    def process(self, chunk_interleaved: np.ndarray) -> np.ndarray:
+        """Buffer input; resample every completed ``chunk_frames`` chunk.
+        Returns interleaved f32 output samples."""
+        x = np.asarray(chunk_interleaved, np.float32).reshape(-1, self.channels)
+        self._pend = np.concatenate([self._pend, x], axis=0)
+        outs = []
+        while self._pend.shape[0] >= self.chunk_frames:
+            chunk, self._pend = (
+                self._pend[: self.chunk_frames],
+                self._pend[self.chunk_frames :],
+            )
+            outs.append(self._run_chunk(chunk, self._end_idx))
+        if not outs:
+            return np.zeros(0, np.float32)
+        return np.ascontiguousarray(np.concatenate(outs, axis=0)).reshape(-1)
+
+    def flush(self) -> np.ndarray:
+        """EOF: the reference runs leftover frames through a FRESH
+        ``FastFixedIn`` sized to the remainder (``resampler.rs:558-570``) —
+        fresh zero history, fresh ``last_index``."""
+        rem = self._pend
+        self._pend = np.zeros((0, self.channels), np.float32)
+        if rem.shape[0] == 0:
+            return np.zeros(0, np.float32)
+        fresh = RubatoResampler(
+            self.src_rate, self.dst_rate, rem.shape[0], self.channels
+        )
+        out = fresh._run_chunk(rem, fresh._end_idx)
+        return np.ascontiguousarray(out).reshape(-1)

@@ -177,7 +177,7 @@ steps:
   - kind: streamkit::http_input
   - kind: containers::wav::demuxer
   - kind: audio::resampler
-    params: {target_sample_rate: 16000}
+    params: {target_sample_rate: 16000, compat: exact}
   - kind: containers::wav::muxer
   - kind: streamkit::http_output
 """

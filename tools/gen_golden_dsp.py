@@ -126,6 +126,60 @@ def oracle_resample_linear(x, channels, src_rate, dst_rate):
     return np.asarray(out, dtype=np.float32)
 
 
+_PLM = 8  # rubato POLYNOMIAL_LEN_MAX (septic); the buffer history and loop
+# bound always use the max length regardless of the active degree
+
+
+def oracle_resample_rubato(x, channels, src_rate, dst_rate, chunk_frames=960):
+    """Scalar transcription of rubato 0.16 ``FastFixedIn::process_into_buffer``
+    with ``PolynomialDegree::Linear`` at a fixed ratio — the reference's
+    configuration (``resampler.rs:231-244``: ratio = out/in, max relative
+    ratio 1.0 so the in-loop ratio ramp term is identically zero).
+
+    Semantics reproduced (rubato ``src/asynchro_fast.rs``):
+
+    * internal buffer = ``2*PLM`` history frames + ``chunk_frames`` new
+      frames; each chunk first shifts the previous chunk's last ``2*PLM``
+      frames into the history region (zeros before the first chunk),
+    * the index accumulates in **f64**: ``idx += 1/ratio`` per output
+      (increment BEFORE the emit), starting from ``last_index = -PLM/2``,
+    * loop bound ``idx < chunk_frames - (PLM + 1)`` (conservative for all
+      degrees),
+    * linear emit: points ``floor(idx)``/``floor(idx)+1`` (buffer offset
+      ``+2*PLM``), fraction cast f64→f32 BEFORE the lerp, lerp in f32 as
+      ``p0 + frac*(p1 - p0)`` with the product rounded before the add,
+    * chunk carry ``last_index = idx - chunk_frames`` (exact f64 for sane
+      magnitudes), so the accumulator's rounding pattern — including its
+      drift at irrational ratios — continues across chunks.
+
+    Only whole chunks are processed (the node buffers to ``chunk_frames``);
+    the reference's EOF remainder path builds a FRESH resampler sized to the
+    remainder (``resampler.rs:564-570``) — transcribed by calling this with
+    ``chunk_frames = remainder`` on the leftover samples.
+    """
+    x = np.asarray(x, dtype=np.float32).reshape(-1, channels)
+    t_ratio = np.float64(1.0) / (np.float64(dst_rate) / np.float64(src_rate))
+    buf = np.zeros((chunk_frames + 2 * _PLM, channels), np.float32)
+    last_index = -np.float64(_PLM) / 2.0
+    end_idx = np.float64(chunk_frames - (_PLM + 1))
+    out = []
+    for c in range(x.shape[0] // chunk_frames):
+        buf[: 2 * _PLM] = buf[chunk_frames : chunk_frames + 2 * _PLM]
+        buf[2 * _PLM :] = x[c * chunk_frames : (c + 1) * chunk_frames]
+        idx = last_index
+        while idx < end_idx:
+            idx = np.float64(idx + t_ratio)
+            idx_floor = np.floor(idx)
+            start = int(idx_floor) + 2 * _PLM
+            frac = np.float32(idx - idx_floor)
+            for ch in range(channels):
+                p0, p1 = buf[start, ch], buf[start + 1, ch]
+                prod = np.float32(frac * np.float32(p1 - p0))
+                out.append(np.float32(p0 + prod))
+        last_index = np.float64(idx - np.float64(chunk_frames))
+    return np.asarray(out, dtype=np.float32)
+
+
 # ---------------------------------------------------------------- fixtures
 def main() -> None:
     rng = np.random.RandomState(20260819)
@@ -186,6 +240,28 @@ def main() -> None:
     st_in = rng.randn(8820 * 2).astype(np.float32)
     fixtures["rs_441_16_in"] = st_in
     fixtures["rs_441_16_out"] = oracle_resample_linear(st_in, 2, 44100, 16000)
+
+    # rubato-compat goldens (VERDICT r4 #4): non-integer ratios through the
+    # f64 ratio accumulator — 48k→44.1k mono (5 chunks + remainder flush) and
+    # 44.1k→16k stereo. Oracle: oracle_resample_rubato (scalar transcription
+    # of FastFixedIn/Linear); kernel under test: ops/resample.RubatoResampler.
+    ru_in = rng.randn(960 * 5 + 500).astype(np.float32)
+    fixtures["rsru_48_441_in"] = ru_in
+    fixtures["rsru_48_441_out"] = np.concatenate(
+        [
+            oracle_resample_rubato(ru_in[: 960 * 5], 1, 48000, 44100, 960),
+            # EOF remainder: FRESH resampler sized to the 500-frame leftover
+            oracle_resample_rubato(ru_in[960 * 5 :], 1, 48000, 44100, 500),
+        ]
+    )
+    ru2_in = rng.randn(960 * 4 * 2).astype(np.float32)
+    fixtures["rsru_441_16_in"] = ru2_in
+    fixtures["rsru_441_16_out"] = oracle_resample_rubato(ru2_in, 2, 44100, 16000, 960)
+    # integer ratio through the accumulator (exact f64 positions, but the
+    # rubato priming offset differs from the rational-phase spec)
+    fixtures["rsru_48_16_out"] = oracle_resample_rubato(
+        fixtures["rs_48_16_in"], 1, 48000, 16000, 960
+    )
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(OUT, **fixtures)
