@@ -44,20 +44,25 @@ def main() -> None:
         [cfg.token_sot, cfg.token_language(0), cfg.token_transcribe, cfg.token_no_timestamps],
         np.int32,
     )
+    nf = int(os.environ.get("PROBE_NF", "8"))
+    n_chunks = int(os.environ.get("PROBE_CHUNKS", "2"))
     meta = np.stack(
         [
             np.concatenate(
-                [np.asarray([r, r, 0, 0, 2, 1, 0], np.int32), prefix]
+                [np.asarray([r, r, 0, 0, n_chunks, 1, 0], np.int32), prefix]
             )
             for r in range(tbl.max_slots)
         ]
     )
     fb = pcm_to_wire(
-        np.random.RandomState(0).randn(tbl.max_slots, 8, VAD_FRAME).astype(np.float32) * 0.2
+        np.random.RandomState(0).randn(tbl.max_slots, nf, VAD_FRAME).astype(np.float32) * 0.2
     )
 
     def call():
-        out = tbl.step(params, ring, meta, None, None, None, None, None, fb, STEPS)[0]
+        out = tbl.step(
+            params, ring, meta, None, None, None, None, None, fb, STEPS,
+            n_chunks=n_chunks,
+        )[0]
         np.asarray(out).ravel()[:1]
 
     t0 = time.time()

@@ -559,7 +559,23 @@ class WhisperNode(ProcessorNode):
             await send_transcription(text, start_f, end_f, is_final)
 
         if batch_kind is not None:
-            vad_slot = ring.alloc()
+            # overload shedding: a full ring table degrades this session to
+            # the unbatched local path (slower, still correct) instead of
+            # failing the node — admission limits (server config
+            # max_concurrent_sessions) should keep this from happening; this
+            # is the backstop (VERDICT r4 #5)
+            try:
+                vad_slot = ring.alloc()
+            except RuntimeError:
+                telemetry.emit(
+                    "stt.degraded", {"reason": "audio ring table exhausted"}
+                )
+                ctx.emit_state(NodeState.degraded("audio ring table exhausted"))
+                batch_kind = None
+                if stream_tbl is not None and stream_id is not None:
+                    stream_tbl.free(stream_id)
+                stream_tbl = None
+                stream_id = None
 
         # Transcription emission runs on a per-session sequential worker so
         # the ingest/VAD loop NEVER stalls behind a decode (finals previously

@@ -44,7 +44,13 @@ from .websocket import MAX_WS_MESSAGE_BYTES, WsDispatcher
 
 log = logging.getLogger(__name__)
 
-__all__ = ["AppState", "create_app", "run_server"]
+__all__ = ["AppState", "SessionLimitReached", "create_app", "run_server"]
+
+
+class SessionLimitReached(Exception):
+    """Global ``max_concurrent_sessions`` admission limit hit
+    (reference ``permissions.rs:316-321``): HTTP surfaces map this to 503,
+    the WS control plane to an Error response payload."""
 
 def _load_wasm_dir(registry, directory):
     """Load any .wasm plugins already on disk (mirrors load_plugins_dir)."""
@@ -75,11 +81,19 @@ class AppState:
         self.sessions = SessionManager()
         self.roles = RoleStore(config.roles, config.default_role, config.role_header)
         self._ws_clients: Set[web.WebSocketResponse] = set()
-        self._oneshot_sem = (
-            asyncio.Semaphore(config.oneshot_concurrency_limit)
-            if config.oneshot_concurrency_limit > 0
-            else None
-        )
+        # oneshot admission: permissions.max_concurrent_oneshots (reference
+        # ConcurrencyLimitLayer, server.rs:1854-1856 — queues, not rejects);
+        # engine.oneshot_concurrency_limit kept as the engine-profile alias.
+        # When both are set the tighter bound wins.
+        limits = [
+            n
+            for n in (
+                config.oneshot_concurrency_limit or None,
+                config.max_concurrent_oneshots,
+            )
+            if n
+        ]
+        self._oneshot_sem = asyncio.Semaphore(min(limits)) if limits else None
         # OTLP push telemetry (reference telemetry.rs 5s periodic reader);
         # started on app startup when an endpoint is configured
         from .otlp import pusher_from_config
@@ -165,6 +179,13 @@ class AppState:
             node_input_capacity=profile.node_input_capacity,
             pin_distributor_capacity=profile.pin_distributor_capacity,
         )
+        # global admission limit (reference permissions.rs:381-386 +
+        # websocket_handlers.rs:106-121): reject BEFORE spawning anything —
+        # an allowed-but-unauthenticated role must not be able to exhaust
+        # stream-table/HBM slots by opening unbounded sessions
+        limit = self.config.max_concurrent_sessions
+        if limit is not None and len(self.sessions.list()) >= limit:
+            raise SessionLimitReached("Maximum concurrent sessions limit reached")
         # pre-check the name BEFORE spawning engine/forwarder tasks, and
         # tear the session down if registration still races to a duplicate
         if name is not None and any(s.name == name for s in self.sessions.list()):
@@ -478,6 +499,8 @@ async def create_session_http(request: web.Request) -> web.Response:
         return web.json_response({"error": "invalid JSON body"}, status=422)
     try:
         session = await state.create_session(body.get("name"), created_by=role)
+    except SessionLimitReached as e:
+        return web.json_response({"error": str(e)}, status=503)
     except ValueError as e:
         return web.json_response({"error": str(e)}, status=409)
 

@@ -64,6 +64,12 @@ class ServerConfig:
     default_role: str = "admin"
     role_header: Optional[str] = None
     roles: Dict[str, dict] = field(default_factory=dict)
+    # global admission limits (reference permissions.rs:316-321; None =
+    # unlimited). Sessions REJECT at the limit ("Maximum concurrent sessions
+    # limit reached"); oneshots QUEUE (the reference's ConcurrencyLimitLayer
+    # waits, server.rs:1854-1856)
+    max_concurrent_sessions: Optional[int] = None
+    max_concurrent_oneshots: Optional[int] = None
 
     # MoQ WebTransport acceptor (reference [moq]: server.rs:1975-2085)
     moq_enabled: bool = True
@@ -104,7 +110,12 @@ class ServerConfig:
                 "allowed_file_paths": self.allowed_file_paths,
                 "allowed_write_paths": self.allowed_write_paths,
             },
-            "permissions": {"default_role": self.default_role, "roles": list(self.roles)},
+            "permissions": {
+                "default_role": self.default_role,
+                "roles": list(self.roles),
+                "max_concurrent_sessions": self.max_concurrent_sessions,
+                "max_concurrent_oneshots": self.max_concurrent_oneshots,
+            },
         }
 
 
@@ -148,6 +159,10 @@ def load_config(path: Optional[str] = None) -> ServerConfig:
     cfg.default_role = permissions.get("default_role", cfg.default_role)
     cfg.role_header = permissions.get("role_header", cfg.role_header)
     cfg.roles = permissions.get("roles", cfg.roles)
+    if permissions.get("max_concurrent_sessions") is not None:
+        cfg.max_concurrent_sessions = int(permissions["max_concurrent_sessions"])
+    if permissions.get("max_concurrent_oneshots") is not None:
+        cfg.max_concurrent_oneshots = int(permissions["max_concurrent_oneshots"])
     moq = doc.get("moq", {})
     cfg.moq_enabled = bool(moq.get("enabled", cfg.moq_enabled))
     cfg.moq_host = moq.get("host", cfg.moq_host)

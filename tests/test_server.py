@@ -510,3 +510,71 @@ def test_web_ui_served():
             await client.close()
 
     run(main())
+
+
+def test_max_concurrent_sessions_limit():
+    """Global session admission limit (reference permissions.rs:316-321 +
+    websocket_handlers.rs:106-121): the limit rejects — HTTP 503, WS Error
+    payload with the reference's message — and frees capacity on destroy."""
+    cfg = ServerConfig()
+    cfg.max_concurrent_sessions = 2
+
+    async def main():
+        app = create_app(cfg)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        ids = []
+        for i in range(2):
+            resp = await client.post("/api/v1/sessions", json={"name": f"s{i}"})
+            assert resp.status == 201, await resp.text()
+            ids.append((await resp.json())["session_id"])
+        resp = await client.post("/api/v1/sessions", json={"name": "s2"})
+        assert resp.status == 503
+        assert "Maximum concurrent sessions limit reached" in (await resp.json())["error"]
+        # the WS control plane rejects with the same message
+        ws = await client.ws_connect("/api/v1/control")
+        await ws.send_json(
+            {"type": "request", "correlation_id": "c1", "payload": {"action": "createsession"}}
+        )
+        msg = json.loads((await ws.receive()).data)
+        assert "Maximum concurrent sessions limit reached" in msg["payload"]["message"]
+        # destroying one frees a slot
+        resp = await client.delete(f"/api/v1/sessions/{ids[0]}")
+        assert resp.status == 200
+        resp = await client.post("/api/v1/sessions", json={"name": "s3"})
+        assert resp.status == 201, await resp.text()
+        await ws.close()
+        await client.close()
+
+    run(main())
+
+
+def test_max_concurrent_oneshots_queues():
+    """permissions.max_concurrent_oneshots queues excess oneshots (the
+    reference's tower ConcurrencyLimitLayer waits — server.rs:1854-1856):
+    all requests eventually succeed, never a capacity error."""
+    cfg = ServerConfig()
+    cfg.max_concurrent_oneshots = 1
+
+    async def main():
+        app = create_app(cfg)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        wav = make_wav(np.full(4800, 0.25, np.float32))
+
+        async def one():
+            import aiohttp
+
+            form = aiohttp.FormData()
+            form.add_field("config", DOUBLE_VOLUME_YAML)
+            form.add_field("media", wav, filename="in.wav", content_type="audio/wav")
+            resp = await client.post("/api/v1/process", data=form)
+            assert resp.status == 200, await resp.text()
+            await resp.read()
+
+        await asyncio.gather(*(one() for _ in range(3)))
+        await client.close()
+
+    run(main())
