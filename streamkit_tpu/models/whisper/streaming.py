@@ -505,6 +505,19 @@ def _encode_core(
 
     Le = cfg.n_audio_layer
     hist_ids = None if identity else stream_ids
+    # fused Pallas attention (TPU, int8 caches, identity mode): score
+    # matmuls + masks + softmax + both attends in VMEM per (row, head
+    # block) — the XLA formulation below materializes the f32 score/prob
+    # matrices to HBM per layer, profiled at ~half the fused call
+    # (ops/stream_attention.py module docstring)
+    from ...ops import stream_attention
+
+    use_attn_kernel = (
+        identity
+        and isinstance(ek, tuple)
+        and _pallas_writes_enabled()
+        and stream_attention.supports(He, hde, enc_t, n_pos)
+    )
     cand_ks, cand_vs = [], []
     for li, layer in enumerate(e["layers"]):
         h = _layernorm(x, layer["ln1"])
@@ -519,17 +532,23 @@ def _encode_core(
         # history rows: pre-write state, sliced/gathered per layer
         ek_li = _read_layer(ek, Le, li, hist_ids)
         ev_li = _read_layer(ev, Le, li, hist_ids)
-        scores_h = _scores_rows(qs, ek_li, hd_scale, dtype)
-        scores_c = _scores_rows(qs, kq, hd_scale, dtype)  # [B,H,c,n_pos]
-        scores = jnp.concatenate(
-            [scores_h + hist_mask, scores_c + cand_mask], axis=-1
-        )
-        probs = jax.nn.softmax(scores, axis=-1)
-        p_h, p_c = probs[..., :enc_t], probs[..., enc_t:]
-        out = (
-            _attend_rows(p_h, ev_li, dtype)
-            + _attend_rows(p_c, vq, dtype)
-        ).astype(dtype)
+        if use_attn_kernel:
+            out = stream_attention.history_attention(
+                qs, ek_li[0], ek_li[1], ev_li[0], ev_li[1],
+                kq[0], kq[1], vq[0], vq[1], pos_rows, float(hd_scale),
+            ).astype(dtype)
+        else:
+            scores_h = _scores_rows(qs, ek_li, hd_scale, dtype)
+            scores_c = _scores_rows(qs, kq, hd_scale, dtype)  # [B,H,c,n_pos]
+            scores = jnp.concatenate(
+                [scores_h + hist_mask, scores_c + cand_mask], axis=-1
+            )
+            probs = jax.nn.softmax(scores, axis=-1)
+            p_h, p_c = probs[..., :enc_t], probs[..., enc_t:]
+            out = (
+                _attend_rows(p_h, ev_li, dtype)
+                + _attend_rows(p_c, vq, dtype)
+            ).astype(dtype)
         x = x + _dense(_merge_heads(out), layer["attn"]["o"])
         x = x + _mlp(_layernorm(x, layer["ln2"]), layer)
     enc_out = _layernorm(x, e["ln_post"])  # [B, c, d]
