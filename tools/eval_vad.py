@@ -86,6 +86,52 @@ def main() -> None:
             f"{probs[order[:k]].mean():.3f} — NO SEGMENTS",
         )
 
+    # -- quiet-SPEECH recall (the user-felt metric) ---------------------------
+    # The loud/quiet-decile means above rank ALL frames: the quietest decile
+    # is dominated by pauses/room tone, where LOW prob is correct (the
+    # segmenter's min_silence hinges on it). What users feel is recall on
+    # frames that ARE speech but quiet — soft phonemes, utterance tails, low
+    # capture gain. Label speech frames with the weight-free spectral
+    # teacher at the original level (conservative: prob > 0.8 only), then
+    # report learned-backend recall (a) per speech-frame energy quintile and
+    # (b) with the whole signal attenuated (quiet capture).
+    from streamkit_tpu.ops.vad import _spectral_frame_probs, _spectral_init_state
+
+    st = _spectral_init_state()
+    tp = []
+    for i in range(0, n, 256):
+        p, st = _spectral_frame_probs(st, jnp.asarray(frames[i : i + 256]))
+        tp.append(np.asarray(p))
+    tp = np.concatenate(tp)
+    speech = tp > 0.8
+
+    V._BACKEND = None
+    V._LEARNED_APPLY = None
+    os.environ["SK_VAD_BACKEND"] = "learned"
+
+    def run(gain: float) -> np.ndarray:
+        state = vad_init_state()
+        out = []
+        for i in range(0, n, 50):
+            p, state = V.vad_frame_probs(state, jnp.asarray(frames[i : i + 50] * gain))
+            out.append(np.asarray(p))
+        return np.concatenate(out)
+
+    probs = run(1.0)
+    sidx = np.where(speech)[0]
+    qorder = sidx[np.argsort(rms[sidx])]
+    kq = len(qorder) // 5
+    rq = [(probs[qorder[q * kq : (q + 1) * kq]] > 0.5).mean() for q in range(5)]
+    print(
+        "learned speech-frame recall by energy quintile (quiet→loud): "
+        + "  ".join(f"{r:.3f}" for r in rq)
+    )
+    for att_db in (-12.0, -20.0, -26.0):
+        pa = run(10 ** (att_db / 20))
+        rec = float((pa[speech] > 0.5).mean())
+        fa = float((pa[tp < 0.2] > 0.5).mean())
+        print(f"learned @ {att_db:+.0f} dB: speech recall {rec:.3f}  nonspeech false-accept {fa:.3f}")
+
 
 if __name__ == "__main__":
     main()
