@@ -5,7 +5,7 @@
 PY ?= python
 CPU_ENV = JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 
-.PHONY: all test test-fast native fixtures docs serve bench bench-model latency lt e2e licenses clean
+.PHONY: all test test-fast native fixtures docs serve bench bench-model latency lt e2e licenses changelog release-dryrun clean
 
 all: native fixtures
 
@@ -50,6 +50,12 @@ e2e:               ## browser e2e (needs playwright + chromium)
 
 licenses:          ## third-party license inventory + policy gate (cargo-deny analog)
 	$(PY) tools/licenses.py
+
+changelog:         ## regenerate CHANGELOG.md from git history
+	$(CPU_ENV) $(PY) tools/release.py changelog
+
+release-dryrun:    ## version check + changelog + dist tarball into a temp dir
+	$(CPU_ENV) $(PY) tools/release.py dryrun
 
 clean:
 	$(MAKE) -C native clean
