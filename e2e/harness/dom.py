@@ -160,6 +160,23 @@ class Element(JSObject):
             "options": (lambda: JSArray(self.element_children()), None),
             "files": (lambda: self.get("_files", JSArray()), None),
         }
+        if self.tag == "select":
+            # browsers default a <select>'s value to the selected (else
+            # first) <option> — scripts read .value without ever setting it
+            self.accessors["value"] = (
+                self._select_value,
+                lambda v: dict.__setitem__(self, "value", js_to_string(v)),
+            )
+
+    def _select_value(self):
+        v = dict.get(self, "value", "")
+        if v != "":
+            return v
+        opts = [c for c in self.iter_tree() if c.tag == "option"]
+        for o in opts:
+            if "selected" in o.attrs:
+                return o.attrs.get("value", o._get_text())
+        return opts[0].attrs.get("value", opts[0]._get_text()) if opts else ""
 
     # -- tree ------------------------------------------------------------------
     def element_children(self) -> List["Element"]:

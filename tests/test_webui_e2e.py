@@ -428,3 +428,130 @@ def test_wire_drag_type_compatibility_highlighting(browser):
     glowing = [p for p in ports if p.attrs.get("stroke") == "#7fd1b9"]
     assert dimmed and glowing
     browser.eval("ed.wire = null; ed.render()")
+
+
+def test_editor_viewport_zoom_pan_fit_minimap(browser):
+    """Reference DesignView (xyflow) viewport parity: wheel zoom at the
+    cursor, canvas-drag pan, fit-to-content, and a minimap that mirrors
+    the graph and recenters the view on click."""
+    from streamkit_tpu.utils.mjs import JSObject
+
+    browser.eval("ed.nodes = []; ed.edges = []; ed.sel = null; ed.view = null; ed.render()")
+    svg = browser.by_id("editor")
+
+    def drop(kind, x, y):
+        dt = JSObject()
+        dt["getData"] = lambda *_a: kind
+        svg.dispatch("drop", {"clientX": x, "clientY": y, "dataTransfer": dt})
+
+    drop("core::passthrough", 120, 80)
+    drop("core::sink", 120, 220)
+    assert browser.eval("ed.view") is None  # auto-fit until user navigates
+
+    # wheel zoom in at (100, 80): viewport narrows around the cursor
+    w0 = browser.eval("ed.viewBox().w")
+    svg.dispatch("wheel", {"deltaY": -120, "clientX": 100, "clientY": 80})
+    assert browser.eval("ed.view !== null")
+    w1 = browser.eval("ed.view.w")
+    assert w1 < w0
+    # the svg viewBox attribute tracks the viewport
+    vb = svg.attrs["viewBox"].split()
+    assert abs(float(vb[2]) - w1) < 1e-6
+
+    # canvas pan: mousedown on empty canvas, drag right/down — content
+    # follows the pointer (view origin moves opposite), no deselect
+    browser.eval("ed.sel = ed.nodes[0].id; ed.render()")
+    x0 = browser.eval("ed.view.x")
+    svg.dispatch("mousedown", {"clientX": 400, "clientY": 300})
+    svg.dispatch("mousemove", {"clientX": 440, "clientY": 300})
+    svg.dispatch("mouseup", {"clientX": 440, "clientY": 300})
+    assert browser.eval("ed.view.x") < x0
+    assert browser.eval("ed.sel") is not None  # moved pan keeps selection
+
+    # plain canvas click (no movement) still deselects
+    svg.dispatch("mousedown", {"clientX": 400, "clientY": 300})
+    svg.dispatch("mouseup", {"clientX": 400, "clientY": 300})
+    assert browser.eval("ed.sel") is None
+
+    # minimap mirrors nodes + viewport rect; click recenters the view
+    mm = browser.by_id("minimap")
+    rects = mm.query_selector_all("rect")
+    assert len(rects) == 3  # 2 nodes + view rect
+    assert mm.query_selector("[data-mm-view]") is not None
+    mm.dispatch("mousedown", {"clientX": 50, "clientY": 40})
+    v = browser.eval("ed.view")
+    assert abs(v["x"] - (50 - v["w"] / 2)) < 1e-6
+
+    # fit returns to auto-fit (view = null) and the content bbox
+    browser.by_id("btn-ed-fit").dispatch("click")
+    assert browser.eval("ed.view") is None
+    vb = svg.attrs["viewBox"].split()
+    assert float(vb[0]) == 0.0 and float(vb[2]) >= 500
+
+
+def test_editor_undo_redo_history(browser):
+    """Reference layoutStore history parity: node add, wire, and node move
+    are each ONE undo step; ctrl+z / ctrl+shift+z and the buttons walk the
+    history; redo is invalidated by a new edit."""
+    from streamkit_tpu.utils.mjs import JSObject
+
+    browser.eval(
+        "ed.nodes = []; ed.edges = []; ed.sel = null; ed.view = null;"
+        "ed.hist = []; ed.histPos = -1; ed.commit(); ed.render()"
+    )
+    svg = browser.by_id("editor")
+
+    def drop(kind, x, y):
+        dt = JSObject()
+        dt["getData"] = lambda *_a: kind
+        svg.dispatch("drop", {"clientX": x, "clientY": y, "dataTransfer": dt})
+
+    drop("core::passthrough", 120, 60)
+    drop("core::sink", 120, 220)
+    browser.pump(0.2)
+
+    # wire passthrough.out -> sink.in (commits one history step on success)
+    outport = svg.query_selector("[data-outport]")
+    sink_in = [
+        p for p in svg.query_selector_all("[data-inport]")
+        if p.attrs["data-inport"].startswith("sink")
+    ]
+    outport.dispatch("mousedown", {"clientX": 120, "clientY": 60})
+    sink_in[0].dispatch("mouseup", {})
+    assert browser.pump_until(lambda: browser.eval("ed.edges.length") == 1, 10)
+    assert browser.eval("ed.hist.length") == 4  # seed + 2 adds + wire
+
+    # node move is one step: drag the selected node, commit on mouseup
+    browser.eval("ed.sel = null")
+    node_g = svg.query_selector("g[data-node]")
+    node_g.dispatch("mousedown", {"clientX": 130, "clientY": 70})
+    svg.dispatch("mousemove", {"clientX": 190, "clientY": 110})
+    svg.dispatch("mouseup", {"clientX": 190, "clientY": 110})
+    assert browser.eval("ed.hist.length") == 5
+
+    # undo walks back: move -> wire -> node -> node -> seed
+    browser.by_id("btn-ed-undo").dispatch("click")          # undo move
+    assert browser.eval("ed.edges.length") == 1
+    svg.dispatch("keydown", {"key": "z", "ctrlKey": True})  # undo wire
+    assert browser.eval("ed.edges.length") == 0
+    assert browser.eval("ed.nodes.length") == 2
+    browser.by_id("btn-ed-undo").dispatch("click")
+    browser.by_id("btn-ed-undo").dispatch("click")
+    assert browser.eval("ed.nodes.length") == 0
+    browser.by_id("btn-ed-undo").dispatch("click")          # no-op at seed
+    assert browser.eval("ed.nodes.length") == 0
+
+    # redo forward (button + ctrl+shift+z)
+    browser.by_id("btn-ed-redo").dispatch("click")
+    assert browser.eval("ed.nodes.length") == 1
+    svg.dispatch("keydown", {"key": "z", "ctrlKey": True, "shiftKey": True})
+    svg.dispatch("keydown", {"key": "y", "ctrlKey": True})
+    assert browser.eval("ed.nodes.length") == 2
+    assert browser.eval("ed.edges.length") == 1
+
+    # a fresh edit truncates the redo tail
+    browser.by_id("btn-ed-undo").dispatch("click")
+    drop("core::pacer", 300, 60)
+    assert browser.eval("ed.histPos") == browser.eval("ed.hist.length") - 1
+    browser.by_id("btn-ed-redo").dispatch("click")  # no-op
+    assert browser.eval("ed.nodes.length") == 3
