@@ -512,10 +512,12 @@ def _encode_core(
     # (ops/stream_attention.py module docstring)
     from ...ops import stream_attention
 
+    attn_env = os.environ.get("SK_ATTN_KERNEL", "auto")  # A/B toggle
     use_attn_kernel = (
-        identity
+        attn_env != "0"
+        and identity
         and isinstance(ek, tuple)
-        and _pallas_writes_enabled()
+        and (_pallas_writes_enabled() or attn_env == "1")
         and stream_attention.supports(He, hde, enc_t, n_pos)
     )
     cand_ks, cand_vs = [], []
