@@ -24,6 +24,10 @@ class NodeStats:
     discarded: int = 0
     errored: int = 0
     duration_secs: float = 0.0
+    # TPU-repo extension (not in stats.rs): estimated per-packet handling
+    # latency — EWMA of receive→send gaps sampled by the tracker. Drives the
+    # Monitor view's per-node latency chart.
+    proc_ms: float = 0.0
 
     def to_json(self) -> dict:
         return {
@@ -32,6 +36,7 @@ class NodeStats:
             "discarded": self.discarded,
             "errored": self.errored,
             "duration_secs": self.duration_secs,
+            "proc_ms": round(self.proc_ms, 3),
         }
 
 
@@ -51,15 +56,25 @@ class NodeStatsTracker:
         self._start = clock()
         self._last_flush = self._start
         self._since_flush = 0
+        self._rx_at: float | None = None  # pending receive→send latency sample
         self.stats = NodeStats()
 
     # -- counter updates ------------------------------------------------------
     def packet_received(self, n: int = 1) -> None:
         self.stats.received += n
+        self._rx_at = self._clock()
         self._tick(n)
 
     def packet_sent(self, n: int = 1) -> None:
         self.stats.sent += n
+        if self._rx_at is not None:
+            # receive→send gap ≈ per-packet handling latency for 1-in/1-out
+            # nodes (an estimate: fan-out/batching nodes sample their first
+            # emit per input). EWMA keeps it one float.
+            sample_ms = (self._clock() - self._rx_at) * 1000.0
+            self._rx_at = None
+            s = self.stats
+            s.proc_ms = sample_ms if s.proc_ms == 0.0 else 0.9 * s.proc_ms + 0.1 * sample_ms
         self._tick(n)
 
     def packet_discarded(self, n: int = 1) -> None:

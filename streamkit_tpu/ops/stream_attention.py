@@ -79,11 +79,11 @@ def _kernel(pos_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
         kd = k8_ref[0, h].astype(qs.dtype) * op_scale  # [hd, T]
         s_h = jax.lax.dot_general(
             qs, kd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * ks_ref[0, h][None, :]  # [c, T]
+        ) * ks_ref[0, h]  # scale block is [1, T] — broadcasts over [c, T]
         ckd = ck_ref[0, h].astype(qs.dtype) * op_scale  # [hd, c]
         s_c = jax.lax.dot_general(
             qs, ckd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * cks_ref[0, h][None, :]  # [c, c]
+        ) * cks_ref[0, h]  # [1, c]
         s_h = jnp.where(hist_ok, s_h, -jnp.inf)
         s_c = jnp.where(cand_ok, s_c, -jnp.inf)
         # combined softmax over [T + c] without concatenating
@@ -97,8 +97,8 @@ def _kernel(pos_ref, qs_ref, k8_ref, ks_ref, v8_ref, vs_ref,
         p_c = p_c / denom
         # attend: fold the column scale into the probabilities, int8 operand
         # stays on the matmul (Σ_t (p·s)·v8)
-        ph = (p_h * vs_ref[0, h][None, :]).astype(qs.dtype)  # [c, T]
-        pc = (p_c * cvs_ref[0, h][None, :]).astype(qs.dtype)  # [c, c]
+        ph = (p_h * vs_ref[0, h]).astype(qs.dtype)  # [c, T]
+        pc = (p_c * cvs_ref[0, h]).astype(qs.dtype)  # [c, c]
         o = jax.lax.dot_general(
             ph, v8_ref[0, h].astype(qs.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -130,11 +130,19 @@ def history_attention(
     hb = _head_block(H)
     grid = (B, H // hb)
 
+    # Mosaic tiling rule: a block's last two dims must be 8/128-divisible OR
+    # equal to the array dims. The per-column scales are [B, H, T]-shaped; a
+    # (1, hb, T) block puts hb (=4 for H=20) in the sublane slot and fails to
+    # lower. A trailing singleton axis makes the block (1, hb, 1, T) whose
+    # last two dims (1, T) match the array exactly — the reshape is a free
+    # bitcast under jit.
+    ks4 = ks[:, :, None, :]
+    vs4 = vs[:, :, None, :]
+    cks4 = cks[:, :, None, :]
+    cvs4 = cvs[:, :, None, :]
+
     def row_idx(b, h, pos_ref):
         return (b, h, 0, 0)
-
-    def sc_idx(b, h, pos_ref):
-        return (b, h, 0)
 
     out = pl.pallas_call(
         functools.partial(_kernel, op_scale=op_scale, T=T, c=c),
@@ -144,13 +152,13 @@ def history_attention(
             in_specs=[
                 pl.BlockSpec((1, hb, c, hd), row_idx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, hb, hd, T), row_idx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hb, T), sc_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb, 1, T), row_idx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, hb, hd, T), row_idx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hb, T), sc_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb, 1, T), row_idx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, hb, hd, c), row_idx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hb, c), sc_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb, 1, c), row_idx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, hb, hd, c), row_idx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hb, c), sc_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb, 1, c), row_idx, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, hb, c, hd), row_idx, memory_space=pltpu.VMEM),
         ),
@@ -165,7 +173,7 @@ def history_attention(
             transcendentals=B * H * c * (T + c),
         ),
         interpret=interpret,
-    )(pos.astype(jnp.int32), qs, k8, ks, v8, vs, ck8, cks, cv8, cvs)
+    )(pos.astype(jnp.int32), qs, k8, ks4, v8, vs4, ck8, cks4, cv8, cvs4)
     return out
 
 

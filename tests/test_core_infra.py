@@ -188,3 +188,21 @@ def test_stats_tracker_throttles():
     assert sink.qsize() == 2
     update = sink.try_recv()
     assert update.stats.received == 1000
+
+
+def test_stats_tracker_proc_latency_ewma():
+    """receive→send gaps feed the proc_ms EWMA (first sample seeds it);
+    a send with no pending receive adds no sample."""
+    fake_now = [0.0]
+    t = NodeStatsTracker("n", None, clock=lambda: fake_now[0])
+    t.packet_received()
+    fake_now[0] = 0.010  # 10 ms handling
+    t.packet_sent()
+    assert t.stats.proc_ms == pytest.approx(10.0)
+    t.packet_sent()  # no pending receive — unchanged
+    assert t.stats.proc_ms == pytest.approx(10.0)
+    t.packet_received()
+    fake_now[0] = 0.030  # 20 ms sample → 0.9*10 + 0.1*20
+    t.packet_sent()
+    assert t.stats.proc_ms == pytest.approx(11.0)
+    assert t.stats.to_json()["proc_ms"] == pytest.approx(11.0)

@@ -555,3 +555,78 @@ def test_editor_undo_redo_history(browser):
     assert browser.eval("ed.histPos") == browser.eval("ed.hist.length") - 1
     browser.by_id("btn-ed-redo").dispatch("click")  # no-op
     assert browser.eval("ed.nodes.length") == 3
+
+
+def test_stream_timeline_renders_vad_partials_finals(browser):
+    """The Stream view's utterance timeline: telemetry events arriving on
+    the control WS populate VAD segment bars, partial tick marks, and
+    final markers on a shared 60s axis (reference TelemetryTimeline shows
+    the same event classes)."""
+    now = browser.eval("Date.now() / 1000")
+    for dt, et, text in [
+        (-8, "vad.speech_start", ""),
+        (-6.5, "stt.partial", "hello"),
+        (-6.0, "stt.partial", "hello wor"),
+        (-5, "vad.speech_end", ""),
+        (-4.8, "stt.result", "hello world"),
+        (-2, "vad.speech_start", ""),  # still-open segment
+    ]:
+        browser.eval(
+            "recordTimeline({event: 'nodetelemetry', session_id: 's1',"
+            f" node_id: 'stt', data: {{event_type: {et!r}, text: {text!r}}}}})"
+        )
+        browser.eval(f"tlEvents[tlEvents.length - 1].t = {now + dt}")
+    browser.eval("renderTimeline()")
+    tl = browser.by_id("timeline")
+    segs = tl.query_selector_all("[data-tl-seg]")
+    assert len(segs) == 2  # one closed + one open segment
+    assert any("data-tl-open" in s.attrs for s in segs)
+    assert len(tl.query_selector_all("[data-tl-partial]")) == 2
+    finals = tl.query_selector_all("[data-tl-final]")
+    assert len(finals) == 1
+    # final marker carries the transcript as a tooltip
+    assert finals[0].query_selector("title")._get_text() == "hello world"
+    # events older than the 60s window are evicted on the next arrival
+    browser.eval(f"tlEvents.unshift({{t: {now - 100}, kind: 'final', node: 'x', text: ''}})")
+    browser.eval(
+        "recordTimeline({event: 'nodetelemetry', session_id: 's1',"
+        " node_id: 'stt', data: {event_type: 'stt.partial', text: 'y'}})"
+    )
+    assert browser.eval(f"tlEvents.every((e) => e.t > {now - 70})")
+
+
+def test_monitor_rate_and_latency_charts(browser):
+    """Monitor telemetry charts: the session events/s chart buckets all WS
+    events for the selected session, and per-node rows chart pkts/s plus
+    the proc_ms latency EWMA from nodestatsupdated."""
+    now = browser.eval("Date.now() / 1000")
+    browser.eval("currentMon = 'sX'")
+    for i in range(6):
+        browser.eval(
+            "recordRate({event: 'nodetelemetry', session_id: 'sX'})"
+        )
+    # two stats flushes 2s apart: 100 packets sent in between, 7.5ms proc
+    browser.eval(
+        "recordStats({event: 'nodestatsupdated', session_id: 'sX', node_id: 'stt',"
+        " stats: {sent: 100, received: 100, proc_ms: 5.0}})"
+    )
+    browser.eval(
+        "recordStats({event: 'nodestatsupdated', session_id: 'sX', node_id: 'stt',"
+        " stats: {sent: 300, received: 300, proc_ms: 7.5}})"
+    )
+    browser.eval(f"statHist.get('sX|stt')[0].t = {now - 2}")
+    browser.eval("renderCharts()")
+    rate = browser.by_id("mon-rate")
+    assert "events/s" in rate._get_text()
+    assert rate.query_selector("polyline") is not None
+    charts = browser.by_id("mon-charts")
+    assert "stt" in charts._get_text()
+    # two sparklines per node row: throughput + latency
+    assert len(charts.query_selector_all("polyline")) == 2
+    assert "8 ms" in charts._get_text()  # 7.5 rounds to 8
+    # pkts/s from the delta: (300-100)/~2s ≈ 100/s (wall-clock skew allowed)
+    import re as _re
+
+    m = _re.search(r"(\d+\.\d)/s", charts._get_text())
+    assert m and 95.0 <= float(m.group(1)) <= 105.0, charts._get_text()
+    browser.eval("currentMon = null")
