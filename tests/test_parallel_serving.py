@@ -60,11 +60,14 @@ def _run_steps(params, table, ring, n_rows: int):
     )
 
 
-@pytest.mark.parametrize("tp", [1, 2])
-def test_fused_step_sharded_matches_single_device(tp):
+@pytest.mark.parametrize(
+    "tp,rows_per_shard",
+    [(1, 1), (2, 1), (2, 2)],  # (2, 2): B=8 over dp=4 — batched rows per shard
+)
+def test_fused_step_sharded_matches_single_device(tp, rows_per_shard):
     n_dev = 8
     mesh = make_mesh(n_dev, tp=tp)
-    n_rows = n_dev // tp  # one row per dp shard
+    n_rows = (n_dev // tp) * rows_per_shard
 
     params = init_params(CFG, jax.random.PRNGKey(3), jnp.float32)
 
