@@ -630,3 +630,46 @@ def test_monitor_rate_and_latency_charts(browser):
     m = _re.search(r"(\d+\.\d)/s", charts._get_text())
     assert m and 95.0 <= float(m.group(1)) <= 105.0, charts._get_text()
     browser.eval("currentMon = null")
+
+
+def test_editor_auto_layout(browser):
+    """Layered auto-layout (reference LayoutPresetButtons): depth from
+    sources becomes the column, siblings stack, the viewport re-fits, and
+    the whole rearrangement is one undo step."""
+    from streamkit_tpu.utils.mjs import JSObject
+
+    browser.eval(
+        "ed.nodes = []; ed.edges = []; ed.sel = null; ed.view = null;"
+        "ed.hist = []; ed.histPos = -1; ed.commit(); ed.render()"
+    )
+    svg = browser.by_id("editor")
+
+    def drop(kind, x, y):
+        dt = JSObject()
+        dt["getData"] = lambda *_a: kind
+        svg.dispatch("drop", {"clientX": x, "clientY": y, "dataTransfer": dt})
+
+    # scrambled positions: a -> b -> d, a -> c -> d
+    drop("core::passthrough", 500, 300)  # a
+    drop("audio::gain", 40, 40)          # b
+    drop("audio::gain", 420, 30)         # c
+    drop("core::sink", 60, 250)          # d
+    ids = [browser.eval(f"ed.nodes[{i}].id") for i in range(4)]
+    a, b, c, d = ids
+    browser.eval(
+        f"ed.edges = [{{from: '{a}', fromPin: 'out', to: '{b}', toPin: 'in'}},"
+        f" {{from: '{a}', fromPin: 'out', to: '{c}', toPin: 'in'}},"
+        f" {{from: '{b}', fromPin: 'out', to: '{d}', toPin: 'in'}},"
+        f" {{from: '{c}', fromPin: 'out', to: '{d}', toPin: 'in'}}]; ed.commit()"
+    )
+    hist0 = browser.eval("ed.hist.length")
+    browser.by_id("btn-ed-layout").dispatch("click")
+    # columns by depth: a=0, b=c=1, d=2
+    xs = {n: browser.eval(f"ed.nodes.find((x) => x.id === '{n}').x") for n in ids}
+    ys = {n: browser.eval(f"ed.nodes.find((x) => x.id === '{n}').y") for n in ids}
+    assert xs[a] < xs[b] == xs[c] < xs[d]
+    assert ys[b] != ys[c]  # siblings stack, not overlap
+    assert browser.eval("ed.view") is None  # re-fit
+    assert browser.eval("ed.hist.length") == hist0 + 1  # one undo step
+    browser.by_id("btn-ed-undo").dispatch("click")
+    assert browser.eval(f"ed.nodes.find((x) => x.id === '{a}').x") != xs[a]
