@@ -512,12 +512,17 @@ def _encode_core(
     # (ops/stream_attention.py module docstring)
     from ...ops import stream_attention
 
-    attn_env = os.environ.get("SK_ATTN_KERNEL", "auto")  # A/B toggle
+    # Opt-in only (SK_ATTN_KERNEL=1): the fused kernel wins standalone
+    # (~0.4 ms/layer, 32-layer chain ~13 ms device) but LOSES in the full
+    # program — B=64 steps=2 fused call measured 142/134 ms (mean/min) with
+    # it vs 136/114 without on v5e (PERF_NOTES round-5 A/B). Each pallas
+    # call is a fusion barrier: XLA re-lays-out the per-layer Q/K/V around
+    # it 32×, costing more than the score-matrix HBM traffic it saves.
+    attn_env = os.environ.get("SK_ATTN_KERNEL", "0")
     use_attn_kernel = (
-        attn_env != "0"
+        attn_env == "1"
         and identity
         and isinstance(ek, tuple)
-        and (_pallas_writes_enabled() or attn_env == "1")
         and stream_attention.supports(He, hde, enc_t, n_pos)
     )
     cand_ks, cand_vs = [], []
