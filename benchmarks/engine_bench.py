@@ -508,7 +508,13 @@ async def amain() -> dict:
 
 
 def main() -> dict:
-    if os.environ.get("SK_ENG_PATH", "serving") == "serving":
+    # Default = ring posture: batched per-SEGMENT decodes amortize the fused
+    # call's fixed cost over ~4 s of audio, where the stream-table path pays
+    # it per half-second block plus near-every-call partial decodes — measured
+    # on v5e (round 5): ring 155 vs serving 112 sessions/chip at the same
+    # total audio fed. The serving path is the LATENCY posture (realtime
+    # partials, latency_bench.py); this bench's headline is finals throughput.
+    if os.environ.get("SK_ENG_PATH", "ring") == "serving":
         return asyncio.run(amain_serving())
     return asyncio.run(amain())
 

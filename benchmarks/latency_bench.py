@@ -10,7 +10,8 @@ measured the same way at VAD close.
 Run on the real chip:  python benchmarks/latency_bench.py
 Env: SK_LAT_MODEL (tiny|base|...|large-v3, default large-v3),
      SK_LAT_SESSIONS (default 8), SK_LAT_SECONDS (default 30),
-     SK_LAT_INGEST (cpp|py, default cpp), SK_LAT_FINAL (stream|exact).
+     SK_LAT_INGEST (cpp|py, default cpp), SK_LAT_FINAL (stream|exact),
+     SK_LAT_REPEATS (consecutive timed runs sharing one warmup, default 1).
 
 Two ingestion modes:
 
@@ -212,30 +213,50 @@ async def main_cpp():
         )
     print(f"# warmup done ({len(warm_events)} events)", file=sys.stderr, flush=True)
 
-    # -- timed run: N co-paced sessions, latencies from replay frame cadence
-    events: dict = {}
-    sids = []
-    audio = {}
-    for i in range(n_sessions):
-        events[i] = []
-        sid = eng.open_session(
-            lambda ev, i=i: events[i].append((eng.pool.now_ns(), ev))
-        )
-        sids.append(sid)
-        audio[i] = synth_speech(seconds, seed=i)
-    t0 = time.monotonic()
-    for i, sid in enumerate(sids):
-        # shared epoch: all replays start 800 ms from now, frame-aligned
-        eng.start_replay(sid, audio[i], frame_us=frame_us, start_delay_us=800_000)
-    # wait for replays to finish + VAD hangover to close tail segments
-    while eng.pool.active() > 0:
-        await asyncio.sleep(1.0)
-    await asyncio.sleep(3.0)
-    wall = time.monotonic() - t0
-    starts = {i: eng.pool.replay_start_ns(sid) for i, sid in enumerate(sids)}
-    dropped = eng.pool.dropped()
-    for sid in sids:
-        eng.close_session(sid)
+    # -- timed runs: N co-paced sessions each, latencies from replay frame
+    # cadence. SK_LAT_REPEATS consecutive runs share the warm engine (one
+    # remote-compile warmup amortized across runs) — "robustly under the
+    # target" means EVERY consecutive run lands under it, not one lucky run.
+    repeats = int(os.environ.get("SK_LAT_REPEATS", "1"))
+
+    async def timed_run(run_idx: int):
+        events: dict = {}
+        sids = []
+        audio = {}
+        for i in range(n_sessions):
+            events[i] = []
+            sid = eng.open_session(
+                lambda ev, i=i: events[i].append((eng.pool.now_ns(), ev))
+            )
+            sids.append(sid)
+            audio[i] = synth_speech(seconds, seed=run_idx * 1009 + i)
+        dropped0 = eng.pool.dropped()
+        t0 = time.monotonic()
+        for i, sid in enumerate(sids):
+            # shared epoch: all replays start 800 ms from now, frame-aligned
+            eng.start_replay(sid, audio[i], frame_us=frame_us, start_delay_us=800_000)
+        # wait for replays to finish + VAD hangover to close tail segments
+        while eng.pool.active() > 0:
+            await asyncio.sleep(1.0)
+        await asyncio.sleep(3.0)
+        wall = time.monotonic() - t0
+        starts = {i: eng.pool.replay_start_ns(sid) for i, sid in enumerate(sids)}
+        dropped = eng.pool.dropped() - dropped0
+        for sid in sids:
+            eng.close_session(sid)
+        # drain: the next run needs every stream/ring slot back
+        deadline = time.monotonic() + 120
+        while not eng.idle() and time.monotonic() < deadline:
+            await asyncio.sleep(0.2)
+        return events, audio, starts, wall, dropped
+
+    run_results = []
+    for r in range(repeats):
+        events, audio, starts, wall, dropped = await timed_run(r)
+        run_results.append((events, audio, starts, wall, dropped))
+        if repeats > 1:
+            print(f"# run {r + 1}/{repeats}: wall={wall:.1f}s dropped={dropped}",
+                  file=sys.stderr, flush=True)
     batcher_stats = eng.batcher.stats()
     await eng.stop()
 
@@ -266,39 +287,55 @@ async def main_cpp():
         np.save("/tmp/stt_trace_blocks.npy", tb)
         np.save("/tmp/stt_trace_calls.npy", tc)
 
-    lat_partial: list = []
-    lat_final: list = []
-    for i, evs in events.items():
-        audio_ms = len(audio[i]) / 16.0
-        for now_ns, ev in evs:
-            if ev["type"] not in ("partial", "final"):
-                continue
-            end_ms = min(ev["end_ms"], audio_ms)
-            arr_ns = starts[i] + int(end_ms / 20.0) * frame_us * 1000
-            (lat_partial if ev["type"] == "partial" else lat_final).append(
-                (now_ns - arr_ns) / 1e6
-            )
-    lat = sorted(lat_partial + lat_final)
-    if not lat:
-        print(json.dumps({"error": "no transcripts emitted"}))
-        return
-    p50 = lat[len(lat) // 2]
-    p90 = lat[int(len(lat) * 0.9)]
-    fin = sorted(lat_final)
-    print(
-        json.dumps(
+    per_run = []
+    for events, audio, starts, wall, dropped in run_results:
+        lat_partial: list = []
+        lat_final: list = []
+        for i, evs in events.items():
+            audio_ms = len(audio[i]) / 16.0
+            for now_ns, ev in evs:
+                if ev["type"] not in ("partial", "final"):
+                    continue
+                end_ms = min(ev["end_ms"], audio_ms)
+                arr_ns = starts[i] + int(end_ms / 20.0) * frame_us * 1000
+                (lat_partial if ev["type"] == "partial" else lat_final).append(
+                    (now_ns - arr_ns) / 1e6
+                )
+        lat = sorted(lat_partial + lat_final)
+        if not lat:
+            print(json.dumps({"error": "no transcripts emitted"}))
+            return
+        fin = sorted(lat_final)
+        per_run.append(
             {
-                "metric": f"streaming partial-transcript latency p50, whisper-{model_size}, "
-                f"{n_sessions} concurrent realtime sessions (cpp ingest, {final_mode} finals)",
-                "value": round(p50, 1),
-                "unit": "ms",
-                "p90_ms": round(p90, 1),
+                "p50_ms": round(lat[len(lat) // 2], 1),
+                "p90_ms": round(lat[int(len(lat) * 0.9)], 1),
                 "final_p50_ms": round(fin[len(fin) // 2], 1) if fin else None,
                 "transcripts": len(lat),
                 "finals": len(fin),
                 "wall_secs": round(wall, 1),
-                "audio_secs": round(seconds, 1),
                 "dropped_blocks": dropped,
+            }
+        )
+    # headline = median-run p50; every per-run number is recorded so the
+    # "all runs under target" claim is checkable from the artifact
+    by_p50 = sorted(per_run, key=lambda r: r["p50_ms"])
+    med = by_p50[len(by_p50) // 2]
+    p50 = med["p50_ms"]
+    print(
+        json.dumps(
+            {
+                "metric": f"streaming partial-transcript latency p50, whisper-{model_size}, "
+                f"{n_sessions} concurrent realtime sessions (cpp ingest, {final_mode} finals"
+                + (f", median of {len(per_run)} consecutive runs)" if len(per_run) > 1 else ")"),
+                "value": p50,
+                "unit": "ms",
+                "p90_ms": med["p90_ms"],
+                "worst_run_p50_ms": by_p50[-1]["p50_ms"],
+                "worst_run_p90_ms": max(r["p90_ms"] for r in per_run),
+                "final_p50_ms": med["final_p50_ms"],
+                "runs": per_run,
+                "audio_secs": round(seconds, 1),
                 "batcher": batcher_stats,
                 "vs_baseline": round(300.0 / p50, 2),
             }

@@ -107,6 +107,40 @@ struct Pool {
         : block_samples(block), queue_cap(cap), sessions(max_sessions) {}
 };
 
+// Move full blocks out of a session-locally assembled accumulator into the
+// shared queue — the global mutex is taken once per ~half-second block, not
+// once per 20 ms frame. At full-speed replay (throughput benches) the
+// per-frame locking was measurable: 128 session threads × 50 locks per
+// audio-second against ONE mutex put the ingest ceiling at ~337× realtime
+// on a single-core host; block-granular locking cuts the traffic ~26×.
+// Returns true when at least one block was queued (caller notifies cv).
+bool emit_blocks(Pool* p, int sid, std::vector<float>& acc, int64_t t_ns) {
+    if (acc.size() < size_t(p->block_samples)) return false;
+    std::lock_guard<std::mutex> g(p->mu);
+    Session& s = p->sessions[sid];
+    if (!s.open) {
+        acc.clear();
+        return false;
+    }
+    size_t off = 0;
+    bool queued = false;
+    while (acc.size() - off >= size_t(p->block_samples)) {
+        Block b;
+        b.sid = sid;
+        b.arrival_ns = t_ns;
+        b.samples.assign(acc.begin() + off, acc.begin() + off + p->block_samples);
+        off += p->block_samples;
+        if (p->queue.size() >= p->queue_cap) {
+            p->queue.pop_front();
+            p->dropped_blocks.fetch_add(1, std::memory_order_relaxed);
+        }
+        p->queue.push_back(std::move(b));
+        queued = true;
+    }
+    acc.erase(acc.begin(), acc.begin() + off);
+    return queued;
+}
+
 void push_locked(Pool* p, int sid, const float* pcm, int64_t n, int64_t t_ns) {
     Session& s = p->sessions[sid];
     if (!s.open) return;
@@ -139,22 +173,24 @@ void replay_thread(Pool* p, int sid, int frame_samples, int64_t frame_us,
     }
     const std::vector<float>& audio = s.replay_audio;
     int64_t n_frames = int64_t(audio.size()) / frame_samples;
+    // session-local block assembly (see emit_blocks)
+    std::vector<float> acc;
+    acc.reserve(size_t(p->block_samples) + size_t(frame_samples));
+    {
+        std::lock_guard<std::mutex> g(p->mu);
+        acc.swap(s.acc);
+    }
     for (int64_t i = 0; i < n_frames; i++) {
         std::this_thread::sleep_until(start + std::chrono::microseconds(i * frame_us));
-        if (s.replay_stop.load(std::memory_order_relaxed)) return;
-        bool notify = false;
-        {
-            std::lock_guard<std::mutex> g(p->mu);
-            size_t before = p->queue.size();
-            push_locked(p, sid, audio.data() + i * frame_samples, frame_samples,
-                        now_ns());
-            notify = p->queue.size() != before;
-        }
-        if (notify) p->cv.notify_all();
+        if (s.replay_stop.load(std::memory_order_relaxed)) break;
+        const float* f = audio.data() + i * frame_samples;
+        acc.insert(acc.end(), f, f + frame_samples);
+        if (emit_blocks(p, sid, acc, now_ns())) p->cv.notify_all();
     }
-    if (s.close_at_end) {
+    {
         std::lock_guard<std::mutex> g(p->mu);
-        s.open = false;
+        s.acc.insert(s.acc.end(), acc.begin(), acc.end());
+        if (s.close_at_end) s.open = false;
     }
 }
 
@@ -181,6 +217,14 @@ void replay_opus_thread(Pool* p, int sid, int sample_rate, int channels,
     if (!dec || err != 0) return;
     const int max_frame = sample_rate * 120 / 1000;  // 120 ms max opus frame
     std::vector<float> pcm(size_t(max_frame) * channels);
+    // session-local block assembly (see emit_blocks). Any samples already
+    // accumulated by an external push are taken over so ordering holds.
+    std::vector<float> acc;
+    acc.reserve(size_t(p->block_samples) + size_t(max_frame) * channels);
+    {
+        std::lock_guard<std::mutex> g(p->mu);
+        acc.swap(s.acc);
+    }
     int64_t n_pkts = int64_t(s.replay_offs.size()) - 1;
     for (int64_t i = 0; i < n_pkts; i++) {
         if (frame_us > 0)
@@ -191,19 +235,15 @@ void replay_opus_thread(Pool* p, int sid, int sample_rate, int channels,
         const int32_t len = s.replay_offs[i + 1] - s.replay_offs[i];
         const int n = api.decode_float(dec, pkt, len, pcm.data(), max_frame, 0);
         if (n <= 0) continue;
-        bool notify = false;
-        {
-            std::lock_guard<std::mutex> g(p->mu);
-            size_t before = p->queue.size();
-            push_locked(p, sid, pcm.data(), int64_t(n) * channels, now_ns());
-            notify = p->queue.size() != before;
-        }
-        if (notify) p->cv.notify_all();
+        acc.insert(acc.end(), pcm.data(), pcm.data() + size_t(n) * channels);
+        if (emit_blocks(p, sid, acc, now_ns())) p->cv.notify_all();
     }
     api.destroy(dec);
-    if (s.close_at_end) {
+    {
         std::lock_guard<std::mutex> g(p->mu);
-        s.open = false;
+        // return the sub-block remainder for any subsequent external pushes
+        s.acc.insert(s.acc.end(), acc.begin(), acc.end());
+        if (s.close_at_end) s.open = false;
     }
 }
 

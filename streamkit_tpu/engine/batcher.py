@@ -171,6 +171,16 @@ class DeviceBatcher:
     async def submit(self, kind: str, *inputs: np.ndarray):
         """Submit one item; returns the per-item output tuple (or single
         value if the fn returns one array)."""
+        return await self.submit_nowait(kind, *inputs)
+
+    def submit_nowait(self, kind: str, *inputs: np.ndarray) -> asyncio.Future:
+        """Enqueue one item synchronously and return the result future.
+
+        Lets a single task (the serving engine's ingest drain loop) submit
+        a whole co-paced cohort in one event-loop step: with per-worker
+        submits, the wakeup jitter between N workers on a loaded host
+        splits each cadence period's batch into partial calls (measured:
+        149 calls vs 117 ideal at 64 paced sessions — PERF_NOTES round 4)."""
         if kind not in self._kinds:
             raise KeyError(f"batch kind not registered: {kind}")
         if self._task is None or self._task.done():
@@ -200,7 +210,7 @@ class DeviceBatcher:
         k = self._kinds[kind]
         if len(group) >= min(k.max_batch, k.expected or k.max_batch):
             self._wake.set()
-        return await fut
+        return fut
 
     # -- dispatcher loop ---------------------------------------------------------
     async def _run(self) -> None:

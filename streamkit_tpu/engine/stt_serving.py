@@ -94,6 +94,12 @@ class _Session:
     # True while the worker is blocked awaiting an exact-final ring decode —
     # it submits no stream steps then and must not count toward `expected`
     awaiting_final: bool = False
+    # True while the worker is mid-item (between q.get and completion).
+    # The drain loop may group-submit a block directly ONLY when the
+    # session has nothing queued and nothing processing — per-session
+    # block ordering is the correctness contract (asyncio is single-
+    # threaded, so this flag is only observed at await points).
+    processing: bool = False
 
 
 class SttServingEngine:
@@ -163,6 +169,10 @@ class SttServingEngine:
         self._sstep_kind = None
         self._stt_kind = None
         self._stream_steps = int(os.environ.get("SK_STREAM_STEPS", "3"))
+        # group submit: the drain loop plans + submits a whole co-paced
+        # cohort's stream steps in one synchronous sweep (see _drain_loop);
+        # SK_STREAM_GROUP_SUBMIT=0 reverts to per-worker submits
+        self._group_submit = os.environ.get("SK_STREAM_GROUP_SUBMIT", "1") == "1"
         # SK_STT_TRACE=1: per-block stage timestamps (arrival→dequeue→
         # submit→return) + per-fused-call (start, batch, end) — the
         # latency-debug instrument behind the <300 ms north star. Rows:
@@ -423,10 +433,8 @@ class SttServingEngine:
             )
             now = time.monotonic()
             for i in range(len(ids)):
-                s = self._sessions.get(int(ids[i]))
-                if s is not None:
+                if int(ids[i]) in self._sessions:
                     last_seen[int(ids[i])] = now
-                    s.q.put_nowait((int(arrivals[i]), blocks[i]))
             # prune + refresh on EVERY drain (including empty ones): a stale
             # nonzero `expected` after ingest goes idle would otherwise
             # persist indefinitely (ADVICE r3)
@@ -452,9 +460,29 @@ class SttServingEngine:
             # insensitive, so 2 phase-locked half-calls per period can beat
             # 1 full call + stragglers — measured A/B, PERF_NOTES round 4)
             cohorts = max(1, int(os.environ.get("SK_STREAM_COHORTS", "1")))
+            # expected BEFORE the submits below: the whole cohort then lands
+            # in one event-loop step and the batcher fires on count
             self.batcher.set_expected(
                 self._sstep_kind, -(-expected // cohorts) if expected else 0
             )
+            for i in range(len(ids)):
+                s = self._sessions.get(int(ids[i]))
+                if s is None:
+                    continue
+                item = (int(arrivals[i]), blocks[i])
+                if self._group_submit and s.q.empty() and not s.processing:
+                    # group submit: plan + enqueue the device work HERE, in
+                    # one synchronous sweep over the whole cohort — the
+                    # per-session workers then only post-process results.
+                    # Per-worker submits pay one event-loop wakeup per
+                    # session between block arrival and submission; on a
+                    # loaded single-core host that jitter splits the
+                    # co-paced gather into partial calls (149 calls vs 117
+                    # ideal at 64 sessions — PERF_NOTES round 4).
+                    fut, ctx = self._plan_block(s, blocks[i], item[0])
+                    s.q.put_nowait(("p", fut, ctx))
+                else:
+                    s.q.put_nowait(item)
 
     async def _session_worker(self, s: _Session) -> None:
         try:
@@ -462,8 +490,16 @@ class SttServingEngine:
                 item = await s.q.get()
                 if item is None:
                     break
-                arrival_ns, block = item
-                await self._handle_block(s, block, arrival_ns)
+                s.processing = True
+                try:
+                    if item[0] == "p":
+                        _, fut, ctx = item
+                        await self._finish_block(s, ctx, await fut)
+                    else:
+                        arrival_ns, block = item
+                        await self._handle_block(s, block, arrival_ns)
+                finally:
+                    s.processing = False
             # stream flush: close any open segment
             for ev in s.seg.flush():
                 await self._segment_closed(s, ev[2], ev[3], flush=True)
@@ -473,6 +509,17 @@ class SttServingEngine:
             self._sessions.pop(s.sid, None)
 
     async def _handle_block(self, s: _Session, block: np.ndarray, arrival_ns: int = 0) -> None:
+        fut, ctx = self._plan_block(s, block, arrival_ns)
+        await self._finish_block(s, ctx, await fut)
+
+    def _plan_block(self, s: _Session, block: np.ndarray, arrival_ns: int = 0):
+        """Plan + submit one block's fused stream step (synchronous).
+
+        Returns ``(result_future, ctx)`` for :meth:`_finish_block`. Cursor
+        state advances HERE (the submitted meta row snapshot is what the
+        device will apply), so per-session call ordering — enforced by the
+        queue-empty/processing gate in the drain loop and the worker —
+        is the only sequencing requirement."""
         t_deq = time.monotonic() if self.trace_blocks is not None else 0.0
         block2 = block.reshape(self.vad_block, VAD_FRAME)
         # plan the fused step (same cursor math as the whisper node)
@@ -510,16 +557,19 @@ class SttServingEngine:
             ]
         )
         t_sub = time.monotonic() if self.trace_blocks is not None else 0.0
-        probs, tok_row, ntk, _ = await self.batcher.submit(
-            self._sstep_kind, meta_row, block2
-        )
+        fut = self.batcher.submit_nowait(self._sstep_kind, meta_row, block2)
+        s.written += block.size
+        s.st_tip += n_req * CHUNK_SAMPLES
+        s.st_pos += n_req * 8
+        return fut, (arrival_ns, t_deq, t_sub, block2, n_req, do_dec)
+
+    async def _finish_block(self, s: _Session, ctx, result) -> None:
+        arrival_ns, t_deq, t_sub, block2, n_req, do_dec = ctx
+        probs, tok_row, ntk, _ = result
         if self.trace_blocks is not None:
             self.trace_blocks.append(
                 (s.sid, arrival_ns / 1e9, t_deq, t_sub, time.monotonic())
             )
-        s.written += block.size
-        s.st_tip += n_req * CHUNK_SAMPLES
-        s.st_pos += n_req * 8
         partial_emit = None
         if do_dec:
             partial_emit = (tok_row, int(ntk), s.st_tip // VAD_FRAME)
