@@ -43,34 +43,25 @@ Params = Dict[str, jnp.ndarray]
 # ---------------------------------------------------------------------------
 # parameter init (deterministic; real weights come from load.py conversion)
 # ---------------------------------------------------------------------------
-def init_params(cfg: WhisperConfig, key: jax.Array, dtype=jnp.float32) -> Params:
-    """Randomly initialized parameter pytree with HF-compatible structure.
+def _param_spec(cfg: WhisperConfig):
+    """Leaf-spec pytree with HF-compatible structure.
 
-    Host-side numpy init (seeded from ``key``): random weights are only used
-    for offline tests/benchmarks, and numpy avoids thousands of tiny device
-    dispatches that made per-tensor jax.random calls pathologically slow.
+    Each leaf is ``(kind, shape, arg)`` — ``uniform`` (±arg), ``normal``
+    (std arg), ``zeros``, ``ones``, ``sinusoid``. One structure feeds both
+    materializers below, so the host and device init paths can never
+    diverge structurally.
     """
-    seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
-    rng = np.random.default_rng(seed)
-    np_dtype = jnp.dtype(dtype)
-
-    # Everything below is NUMPY, converted with one device_put at the end:
-    # per-leaf jnp ops each trigger a separate (remote) compile+transfer,
-    # which took 90+ s for whisper-tiny over the axon tunnel.
-    def _linear_init(d_in, d_out):
-        scale = 1.0 / math.sqrt(d_in)
-        return rng.uniform(-scale, scale, (d_in, d_out)).astype(np.float32).astype(np_dtype)
 
     def linear(d_in, d_out, bias=True):
-        p = {"w": _linear_init(d_in, d_out)}
+        p = {"w": ("uniform", (d_in, d_out), 1.0 / math.sqrt(d_in))}
         if bias:
-            p["b"] = np.zeros((d_out,), np_dtype)
+            p["b"] = ("zeros", (d_out,), None)
         return p
 
     def ln(d):
-        return {"g": np.ones((d,), np_dtype), "b": np.zeros((d,), np_dtype)}
+        return {"g": ("ones", (d,), None), "b": ("zeros", (d,), None)}
 
-    def attn_block(d, cross=False):
+    def attn_block(d):
         return {
             "q": linear(d, d),
             "k": linear(d, d, bias=False),
@@ -92,35 +83,137 @@ def init_params(cfg: WhisperConfig, key: jax.Array, dtype=jnp.float32) -> Params
             "ln1": ln(d),
             "attn": attn_block(d),
             "ln_x": ln(d),
-            "xattn": attn_block(d, cross=True),
+            "xattn": attn_block(d),
             "ln2": ln(d),
             "mlp1": linear(d, 4 * d),
             "mlp2": linear(4 * d, d),
         }
 
     da, dt = cfg.n_audio_state, cfg.n_text_state
-    host = {
+    return {
         "enc": {
+            # conv kernels draw as a (d_in, d_out) matrix then reshape —
+            # identical flat draw order keeps the host path's values
+            # byte-stable across this refactor
             "conv1": {
-                "w": _linear_init(cfg.n_mels * 3, da).reshape(3, cfg.n_mels, da),
-                "b": np.zeros((da,), np_dtype),
+                "w": ("uniform_r", (3, cfg.n_mels, da), 1.0 / math.sqrt(cfg.n_mels * 3)),
+                "b": ("zeros", (da,), None),
             },
             "conv2": {
-                "w": _linear_init(da * 3, da).reshape(3, da, da),
-                "b": np.zeros((da,), np_dtype),
+                "w": ("uniform_r", (3, da, da), 1.0 / math.sqrt(da * 3)),
+                "b": ("zeros", (da,), None),
             },
-            "pos": sinusoids(cfg.n_audio_ctx, da).astype(np_dtype),
+            "pos": ("sinusoid", (cfg.n_audio_ctx, da), None),
             "layers": [enc_layer(da) for _ in range(cfg.n_audio_layer)],
             "ln_post": ln(da),
         },
         "dec": {
-            "tok_emb": rng.normal(0, 0.02, (cfg.n_vocab, dt)).astype(np.float32).astype(np_dtype),
-            "pos_emb": rng.normal(0, 0.02, (cfg.n_text_ctx, dt)).astype(np.float32).astype(np_dtype),
+            "tok_emb": ("normal", (cfg.n_vocab, dt), 0.02),
+            "pos_emb": ("normal", (cfg.n_text_ctx, dt), 0.02),
             "layers": [dec_layer(dt) for _ in range(cfg.n_text_layer)],
             "ln": ln(dt),
         },
     }
-    return jax.device_put(host)
+
+
+def _spec_map(spec, fn):
+    """Map ``fn`` over spec leaves in INSERTION order (dict construction
+    order — not jax.tree's sorted-key order, which would permute the host
+    path's RNG draw sequence)."""
+    if isinstance(spec, dict):
+        return {k: _spec_map(v, fn) for k, v in spec.items()}
+    if isinstance(spec, list):
+        return [_spec_map(v, fn) for v in spec]
+    return fn(spec)
+
+
+def init_params(
+    cfg: WhisperConfig, key: jax.Array, dtype=jnp.float32,
+    on_device: Optional[bool] = None,
+) -> Params:
+    """Randomly initialized parameter pytree with HF-compatible structure.
+
+    Two materializers over one spec (:func:`_param_spec`):
+
+    * **device** (default on non-CPU backends, SK_INIT_ON_DEVICE=1/0
+      overrides): ONE jitted program generates every leaf from the PRNG
+      key — the weights never cross the host↔device link. A 3.2 GB
+      large-v3 upload over the axon tunnel takes minutes at best and has
+      been observed to stall indefinitely on a degraded relay (round-5
+      PERF_NOTES); the on-device path transfers 8 bytes.
+    * **host** (CPU default): numpy draws seeded from ``key`` with one
+      ``device_put`` at the end — value-stable with previous releases so
+      CPU test fixtures are unchanged, and numpy avoids thousands of tiny
+      device dispatches.
+    """
+    import os
+
+    spec = _param_spec(cfg)
+    if on_device is None:
+        env = os.environ.get("SK_INIT_ON_DEVICE")
+        on_device = (
+            env == "1" if env is not None else jax.default_backend() != "cpu"
+        )
+
+    if on_device:
+        leaves: list = []
+        idx_tree = _spec_map(spec, lambda s: (leaves.append(s), len(leaves) - 1)[1])
+
+        @jax.jit
+        def gen(key):
+            keys = jax.random.split(key, len(leaves))
+            out = []
+            for (kind, shape, arg), k in zip(leaves, keys):
+                if kind in ("uniform", "uniform_r"):
+                    a = jax.random.uniform(k, shape, jnp.float32, -arg, arg)
+                elif kind == "normal":
+                    a = arg * jax.random.normal(k, shape, jnp.float32)
+                elif kind == "zeros":
+                    a = jnp.zeros(shape, jnp.float32)
+                elif kind == "ones":
+                    a = jnp.ones(shape, jnp.float32)
+                else:  # sinusoid
+                    a = _sinusoids_jnp(*shape)
+                out.append(a.astype(dtype))
+            return out
+        vals = gen(key)
+        return _spec_map(idx_tree, lambda i: vals[i])
+
+    seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+    np_dtype = jnp.dtype(dtype)
+
+    def materialize(leaf):
+        kind, shape, arg = leaf
+        if kind == "uniform":
+            return rng.uniform(-arg, arg, shape).astype(np.float32).astype(np_dtype)
+        if kind == "uniform_r":
+            # draw as (d_in, d_out) then reshape (same flat C-order values)
+            flat = (int(np.prod(shape[:-1])), shape[-1])
+            return (
+                rng.uniform(-arg, arg, flat).astype(np.float32).astype(np_dtype)
+                .reshape(shape)
+            )
+        if kind == "normal":
+            return rng.normal(0, arg, shape).astype(np.float32).astype(np_dtype)
+        if kind == "zeros":
+            return np.zeros(shape, np_dtype)
+        if kind == "ones":
+            return np.ones(shape, np_dtype)
+        return sinusoids(*shape).astype(np_dtype)  # sinusoid
+
+    return jax.device_put(_spec_map(spec, materialize))
+
+
+def _sinusoids_jnp(length: int, channels: int, max_timescale: float = 10000.0):
+    """:func:`sinusoids` expressed in jnp (traceable inside the on-device
+    init program)."""
+    log_timescale_increment = math.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = jnp.exp(-log_timescale_increment * jnp.arange(channels // 2))
+    scaled_time = jnp.arange(length)[:, None] * inv_timescales[None, :]
+    return jnp.concatenate(
+        [jnp.sin(scaled_time), jnp.cos(scaled_time)], axis=1
+    ).astype(jnp.float32)
 
 
 def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
